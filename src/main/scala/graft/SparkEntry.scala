@@ -1,13 +1,802 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Keys, Text, Vectors}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory
+  * each query demonstrates. Every query returns engine-portable types:
+  * timestamps as epoch microseconds (bigint), integers as bigint, floats as
+  * double, exact-decimal intermediate sums cast to double at the end — so
+  * the DuckDB oracle can match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_multi_join_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared fragments -------------------------------------------------
+
+  /** 10-minute activity intervals derived from events (outage-model shape). */
+  private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("user_id"),
+      col("ts").as("from_ts"),
+      (col("ts") + expr("interval 10 minutes")).as("to_ts"))
+
+  private def sessionized(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(Tables.events(spark, dir), Seq("user_id"), "ts", 1800L)
+
+  private def sessionRollup(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionMetrics(
+      sessionized(spark, dir), Seq("user_id"), "ts",
+      Seq(
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("_last")))
+
+  /** DuckDB fragment: whitespace tokens of `text`, lowercased, no empties. */
+  private val TokSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** DuckDB fragment: sessionized events (adds session_seq per user). */
+  private val SessSql =
+    """WITH lagged AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT *, cast(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS bigint) AS session_seq
+      |  FROM lagged
+      |)""".stripMargin
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2#1 typed staging projection — stg_chargers.sql shape
+    "q_stg_cast" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey").cast("string").as("customer_id"),
+          trim(col("c_name")).as("name"),
+          col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("acctbal"))
+        .distinct()),
+
+    // §2#2 JSON payload extraction — stg_ocpp_logs.sql shape
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+        col("event_type"))),
+
+    // §2#3 dim hierarchy join + surrogate key — dim_connectors.sql shape
+    "q_dim_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(
+          Keys.surrogateKey(col("c_custkey")).as("customer_key"),
+          col("c_custkey"),
+          col("c_name"),
+          col("n_name").as("nation_name"),
+          col("r_name").as("region_name"))),
+
+    // §2#4 hierarchy cardinality rollup — fact_location_capacity.sql shape
+    "q_capacity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"))
+        .agg(
+          countDistinct(col("n_nationkey")).as("n_nations"),
+          countDistinct(col("c_custkey")).as("n_customers"))),
+
+    // §2#5 latest row per key — int_connector_latest_status.sql shape
+    "q_latest_status" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(
+          col("user_id"),
+          unix_micros(col("m.ts")).as("latest_ts_us"),
+          col("m.event_type").as("latest_event_type"))),
+
+    // §2#6 min_by/max_by per key — int_driver_aggregates.sql shape
+    "q_minby_maxby" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          unix_micros(min(col("ts"))).as("first_seen_us"),
+          unix_micros(max(col("ts"))).as("last_seen_us"),
+          min(struct(col("ts"), col("event_id"), col("event_type"))).as("_f"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("_l"))
+        .select(
+          col("user_id"), col("first_seen_us"), col("last_seen_us"),
+          col("_f.event_type").as("first_event_type"),
+          col("_l.event_type").as("last_event_type"))),
+
+    // §2#7 ordered change detection — int_status_changes.sql shape
+    "q_status_changes" -> ((s, dir) =>
+      ChangeDetect.changes(
+          Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+          Seq("user_id"), Seq("ts", "event_id"), "event_type")
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("status"),
+          col("previous_status"),
+          unix_micros(col("previous_ts")).as("previous_ts_us"),
+          col("next_status"),
+          unix_micros(col("next_ts")).as("next_ts_us"))),
+
+    // §2#8 gap-based sessionization — fact_visits.sql visit grouping
+    "q_sessionize" -> ((s, dir) =>
+      sessionized(s, dir).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("is_session_start"), col("session_seq"))),
+
+    // §2#9 per-session rollup — fact_visits.sql new_visits CTE
+    "q_session_metrics" -> ((s, dir) =>
+      sessionRollup(s, dir).select(
+        col("user_id"), col("session_seq"),
+        unix_micros(col("session_start_ts")).as("session_start_us"),
+        unix_micros(col("session_end_ts")).as("session_end_us"),
+        col("n_events"), col("total_value"), col("n_purchases"))),
+
+    // §2#10 conditional-aggregate metric layer — README visit metrics
+    "q_visit_rates" -> ((s, dir) =>
+      sessionRollup(s, dir)
+        .withColumn("is_successful", col("_last.event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("total_visits"),
+          sum(when(col("is_successful") && col("n_events") === 1L, 1L).otherwise(0L))
+            .as("first_attempt_success"),
+          sum(when(col("is_successful") && col("n_events") > 1L, 1L).otherwise(0L))
+            .as("troubled_success"),
+          sum(when(!col("is_successful"), 1L).otherwise(0L)).as("failed_visits"),
+          sum(col("n_events")).as("total_attempts"))
+        .select(
+          col("user_id"), col("total_visits"), col("first_attempt_success"),
+          col("troubled_success"), col("failed_visits"), col("total_attempts"),
+          round(col("first_attempt_success").cast("double") / col("total_visits"), 6)
+            .as("first_attempt_success_rate"),
+          round(col("troubled_success").cast("double") / col("total_visits"), 6)
+            .as("troubled_success_rate"),
+          round(col("failed_visits").cast("double") / col("total_visits"), 6)
+            .as("failed_rate"),
+          round(col("total_attempts").cast("double") / col("total_visits"), 6)
+            .as("avg_attempts_per_visit"))),
+
+    // §2#11 bounded-window correlation — int_transactions.sql req↔conf
+    "q_event_correlate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      AsOf.correlateFirstWithin(
+          signups, purchases, Seq("user_id"), "event_id", "ts", "ts",
+          7L * 86400L, Seq("event_id", "value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("matched_ts")).as("matched_ts_us"),
+          col("matched_event_id"), col("matched_value"))
+    }),
+
+    // §2#12 merge adjacent/overlapping intervals — int_faulted_outages.sql
+    "q_gaps_islands" -> ((s, dir) =>
+      Intervals.mergeIntervals(eventIntervals(s, dir), Seq("user_id"), "from_ts", "to_ts")
+        .select(
+          col("user_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          unix_micros(col("to_ts")).as("to_us"))),
+
+    // §2#13 concurrent-interval sweep — int_faulted_outages.sql overlap count
+    "q_interval_sweep" -> ((s, dir) =>
+      Intervals.sweepActiveCount(eventIntervals(s, dir), Seq("user_id"), "from_ts", "to_ts")
+        .select(
+          col("user_id"),
+          unix_micros(col("segment_start")).as("segment_start_us"),
+          unix_micros(col("segment_end")).as("segment_end_us"),
+          col("active_count"))),
+
+    // §2#14 heartbeat-gap detection — int_offline_outages.sql
+    "q_offline_gaps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts")
+      val bounds = Tables.events(s, dir)
+        .agg(min(col("ts")).as("mstart"), max(col("ts")).as("mend"))
+      Intervals.heartbeatGaps(
+          ev.crossJoin(broadcast(bounds)),
+          Seq("user_id"), "ts", "mstart", "mend", 3600L)
+        .select(
+          col("user_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          unix_micros(col("to_ts")).as("to_us"),
+          col("gap_seconds"))
+    }),
+
+    // §2#15 calendar spine — dim_dates.sql
+    "q_date_spine" -> ((s, dir) =>
+      Intervals.dateSpine(s, "2024-01-01", "2024-12-31").select(
+        col("date_id"),
+        col("year").cast("long").as("year"),
+        col("month").cast("long").as("month"),
+        col("day").cast("long").as("day"),
+        col("day_of_week").cast("long").as("day_of_week"),
+        col("quarter").cast("long").as("quarter"),
+        col("week_start_date"), col("month_start_date"),
+        col("quarter_start_date"), col("year_start_date"))),
+
+    // §2#16 interval→day allocation — fact_downtime_daily.sql
+    "q_daily_overlap" -> ((s, dir) =>
+      Intervals.allocateToDays(
+          sessionRollup(s, dir).select(
+            col("user_id"), col("session_start_ts"), col("session_end_ts")),
+          "session_start_ts", "session_end_ts")
+        .groupBy(col("user_id"), col("date_id"))
+        .agg((sum(col("overlap_us")) / lit(60000000.0)).as("active_minutes"))),
+
+    // §2#17 entity-lifetime × day spine — fact_charger_commissioned_daily.sql
+    "q_commissioned_daily" -> ((s, dir) =>
+      Intervals.allocateToDays(
+          Tables.events(s, dir).groupBy(col("user_id"))
+            .agg(min(col("ts")).as("c_start"), max(col("ts")).as("c_end")),
+          "c_start", "c_end")
+        .select(col("user_id"), col("date_id"), col("overlap_minutes").as("minutes"))),
+
+    // §2#18 uptime ratio — fact_uptime.sql
+    "q_uptime" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts")
+      val span = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("c_start"), max(col("ts")).as("c_end"))
+      val commissioned = Intervals.allocateToDays(span, "c_start", "c_end")
+        .select(col("user_id"), col("date_id"), col("overlap_us").as("c_us"))
+      val gaps = Intervals.heartbeatGaps(
+          ev.join(span, "user_id"), Seq("user_id"), "ts", "c_start", "c_end", 3600L)
+        .select(col("user_id"), col("from_ts"), col("to_ts"))
+      val downtime = Intervals.allocateToDays(gaps, "from_ts", "to_ts")
+        .groupBy(col("user_id"), col("date_id"))
+        .agg(sum(col("overlap_us")).as("d_us"))
+      commissioned.join(downtime, Seq("user_id", "date_id"), "left")
+        .withColumn("d_us", coalesce(col("d_us"), lit(0L)))
+        .filter(col("c_us") > 0)
+        .select(
+          col("user_id"), col("date_id"),
+          ((col("c_us") - col("d_us")).cast("double") / col("c_us").cast("double"))
+            .as("uptime"))
+    }),
+
+    // §2#19 fixed time-bucket aggregation — fact_interval_data.sql
+    "q_bucket15" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          Intervals.timeBucket(col("ts"), 900L).as("bucket_ts"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(
+          unix_micros(col("bucket_ts")).as("bucket_start_us"),
+          col("event_type"), col("n"), col("total_value"))),
+
+    // §2#20 per-entity profile — int_driver_aggregates.sql
+    "q_user_aggs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          unix_micros(min(col("ts"))).as("first_seen_us"),
+          unix_micros(max(col("ts"))).as("last_seen_us"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))),
+
+    // §2#21 array unnest → rollup — int_meter_values.sql
+    "q_unnest_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct_tokens"),
+          (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"))),
+
+    // §2#22 wide mart aggregation (decimal-exact) — TPC-H Q1 shape
+    "q1_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) *
+            (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+            .as("avg_price"),
+          (sum(col("l_discount").cast("decimal(3,2)")).cast("double") / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // §2#23 top-N per group — dbt "qualify rn" pattern
+    "q_topn_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // §2#24 star join + agg — fact_visits join shape / TPC-H Q5-ish
+    "q_multi_join_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))),
+
+    // §2#25 exact dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    // §2#26 text quality stats
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars_calc"),
+        Text.tokenCount(t).cast("long").as("n_tokens"),
+        Text.punctCount(t).cast("long").as("punct_cnt"),
+        Text.stopwordCount(t, Text.EnStopwords).cast("long").as("stopword_cnt"),
+        round(Text.qualityScore(t), 6).as("quality"))
+    }),
+
+    // §2#27 language-ID heuristic
+    "q_lang_id" -> ((s, dir) => {
+      val t = col("text")
+      val scores = Text.langScores(t).map { case (l, c) => c.cast("long").as(s"${l}_hits") }
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: scores :+ Text.langId(t).as("predicted_lang")): _*)
+    }),
+
+    // §2#28 document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // §2#29 n-gram Jaccard near-dup pairs
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
+
+    // §2#30 MinHash+LSH near-dup (rows-only oracle)
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // §2#31 SimHash near-dup (rows-only oracle)
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, maxHamming = 3)),
+
+    // §2#32 brute-force cosine top-k (rows-only oracle)
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnBruteForce(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
+    // §2#33 LSH-bucketed ANN (rows-only oracle)
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLsh(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
+    }),
+
+    // §2#34 embedding-cosine near-dup (rows-only oracle)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.25, planes = 3)),
+
+    // §2#35 multimodal binary plumbing (decode stubbed deterministically)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        s,
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")),
+
+    // §2#36 regex tokenization + token histogram
+    "q_token_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(Text.regexTokens("text")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt")))
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stg_cast" ->
+      """SELECT DISTINCT cast(c_custkey AS varchar) AS customer_id, trim(c_name) AS name,
+        |c_mktsegment AS segment, c_acctbal AS acctbal FROM customer""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k_value,
+        |event_type FROM events""".stripMargin,
+
+    "q_dim_join" -> (
+      "SELECT " + Keys.surrogateKeySql("c_custkey") + " AS customer_key, " +
+        """c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey""".stripMargin),
+
+    "q_capacity" ->
+      """SELECT r_name AS region_name, cast(count(DISTINCT n_nationkey) AS bigint) AS n_nations,
+        |cast(count(DISTINCT c_custkey) AS bigint) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
+
+    "q_latest_status" ->
+      """SELECT user_id, epoch_us(ts) AS latest_ts_us, event_type AS latest_event_type
+        |FROM (SELECT user_id, ts, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_minby_maxby" ->
+      """WITH f AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+        |l AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+        |a AS (SELECT user_id, epoch_us(min(ts)) AS first_seen_us,
+        |  epoch_us(max(ts)) AS last_seen_us FROM events GROUP BY 1)
+        |SELECT a.user_id, a.first_seen_us, a.last_seen_us,
+        |  f.event_type AS first_event_type, l.event_type AS last_event_type
+        |FROM a JOIN f ON a.user_id = f.user_id AND f.rn = 1
+        |JOIN l ON a.user_id = l.user_id AND l.rn = 1""".stripMargin,
+
+    "q_status_changes" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER w AS previous_status, lag(ts) OVER w AS previous_ts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT * FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_type AS status, previous_status,
+        |  epoch_us(previous_ts) AS previous_ts_us,
+        |  lead(event_type) OVER w2 AS next_status,
+        |  epoch_us(lead(ts) OVER w2) AS next_ts_us
+        |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
+
+    "q_sessionize" -> (SessSql +
+      """
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  cast(is_start AS boolean) AS is_session_start, session_seq FROM sess""".stripMargin),
+
+    "q_session_metrics" -> (SessSql +
+      """
+        |SELECT user_id, session_seq, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us, cast(count(*) AS bigint) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchases
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin),
+
+    "q_visit_rates" -> (SessSql +
+      """, per_session AS (
+        |  SELECT user_id, session_seq, cast(count(*) AS bigint) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN event_type END) = 'purchase' AS is_successful
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM sess)
+        |  GROUP BY user_id, session_seq
+        |), agg AS (
+        |  SELECT user_id, cast(count(*) AS bigint) AS total_visits,
+        |    cast(sum(CASE WHEN is_successful AND n_events = 1 THEN 1 ELSE 0 END) AS bigint) AS first_attempt_success,
+        |    cast(sum(CASE WHEN is_successful AND n_events > 1 THEN 1 ELSE 0 END) AS bigint) AS troubled_success,
+        |    cast(sum(CASE WHEN NOT is_successful THEN 1 ELSE 0 END) AS bigint) AS failed_visits,
+        |    cast(sum(n_events) AS bigint) AS total_attempts
+        |  FROM per_session GROUP BY user_id
+        |)
+        |SELECT user_id, total_visits, first_attempt_success, troubled_success, failed_visits,
+        |  total_attempts,
+        |  round(cast(first_attempt_success AS double) / total_visits, 6) AS first_attempt_success_rate,
+        |  round(cast(troubled_success AS double) / total_visits, 6) AS troubled_success_rate,
+        |  round(cast(failed_visits AS double) / total_visits, 6) AS failed_rate,
+        |  round(cast(total_attempts AS double) / total_visits, 6) AS avg_attempts_per_visit
+        |FROM agg""".stripMargin),
+
+    "q_event_correlate" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT s.event_id, s.user_id, s.ts, p.p_ts, p.p_event_id, p.p_value,
+        |      row_number() OVER (PARTITION BY s.event_id ORDER BY p.p_ts, p.p_event_id) AS rn
+        |      FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.p_ts > s.ts
+        |        AND epoch_us(p.p_ts) <= epoch_us(s.ts) + 604800000000)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(p_ts) AS matched_ts_us,
+        |  p_event_id AS matched_event_id, p_value AS matched_value
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH iv AS (SELECT user_id, ts AS from_ts, ts + INTERVAL 10 MINUTE AS to_ts FROM events),
+        |x AS (SELECT user_id, from_ts, to_ts,
+        |  max(to_ts) OVER (PARTITION BY user_id ORDER BY from_ts, to_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM iv),
+        |y AS (SELECT *, CASE WHEN prev_max IS NULL OR prev_max < from_ts THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY from_ts, to_ts
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM y)
+        |SELECT user_id, epoch_us(min(from_ts)) AS from_us, epoch_us(max(to_ts)) AS to_us
+        |FROM z GROUP BY user_id, island""".stripMargin,
+
+    "q_interval_sweep" ->
+      """WITH iv AS (SELECT user_id, ts AS from_ts, ts + INTERVAL 10 MINUTE AS to_ts FROM events),
+        |pts AS (SELECT user_id, from_ts AS pt, 1 AS delta FROM iv
+        |        UNION ALL SELECT user_id, to_ts, -1 FROM iv),
+        |g AS (SELECT user_id, pt, sum(delta) AS delta FROM pts GROUP BY 1, 2),
+        |r AS (SELECT user_id, pt,
+        |  cast(sum(delta) OVER (PARTITION BY user_id ORDER BY pt ROWS UNBOUNDED PRECEDING) AS bigint) AS active_count,
+        |  lead(pt) OVER (PARTITION BY user_id ORDER BY pt) AS segment_end FROM g)
+        |SELECT user_id, epoch_us(pt) AS segment_start_us, epoch_us(segment_end) AS segment_end_us,
+        |  active_count FROM r WHERE segment_end IS NOT NULL""".stripMargin,
+
+    "q_offline_gaps" ->
+      """WITH b AS (SELECT min(ts) AS mstart, max(ts) AS mend FROM events),
+        |g AS (SELECT user_id, ts, lag(ts) OVER w AS prev, lead(ts) OVER w AS nxt
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |gaps AS (
+        |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g WHERE prev IS NOT NULL
+        |  UNION ALL
+        |  SELECT g.user_id, b.mstart, g.ts FROM g, b WHERE g.prev IS NULL AND g.ts > b.mstart
+        |  UNION ALL
+        |  SELECT g.user_id, g.ts, b.mend FROM g, b WHERE g.nxt IS NULL AND g.ts < b.mend)
+        |SELECT user_id, epoch_us(from_ts) AS from_us, epoch_us(to_ts) AS to_us,
+        |  (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 AS gap_seconds
+        |FROM gaps WHERE (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 > 3600""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH s AS (SELECT cast(unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-12-31', INTERVAL 1 DAY)) AS date) AS d)
+        |SELECT d AS date_id, cast(year(d) AS bigint) AS year, cast(month(d) AS bigint) AS month,
+        |  cast(day(d) AS bigint) AS day, cast(dayofweek(d) + 1 AS bigint) AS day_of_week,
+        |  cast(quarter(d) AS bigint) AS quarter,
+        |  cast(date_trunc('week', d) AS date) AS week_start_date,
+        |  cast(date_trunc('month', d) AS date) AS month_start_date,
+        |  cast(date_trunc('quarter', d) AS date) AS quarter_start_date,
+        |  cast(date_trunc('year', d) AS date) AS year_start_date
+        |FROM s""".stripMargin,
+
+    "q_daily_overlap" -> (SessSql +
+      """, spans AS (
+        |  SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2
+        |), days AS (
+        |  SELECT user_id, s_start, s_end,
+        |    cast(unnest(generate_series(cast(date_trunc('day', s_start) AS timestamp),
+        |      cast(date_trunc('day', s_end) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+        |  FROM spans
+        |), clipped AS (
+        |  SELECT user_id, date_id,
+        |    epoch_us(least(s_end, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |    epoch_us(greatest(s_start, cast(date_id AS timestamp))) AS overlap_us
+        |  FROM days
+        |)
+        |SELECT user_id, date_id, cast(sum(overlap_us) AS double) / 60000000.0 AS active_minutes
+        |FROM clipped WHERE overlap_us > 0 GROUP BY 1, 2""".stripMargin),
+
+    "q_commissioned_daily" ->
+      """WITH spans AS (SELECT user_id, min(ts) AS c_start, max(ts) AS c_end FROM events GROUP BY 1),
+        |days AS (
+        |  SELECT user_id, c_start, c_end,
+        |    cast(unnest(generate_series(cast(date_trunc('day', c_start) AS timestamp),
+        |      cast(date_trunc('day', c_end) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+        |  FROM spans
+        |), clipped AS (
+        |  SELECT user_id, date_id,
+        |    epoch_us(least(c_end, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |    epoch_us(greatest(c_start, cast(date_id AS timestamp))) AS overlap_us
+        |  FROM days
+        |)
+        |SELECT user_id, date_id, overlap_us / 60000000.0 AS minutes
+        |FROM clipped WHERE overlap_us > 0""".stripMargin,
+
+    "q_uptime" ->
+      """WITH spans AS (SELECT user_id, min(ts) AS c_start, max(ts) AS c_end FROM events GROUP BY 1),
+        |cdays AS (
+        |  SELECT user_id, c_start, c_end,
+        |    cast(unnest(generate_series(cast(date_trunc('day', c_start) AS timestamp),
+        |      cast(date_trunc('day', c_end) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+        |  FROM spans
+        |), commissioned AS (
+        |  SELECT user_id, date_id,
+        |    epoch_us(least(c_end, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |    epoch_us(greatest(c_start, cast(date_id AS timestamp))) AS c_us
+        |  FROM cdays
+        |), g AS (
+        |  SELECT e.user_id, e.ts, lag(e.ts) OVER w AS prev, lead(e.ts) OVER w AS nxt,
+        |    s.c_start, s.c_end
+        |  FROM events e JOIN spans s ON e.user_id = s.user_id
+        |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+        |), gaps AS (
+        |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g WHERE prev IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, c_start, ts FROM g WHERE prev IS NULL AND ts > c_start
+        |  UNION ALL
+        |  SELECT user_id, ts, c_end FROM g WHERE nxt IS NULL AND ts < c_end
+        |), big_gaps AS (
+        |  SELECT user_id, from_ts, to_ts FROM gaps
+        |  WHERE (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 > 3600
+        |), gdays AS (
+        |  SELECT user_id, from_ts, to_ts,
+        |    cast(unnest(generate_series(cast(date_trunc('day', from_ts) AS timestamp),
+        |      cast(date_trunc('day', to_ts) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+        |  FROM big_gaps
+        |), downtime AS (
+        |  SELECT user_id, date_id, sum(
+        |    epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |    epoch_us(greatest(from_ts, cast(date_id AS timestamp)))) AS d_us
+        |  FROM gdays
+        |  WHERE epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |        epoch_us(greatest(from_ts, cast(date_id AS timestamp))) > 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.date_id,
+        |  cast(c.c_us - coalesce(d.d_us, 0) AS double) / cast(c.c_us AS double) AS uptime
+        |FROM commissioned c LEFT JOIN downtime d
+        |  ON c.user_id = d.user_id AND c.date_id = d.date_id
+        |WHERE c.c_us > 0""".stripMargin,
+
+    "q_bucket15" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS bucket_start_us,
+        |  event_type, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_user_aggs" ->
+      """SELECT user_id, epoch_us(min(ts)) AS first_seen_us, epoch_us(max(ts)) AS last_seen_us,
+        |  cast(count(*) AS bigint) AS n_events,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchases,
+        |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint) AS n_errors,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_unnest_rollup" -> (
+      s"""WITH toks AS (SELECT doc_id, unnest($TokSql) AS token FROM documents)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |  cast(count(DISTINCT token) AS bigint) AS n_distinct_tokens,
+         |  cast(sum(length(token)) AS double) / count(*) AS avg_token_len
+         |FROM toks GROUP BY 1""".stripMargin),
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2)))) AS double) AS sum_disc_price,
+        |  cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2))) *
+        |    (cast(1 AS decimal(3,2)) + cast(l_tax AS decimal(3,2)))) AS double) AS sum_charge,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) / count(*) AS avg_qty,
+        |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) / count(*) AS avg_price,
+        |  cast(sum(cast(l_discount AS decimal(3,2))) AS double) / count(*) AS avg_disc,
+        |  cast(count(*) AS bigint) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_topn_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_multi_join_agg" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2)))) AS double) AS revenue,
+        |  cast(count(DISTINCT o_orderkey) AS bigint) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |cast(count(*) AS bigint) AS dup_count FROM documents GROUP BY 1""".stripMargin,
+
+    "q_text_stats" -> (
+      s"""WITH t AS (SELECT doc_id, text, $TokSql AS tk FROM documents),
+         |x AS (SELECT doc_id,
+         |  cast(length(text) AS bigint) AS n_chars_calc,
+         |  cast(len(tk) AS bigint) AS n_tokens,
+         |  cast(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS bigint) AS punct_cnt,
+         |  cast(len(list_filter(tk, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) AS bigint) AS stopword_cnt,
+         |  cast(length(text) AS double) AS n_chars_d
+         |  FROM t)
+         |SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stopword_cnt,
+         |  round(least(cast(n_tokens AS double) / 100.0, 1.0) * 0.4 +
+         |    (1.0 - CASE WHEN n_chars_d > 0 THEN punct_cnt / n_chars_d ELSE 0.0 END) * 0.3 +
+         |    CASE WHEN n_tokens > 0 THEN cast(stopword_cnt AS double) / n_tokens ELSE 0.0 END * 0.3,
+         |    6) AS quality
+         |FROM x""".stripMargin),
+
+    "q_lang_id" -> {
+      val langLists = Text.Langs.map { case (l, words) =>
+        l -> words.map(w => s"'$w'").mkString("[", ",", "]")
+      }
+      val hitCols = langLists.map { case (l, arr) =>
+        s"cast(len(list_filter(tk, t -> list_contains($arr, t))) AS bigint) AS ${l}_hits"
+      }.mkString(",\n  ")
+      val names = Text.Langs.map(_._1)
+      val best = "greatest(" + names.map(l => s"${l}_hits").mkString(", ") + ")"
+      val pick = names.reverse.foldLeft("'und'") { (rest, l) =>
+        s"CASE WHEN ${l}_hits = best THEN '$l' ELSE $rest END"
+      }
+      s"""WITH t AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |h AS (SELECT doc_id,
+         |  $hitCols
+         |  FROM t),
+         |b AS (SELECT *, $best AS best FROM h)
+         |SELECT doc_id, ${names.map(l => s"${l}_hits").mkString(", ")},
+         |  CASE WHEN best > 0 THEN $pick ELSE 'und' END AS predicted_lang
+         |FROM b""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh WHERE len(shingles) > 0),
+         |posting AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+         |f AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
+         |    count(*) AS inter
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, cast(inter AS double) / (sa + sb - inter) AS jaccard
+         |FROM pairs WHERE cast(inter AS double) / (sa + sb - inter) >= 0.8""".stripMargin),
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |  cast(64 + octet_length(encode(text)) % 1024 AS bigint) AS width,
+        |  cast(64 + (octet_length(encode(text)) * 31) % 768 AS bigint) AS height,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_token_hist" ->
+      """SELECT token, cast(count(*) AS bigint) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?|[0-9]+', 0)) AS token
+        |  FROM documents) GROUP BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines: tokenization, quality
+  * scoring, language-ID heuristics, normalization/fingerprinting, shingling,
+  * SimHash. All pure `org.apache.spark.sql.functions._` / SQL expressions —
+  * no UDFs — so everything stays codegen-friendly and engine-portable
+  * (each has an exact DuckDB-SQL equivalent used by the oracle queries).
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** ASCII punctuation count (explicit ranges — identical class semantics in
+    * Java regex and RE2).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+
+  /** Stopword hits among tokens (non-distinct). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val lits = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(lits, t)))
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+  val DeStopwords: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit")
+  val FrStopwords: Seq[String] =
+    Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour")
+  val EsStopwords: Seq[String] =
+    Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que")
+  val ZhStopwords: Seq[String] =
+    Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人")
+
+  /** Languages scored by [[langScores]] / [[langId]], in tie-break priority order. */
+  val Langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStopwords, "de" -> DeStopwords, "fr" -> FrStopwords,
+    "es" -> EsStopwords, "zh" -> ZhStopwords)
+
+  /** Stopword-hit score per language. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    Langs.map { case (l, words) => l -> stopwordCount(text, words) }
+
+  /** Heuristic language ID: argmax of stopword hits, ties broken by [[Langs]]
+    * order, "und" (undetermined) when no stopword hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft(scores.head._2)((m, s) => greatest(m, s._2))
+    val pick = scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(s === best, lit(l)).otherwise(rest)
+    }
+    when(best > 0, pick).otherwise(lit("und"))
+  }
+
+  /** Aggressive normalization for fingerprinting: lowercase, strip all but
+    * [a-z0-9 ] and collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text
+    * (md5 so the DuckDB oracle can reproduce it bit-for-bit).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(tokens/100,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio.
+    * Single-pass column arithmetic; rounding left to the caller.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val punctRatio = when(nChar > 0, punctCount(text) / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stopwordCount(text, EnStopwords) / nTok).otherwise(lit(0.0))
+    least(nTok / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3
+  }
+
+  /** Word n-gram shingles joined with single spaces (distinct set).
+    * Empty array when the document has fewer than `n` tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-ish token stream: maximal runs of word chars (with inner
+    * apostrophes) or digit runs. Same RE2/Java semantics.
+    * `textCol` is the source column name (SQL identifier).
+    */
+  def regexTokens(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), \"[a-z]+(?:'[a-z]+)?|[0-9]+\", 0)")
+
+  /** 64-bit SimHash over a string-array column named `shinglesCol`: per bit,
+    * sum +1/−1 by shingle-hash bit, take the sign. Pure higher-order-function
+    * SQL expression (dynamic shift amounts need the SQL form) — distributed,
+    * no UDF, no driver state.
+    */
+  def simhash64(shinglesCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform($shinglesCol, s -> xxhash64(s)),
+       |      array_repeat(0L, 64),
+       |      (acc, h) -> zip_with(acc, sequence(0, 63),
+       |                           (a, i) -> a + if((shiftright(h, i) & 1L) = 1L, 1L, -1L))
+       |    ),
+       |    sequence(0, 63),
+       |    (s, i) -> if(s >= 0L, shiftleft(1L, i), 0L)
+       |  ),
+       |  0L,
+       |  (a, b) -> a | b
+       |)""".stripMargin)
+}

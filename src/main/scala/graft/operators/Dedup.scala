@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All candidate generation is bounded
+  * (LSH bands / hot-shingle caps) so pair counts stay near-linear in corpus
+  * size — the property that matters at 100 TB, where naive all-pairs is
+  * impossible.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the kept
+    * (minimum) id and the duplicate count. Single hash-shuffle groupBy.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** N-gram Jaccard near-duplicate pairs.
+    *
+    * doc → distinct word `n`-shingles → explode → inverted index join on the
+    * shingle → per-pair intersection count → Jaccard = |∩|/(|A|+|B|−|∩|).
+    * Shingles occurring in more than `maxShingleDocFreq` docs are dropped
+    * before the join (stopword-shingle suppression): this caps per-shingle
+    * join fan-out, the only superlinear term. Output: id_a < id_b, jaccard.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 1000L): DataFrame = {
+    val shingled = df
+      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .filter(col("set_size") > 0)
+    val posting = shingled
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val rare = posting
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxShingleDocFreq)
+      .select("shingle")
+    val filtered = posting.join(rare, "shingle")
+    val a = filtered.toDF("shingle", "id_a", "size_a")
+    val b = filtered.toDF("shingle", "id_b", "size_b")
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: `numHashes` independent min-hashes of the
+    * distinct shingle set, permutation `i` keyed by xxhash64(i, shingle).
+    */
+  private def minhashSig(shingles: org.apache.spark.sql.Column, numHashes: Int) =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** MinHash + LSH banding near-duplicate candidates.
+    *
+    * Signature of `numHashes` min-hashes split into `bands` bands; docs
+    * agreeing on all rows of any band meet in a bucket; bucket self-join
+    * emits candidate pairs with the estimated Jaccard
+    * (fraction of agreeing signature positions). No all-pairs anywhere:
+    * cost is Σ_bucket |bucket|², controlled by band width.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)).cast("string")).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.toDF("id_a", "sig_a", "band", "bucket")
+    val r = banded.toDF("id_b", "sig_b", "band", "bucket")
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, banded into 4×16-bit
+    * chunks (Hamming ≤ 3 guarantees agreement on ≥1 chunk); chunk-bucket
+    * join then exact Hamming filter via `bit_count(xor)`.
+    */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      maxHamming: Int): DataFrame = {
+    val sims = df
+      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), Text.simhash64("sh").as("simhash"))
+    val chunked = sims.select(
+      col("id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> struct(c as chunk, (shiftright(simhash, c * 16) & 65535L) as piece))"))
+        .as("cp"))
+      .select(col("id"), col("simhash"), col("cp.chunk").as("chunk"), col("cp.piece").as("piece"))
+    val l = chunked.toDF("id_a", "sim_a", "chunk", "piece")
+    val r = chunked.toDF("id_b", "sim_b", "chunk", "piece")
+    l.join(r, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride along as opaque
+  * `binary` columns with typed metadata. The Spark-side mechanics — schema,
+  * per-partition batched processing, deterministic output contract — are
+  * real; the actual media decode is STUBBED (no imaging libs in this
+  * container) with a clearly-marked deterministic fake derived only from the
+  * byte length, so the pipeline is testable end-to-end and oracle-checkable.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload size.
+    * Replace with a real image header parse (e.g. javax.imageio) when the
+    * runtime has media libs. Kept total + deterministic so the DuckDB oracle
+    * can replicate it.
+    */
+  def decodeStub(nBytes: Long): (Long, Long, String) = {
+    val width = 64L + nBytes % 1024L
+    val height = 64L + (nBytes * 31L) % 768L
+    val format = (nBytes % 3L) match {
+      case 0L => "jpeg"
+      case 1L => "png"
+      case _ => "webp"
+    }
+    (width, height, format)
+  }
+
+  /** Extract media metadata from a binary column. Runs as `mapPartitions`
+    * over the binary payloads — the shape a real decoder needs (per-partition
+    * batches, one in-memory buffer at a time, no driver collect).
+    */
+  def extractMeta(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val rdd = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val (w, h, f) = decodeStub(n)
+        Row(id, n, w, h, f)
+      }
+    }
+    spark.createDataFrame(rdd, metaSchema)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Brute-force cosine top-k is the correctness baseline (probe set is
+  * broadcast, so the "cross" join is a broadcast nested loop over a small
+  * side — linear scans of the corpus, never corpus×corpus). The LSH variant
+  * (random-hyperplane sign buckets) is the scale path: candidate generation
+  * is a bucket equi-join, cost Σ_bucket |bucket|·|probes in bucket|.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each probe. `probes` must be small (broadcast).
+    * Ties broken by ascending corpus id for determinism.
+    */
+  def knnBruteForce(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int): DataFrame = {
+    val joined = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"))),
+        col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", Vectors.cosine(col("_v"), col("_p")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim`, components
+    * from a seeded RNG (computed once on the driver, broadcast as a literal).
+    */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bucket code for a vector column under the given hyperplanes. */
+  private def bucketCode(vec: org.apache.spark.sql.Column, hp: Array[Array[Double]]) = {
+    val bits = hp.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(Vectors.dot(vec, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN: probes and corpus hashed into sign buckets over
+    * `planes` random hyperplanes; candidates = bucket collisions (probe side
+    * broadcast); exact cosine rerank to top-k within candidates.
+    * Fewer planes → bigger buckets → higher recall & cost.
+    */
+  def knnLsh(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      planes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .withColumn("bucket", bucketCode(col("_v"), hp))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"))
+      .withColumn("bucket", bucketCode(col("_p"), hp))
+    val cand = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", Vectors.cosine(col("_v"), col("_p")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, candidates from
+    * LSH sign buckets (all 1-plane-relaxations included via multi-probe:
+    * exact bucket only here; duplicates suppressed by id ordering).
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("bucket", bucketCode(col("_v"), hp))
+    val a = v.toDF("id_a", "_va", "bucket")
+    val b = v.toDF("id_b", "_vb", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Vectors.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Schema-typed loaders for the driver test tables.
+  *
+  * Reads go through `spark.read.parquet` so Catalyst handles column pruning
+  * and predicate pushdown; callers should `select` only the columns they
+  * need immediately after load so `ReadSchema` stays narrow at 100 TB.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/specs).
+    * Convert the raw nanos to a microsecond timestamp here so downstream
+    * operators see a plain TimestampType column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
