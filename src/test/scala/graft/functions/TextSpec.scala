@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+
+  test("tokens lowercases and drops empties") {
+    assert(one(Text.tokens($"text"), "  The quick  Fox ") == Seq("the", "quick", "fox"))
+  }
+
+  test("punctCount counts ASCII punctuation only") {
+    assert(one(Text.punctCount($"text"), "a,b.c!d e") == 3)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one(Text.langId($"text"), "the cat and the dog is in a house") == "en")
+    assert(one(Text.langId($"text"), "der hund und die katze ist nicht da") == "de")
+    assert(one(Text.langId($"text"), "le chat et le chien est pour la maison") == "fr")
+    assert(one(Text.langId($"text"), "xyzzy qwerty plugh") == "und")
+  }
+
+  test("fingerprint is invariant to case, punctuation and whitespace runs") {
+    val a = one(Text.fingerprint($"text"), "Hello,   World! 42")
+    val b = one(Text.fingerprint($"text"), "hello world 42")
+    assert(a == b)
+  }
+
+  test("wordShingles produces distinct joined n-grams; empty below n tokens") {
+    assert(one(Text.wordShingles($"text", 3), "a b c d") == Seq("a b c", "b c d"))
+    assert(one(Text.wordShingles($"text", 3), "a b") == Seq())
+  }
+
+  test("simhash64 is identical for identical shingle sets, differs for unrelated") {
+    val df = Seq("a b c d e f", "a b c d e f", "x y z w q r").toDF("text")
+      .withColumn("sh", Text.wordShingles($"text", 3))
+      .select(Text.simhash64("sh").as("h")).as[Long].collect()
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+
+  test("qualityScore is within [0,1] and favors stopword-rich prose") {
+    val q1 = one(Text.qualityScore($"text"), "the cat is in the house and it is warm").asInstanceOf[Double]
+    val q2 = one(Text.qualityScore($"text"), "!!! ??? ###").asInstanceOf[Double]
+    assert(q1 > q2 && q1 <= 1.0 && q2 >= 0.0)
+  }
+}

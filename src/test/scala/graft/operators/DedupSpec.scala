@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docB = "the quick brown fox jumps over the lazy dog again and again tomorrow" // near-dup of A
+  private val docC = "completely different words about spark catalyst optimizer plans here"
+
+  private def docs = Seq(
+    (1L, docA), (2L, docB), (3L, docC), (4L, docA) // 4 is exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngramJaccard finds near-duplicate pairs above threshold") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLsh surfaces near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashNearDup: exact dup has hamming 0, unrelated doc excluded") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", shingleLen = 3, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 0)
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
