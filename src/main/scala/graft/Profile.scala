@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler: time labeled sub-plans of the hot queries.
+  * Usage: runMain graft.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+
+    val shingled = docs.select(
+      col("doc_id").as("id"), Text.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+      .filter(col("set_size") > 0)
+    time("shingle+size")(shingled.count())
+    val posting = shingled
+      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    time("posting(no barrier)")(posting.count())
+    val posting2 = posting.repartition(col("shingle"))
+    val rare = posting2.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= 1000).select("shingle")
+    time("rare")(rare.count())
+    val filtered = posting2.join(rare, "shingle")
+    time("filtered")(filtered.count())
+    val a = filtered.toDF("shingle", "id_a", "size_a")
+    val b = filtered.toDF("shingle", "id_b", "size_b")
+    val joined = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    time("self-join")(joined.count())
+    val pairs = joined
+      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("pairs")(pairs.count())
+    spark.stop()
+  }
+}

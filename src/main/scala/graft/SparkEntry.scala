@@ -361,7 +361,9 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
-    // §2#26 text quality stats
+    // §2#26 text quality stats (scalar single-pass; measured faster than an
+    // explode_outer+aggregate formulation at 5k docs — per-row HOF work is
+    // embarrassingly parallel and avoids the 1M+-row aggregate)
     "q_text_stats" -> ((s, dir) => {
       val t = col("text")
       Tables.documents(s, dir).select(

@@ -86,15 +86,23 @@ object Text {
 
   /** Word n-gram shingles joined with single spaces (distinct set).
     * Empty array when the document has fewer than `n` tokens.
+    *
+    * The tokens array is let-bound via a single-element `transform` so it is
+    * evaluated exactly once per row: naive `transform(sequence(...), i ->
+    * slice(tokens(text), i, n))` re-evaluates the tokenization per index —
+    * O(tokens²) per document (measured 6 s just to shingle 5 000 docs).
+    * Inside the lambda, `t` is a lambda-variable lookup, so the n slices and
+    * zip_with passes are O(tokens) total.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val cnt = greatest(size(t) - (n - 1), lit(0))
+        val parts = (1 to n).map(k => slice(t, lit(k), cnt))
+        val joined = parts.reduce((acc, nxt) => zip_with(acc, nxt, (x, y) => concat(x, lit(" "), y)))
+        when(size(t) >= n, array_distinct(joined)).otherwise(array().cast("array<string>"))
+      }),
+      1)
 
   /** BPE-ish token stream: maximal runs of word chars (with inner
     * apostrophes) or digit runs. Same RE2/Java semantics.

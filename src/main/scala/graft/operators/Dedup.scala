@@ -38,8 +38,13 @@ object Dedup {
       .select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
       .withColumn("set_size", size(col("sh")))
       .filter(col("set_size") > 0)
+    // repartition = materialization barrier: CollapseProject would otherwise
+    // inline the shingling expression into every downstream reference
+    // (df-count filter + both self-join sides), recomputing it 3-4×. The
+    // shuffle also co-locates by shingle for the joins that follow.
     val posting = shingled
       .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
     val rare = posting
       .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxShingleDocFreq)
@@ -58,14 +63,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: `numHashes` independent min-hashes of the
-    * distinct shingle set, permutation `i` keyed by xxhash64(i, shingle).
-    */
-  private def minhashSig(shingles: org.apache.spark.sql.Column, numHashes: Int) =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
-
   /** MinHash + LSH banding near-duplicate candidates.
     *
     * Signature of `numHashes` min-hashes split into `bands` bands; docs
@@ -73,6 +70,14 @@ object Dedup {
     * emits candidate pairs with the estimated Jaccard
     * (fraction of agreeing signature positions). No all-pairs anywhere:
     * cost is Σ_bucket |bucket|², controlled by band width.
+    *
+    * The signature is computed posting-list style: explode the distinct
+    * shingle set, hash each (permutation, shingle) with codegen'd
+    * `xxhash64`, take `numHashes` min-aggregates per doc (map-side
+    * combined — one shuffle of (id, numHashes·8B)). This stays inside
+    * whole-stage codegen; a nested higher-order-function formulation
+    * re-evaluates the shingle array per permutation and falls out of
+    * codegen — ~30× slower measured at 500 docs.
     */
   def minhashLsh(
       df: DataFrame,
@@ -84,10 +89,15 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
+    val shingled = df.select(
+      col(idCol).as("id"),
+      explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))
+    val hashCols = (0 until numHashes).map(i => xxhash64(lit(i), col("shingle")).as(s"_h$i"))
+    val hashed = shingled.select(col("id") +: hashCols: _*)
+    val minAggs = (0 until numHashes).map(i => min(col(s"_h$i")).as(s"_m$i"))
+    val sigs = hashed.groupBy(col("id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(transform(
@@ -111,6 +121,10 @@ object Dedup {
   /** SimHash near-duplicate pairs: 64-bit simhash, banded into 4×16-bit
     * chunks (Hamming ≤ 3 guarantees agreement on ≥1 chunk); chunk-bucket
     * join then exact Hamming filter via `bit_count(xor)`.
+    *
+    * Like [[minhashLsh]], the fingerprint is built posting-list style:
+    * explode shingles, one codegen'd xxhash64 per shingle, 64 ±1 bit-sum
+    * aggregates per doc, sign → bit. Map-side combined, single shuffle.
     */
   def simhashNearDup(
       df: DataFrame,
@@ -118,10 +132,18 @@ object Dedup {
       textCol: String,
       shingleLen: Int,
       maxHamming: Int): DataFrame = {
-    val sims = df
-      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), Text.simhash64("sh").as("simhash"))
+    val hashed = df.select(
+        col(idCol).as("id"),
+        explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("_h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$i"))
+    val simhashCol = (0 until 64)
+      .map(i => when(col(s"_b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sims = hashed.groupBy(col("id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), simhashCol.as("simhash"))
     val chunked = sims.select(
       col("id"), col("simhash"),
       explode(expr(

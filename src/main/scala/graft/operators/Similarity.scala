@@ -18,6 +18,15 @@ object Similarity {
   /** Exact cosine top-k for each probe. `probes` must be small (broadcast).
     * Ties broken by ascending corpus id for determinism.
     */
+  /** cosine from a per-pair dot and per-side precomputed norms — the norms
+    * live in projections below the join, so they are computed once per row
+    * per side instead of once per candidate pair.
+    */
+  private def pairCosine = {
+    val nn = col("_nv") * col("_np")
+    when(nn > 0, Vectors.dot(col("_v"), col("_p")) / nn).otherwise(lit(0.0))
+  }
+
   def knnBruteForce(
       corpus: DataFrame,
       probes: DataFrame,
@@ -27,10 +36,12 @@ object Similarity {
       probeVecCol: String,
       k: Int): DataFrame = {
     val joined = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
-      .join(broadcast(probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"))),
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        Vectors.norm(col(vecCol)).as("_nv"))
+      .join(broadcast(probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
+          Vectors.norm(col(probeVecCol)).as("_np"))),
         col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", Vectors.cosine(col("_v"), col("_p")))
+      .withColumn("cosine", pairCosine)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -72,13 +83,15 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        Vectors.norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"))
+    val p = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
+        Vectors.norm(col(probeVecCol)).as("_np"))
       .withColumn("bucket", bucketCode(col("_p"), hp))
     val cand = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", Vectors.cosine(col("_v"), col("_p")))
+      .withColumn("cosine", pairCosine)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -98,13 +111,16 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 7L): DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        Vectors.norm(col(vecCol)).as("_n"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
-    val a = v.toDF("id_a", "_va", "bucket")
-    val b = v.toDF("id_b", "_vb", "bucket")
+    val a = v.toDF("id_a", "_va", "_na", "bucket")
+    val b = v.toDF("id_b", "_vb", "_nb", "bucket")
+    val nn = col("_na") * col("_nb")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.cosine(col("_va"), col("_vb")))
+      .withColumn("cosine",
+        when(nn > 0, Vectors.dot(col("_va"), col("_vb")) / nn).otherwise(lit(0.0)))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
