@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming change detection — the streaming counterpart of
+  * `graft.operators.ChangeDetect`. The reference re-reads a lag buffer each
+  * incremental run (models/intermediate/int_status_changes.sql, statuses_buffer
+  * CTE); here per-key last-status lives in the state store and each
+  * micro-batch emits only genuine transitions.
+  */
+object StreamChangeDetect {
+
+  case class StatusEvent(key: Long, ts: java.sql.Timestamp, status: String)
+  case class StatusChange(
+      key: Long, ts: java.sql.Timestamp, status: String, previous_status: Option[String])
+  case class LastStatus(status: String, tsMillis: Long)
+
+  /** Emit one row per status transition (first observation counts as a
+    * transition from None). Events inside a micro-batch are ordered by ts
+    * before applying state — the iterator order is not guaranteed.
+    */
+  def changes(ds: Dataset[StatusEvent]): Dataset[StatusChange] = {
+    implicit val changeEnc = Encoders.product[StatusChange]
+    implicit val stateEnc = Encoders.product[LastStatus]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: Long, events: Iterator[StatusEvent], state: GroupState[LastStatus]) => {
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.status))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
+          var last = state.getOption
+          sorted.foreach { e =>
+            if (!last.exists(_.status == e.status)) {
+              out += StatusChange(key, e.ts, e.status, last.map(_.status))
+              last = Some(LastStatus(e.status, e.ts.getTime))
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+  }
+}

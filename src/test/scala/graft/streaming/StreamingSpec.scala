@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamChangeDetect._
+
+  test("StreamSessionize groups events into watermarked session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val out = StreamSessionize.sessions(df, Seq("user_id"), "ts", "30 minutes", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, sqlTs("2024-01-01 10:00:00")),
+        (1L, sqlTs("2024-01-01 10:10:00")),
+        (1L, sqlTs("2024-01-01 11:30:00")), // new session (gap 80 min)
+        (2L, sqlTs("2024-01-01 10:05:00")))
+      query.processAllAvailable()
+      // advance watermark far enough to close all sessions
+      input.addData((9L, sqlTs("2024-01-02 00:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"n_events",
+          $"session_start_ts".cast("string"), $"session_end_ts".cast("string"))
+        .as[(Long, Long, String, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(rows.contains((1L, 2L, "2024-01-01 10:00:00", "2024-01-01 10:40:00")))
+      assert(rows.contains((1L, 1L, "2024-01-01 11:30:00", "2024-01-01 12:00:00")))
+      assert(rows.contains((2L, 1L, "2024-01-01 10:05:00", "2024-01-01 10:35:00")))
+    } finally query.stop()
+  }
+
+  test("StreamChangeDetect emits only transitions, state persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StatusEvent]
+    val out = StreamChangeDetect.changes(input.toDS())
+    val query = out.writeStream.format("memory").queryName("chg_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StatusEvent(1L, sqlTs("2024-01-01 10:00:00"), "Available"),
+        StatusEvent(1L, sqlTs("2024-01-01 10:01:00"), "Available"),
+        StatusEvent(1L, sqlTs("2024-01-01 10:02:00"), "Charging"))
+      query.processAllAvailable()
+      input.addData(
+        StatusEvent(1L, sqlTs("2024-01-01 10:05:00"), "Charging"), // no change across batches
+        StatusEvent(1L, sqlTs("2024-01-01 10:06:00"), "Faulted"))
+      query.processAllAvailable()
+      val rows = spark.table("chg_out")
+        .select($"key", $"status", $"previous_status")
+        .as[(Long, String, Option[String])].collect().toSeq
+      assert(rows.sortBy(_._2) == Seq(
+        (1L, "Available", None),
+        (1L, "Charging", Some("Available")),
+        (1L, "Faulted", Some("Charging"))))
+    } finally query.stop()
+  }
+}
