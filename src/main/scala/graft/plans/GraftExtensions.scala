@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * under SQL names so `spark.sql("SELECT float_dot(a, b) ...")` works.
+  *
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "float_dot takes exactly 2 arguments")
+        FloatDot(children.head, children(1))
+      }))
+  }
+}

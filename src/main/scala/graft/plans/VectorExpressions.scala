@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the dense-vector dot product over
+  * `array<float>` / `array<double>` columns, with whole-stage codegen.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is a
+  * CodegenFallback: each pair evaluation allocates a zipped array and runs an
+  * interpreted fold. This expression compiles to a primitive Java loop over
+  * the two `ArrayData` buffers — the hot path of every cosine/kNN operator
+  * in `graft.operators.Similarity`.
+  */
+case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isSupported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isSupported(left.dataType) && isSupported(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column API for [[FloatDot]] — usable in any session, no registration
+    * needed (see [[GraftExtensions]] for the SQL-name route).
+    */
+  def floatDot(a: Column, b: Column): Column =
+    Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+}
