@@ -27,6 +27,24 @@ object Profile {
       println(f"[profile] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
     }
 
+    if (args.length > 1 && args(1) == "explain") {
+      // plan audit: dump formatted plans for the headline queries and grep-
+      // friendly markers (PushedFilters, BroadcastHashJoin, Exchange count)
+      Seq("q1_pricing", "q_multi_join_agg", "q_sessionize", "q_dim_join",
+        "q_bucket15", "q_knn_brute", "q_minhash_lsh").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+        val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("; ")
+        println(s"[explain] $name exchanges=$exchanges broadcastJoins=$bhj")
+        if (pushed.nonEmpty) println(s"[explain]   $pushed")
+        sys.env.get("GRAFT_FULL_PLAN").foreach(_ => println(plan))
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     docs.count()
 
