@@ -410,6 +410,48 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // §2#21b nested JSON array unnest + keyed rollup — int_meter_values.sql
+    // shape: build a meter-values-like JSON payload, re-parse with from_json,
+    // explode the array<struct>, aggregate per measurand
+    "q_json_unnest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.withColumn("payload",
+          concat(
+            lit("[{\"m\":\"value\",\"v\":"), col("value").cast("string"),
+            lit("},{\"m\":\"key\",\"v\":"), col("k").cast("string"), lit("}]")))
+        .select(col("event_type"),
+          explode(from_json(col("payload"),
+            org.apache.spark.sql.types.DataType.fromDDL("array<struct<m:string,v:double>>"))).as("mv"))
+        .select(col("event_type"), col("mv.m").as("m"), col("mv.v").as("v"))
+        .groupBy(col("event_type"), col("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("total_v"),
+          max(col("v")).as("max_v"))
+    }),
+
+    // §2#33b IVF-Flat ANN (rows-only oracle)
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnIvf(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
+    }),
+
+    // §2#24b salted skew join — equals the plain join, skew-proof shuffle
+    "q_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+          Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+            .withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", "l_linenumber", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))),
+
     // §2#33 LSH-bucketed ANN (rows-only oracle)
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -725,6 +767,24 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_json_unnest" ->
+      """WITH e AS (SELECT event_type, value,
+        |    cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events),
+        |p AS (SELECT event_type,
+        |    '[{"m":"value","v":' || cast(value AS varchar) || '},{"m":"key","v":' ||
+        |    cast(k AS varchar) || '}]' AS payload FROM e),
+        |u AS (SELECT event_type, unnest(cast(payload AS JSON[])) AS j FROM p),
+        |x AS (SELECT event_type, j->>'m' AS m, cast(j->>'v' AS double) AS v FROM u)
+        |SELECT event_type, m, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(v AS decimal(18,2))) AS double) AS total_v, max(v) AS max_v
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -98,6 +98,57 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-Flat ANN: corpus vectors are assigned to the nearest of `nlist`
+    * coarse centroids; each probe searches its `nprobe` nearest cells and
+    * reranks by exact cosine. Centroids here are `nlist` deterministic
+    * sample vectors (lowest ids) — a real deployment would k-means them
+    * (driver-side Lloyd iterations over a sample); the query-time dataflow
+    * (cell assignment via argmax over broadcast centroids, cell equi-join,
+    * in-cell rerank) is the part that must scale and is fully distributed.
+    */
+  def knnIvf(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]](1).toArray)
+    def cellSims(vec: org.apache.spark.sql.Column) = array(centroids.map { c =>
+      val cl = array(c.map(lit): _*)
+      Vectors.cosine(vec, cl)
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        Vectors.norm(col(vecCol)).as("_nv"))
+      .withColumn("_sims", cellSims(col("_v")))
+      .withColumn("cell", expr("array_position(_sims, array_max(_sims))"))
+      .drop("_sims")
+    val p0 = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
+        Vectors.norm(col(probeVecCol)).as("_np"))
+      .withColumn("_sims", cellSims(col("_p")))
+      .select(col("probe_id"), col("_p"), col("_np"),
+        posexplode(col("_sims")).as(Seq("_cpos", "_csim")))
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("_csim").desc, col("_cpos"))
+    val p = p0.withColumn("_crank", row_number().over(wp))
+      .filter(col("_crank") <= nprobe)
+      .select(col("probe_id"), col("_p"), col("_np"), (col("_cpos") + 1).cast("long").as("cell"))
+    val cand = c.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, candidates from
     * LSH sign buckets (all 1-plane-relaxations included via multi-probe:
     * exact bucket only here; duplicates suppressed by id ordering).

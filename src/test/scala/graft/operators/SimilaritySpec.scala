@@ -31,6 +31,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("knnIvf finds the true neighbor when probing enough cells") {
+    val out = Similarity.knnIvf(
+        vecs, vecs.filter($"vec_id" === 1L),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, nlist = 2, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.nonEmpty && out.head._1 == 2L) // vec 2 is the true nearest
+  }
+
   test("embeddingNearDup finds the near-identical pair") {
     val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
         threshold = 0.9, planes = 2, dim = 4)
