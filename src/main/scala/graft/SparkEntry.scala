@@ -361,26 +361,42 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
-    // §2#26 text quality stats (scalar single-pass; measured faster than an
-    // explode_outer+aggregate formulation at 5k docs — per-row HOF work is
-    // embarrassingly parallel and avoids the 1M+-row aggregate)
+    // §2#26 text quality stats via the native single-pass TokenStats
+    // expression (graft.plans.TokenStats): one scan per document instead of
+    // a tokenization per referenced statistic
     "q_text_stats" -> ((s, dir) => {
-      val t = col("text")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        length(t).cast("long").as("n_chars_calc"),
-        Text.tokenCount(t).cast("long").as("n_tokens"),
-        Text.punctCount(t).cast("long").as("punct_cnt"),
-        Text.stopwordCount(t, Text.EnStopwords).cast("long").as("stopword_cnt"),
-        round(Text.qualityScore(t), 6).as("quality"))
+      val stats = graft.plans.TextExpressions.tokenStats(col("text"), Text.EnStopwords)
+      val nTok = col("_st.n_tokens")
+      val punct = col("_st.punct_cnt")
+      val stop = col("_st.stopword_cnt")
+      val nChars = col("n_chars_calc")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_calc"),
+          stats.as("_st"))
+        .select(
+          col("doc_id"), nChars, nTok.as("n_tokens"), punct.as("punct_cnt"),
+          stop.as("stopword_cnt"),
+          round(
+            least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
+              (lit(1.0) - when(nChars > 0, punct / nChars.cast("double")).otherwise(0.0)) * 0.3 +
+              when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0) * 0.3,
+            6).as("quality"))
     }),
 
-    // §2#27 language-ID heuristic
+    // §2#27 language-ID heuristic via the native single-pass LangHits
+    // expression (one string scan for all 5 languages)
     "q_lang_id" -> ((s, dir) => {
-      val t = col("text")
-      val scores = Text.langScores(t).map { case (l, c) => c.cast("long").as(s"${l}_hits") }
-      Tables.documents(s, dir).select(
-        (col("doc_id") +: scores :+ Text.langId(t).as("predicted_lang")): _*)
+      val names = Text.Langs.map(_._1)
+      val hitCols = names.map(l => col(s"_lh.${l}_hits").as(s"${l}_hits"))
+      val best = names.map(l => col(s"${l}_hits")).reduce(greatest(_, _))
+      val pick = names.foldRight(lit("und"): Column) { (l, rest) =>
+        when(col(s"${l}_hits") === best, lit(l)).otherwise(rest)
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.plans.TextExpressions.langHits(col("text"), Text.Langs).as("_lh"))
+        .select((col("doc_id") +: hitCols): _*)
+        .withColumn("predicted_lang", when(best > 0, pick).otherwise(lit("und")))
     }),
 
     // §2#28 document fingerprint
@@ -446,7 +462,7 @@ object SparkEntry {
           Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
           Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
             .withColumnRenamed("o_orderkey", "l_orderkey"),
-          "l_orderkey", "l_linenumber", 8)
+          "l_orderkey", "l_linenumber", 4)
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),

@@ -1,0 +1,38 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TokenStats matches the functions._ formulations") {
+    val df = Seq(
+      "the quick, brown fox! and  the   lazy dog.",
+      "  leading and trailing  ",
+      "ALL CAPS THE END",
+      "!!!",
+      ""
+    ).toDF("text")
+    val out = df.select(
+      TextExpressions.tokenStats($"text", Text.EnStopwords).as("st"),
+      Text.tokenCount($"text").cast("long").as("nt"),
+      Text.punctCount($"text").cast("long").as("pc"),
+      Text.stopwordCount($"text", Text.EnStopwords).cast("long").as("sc"))
+    out.collect().foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getLong(0) == r.getLong(1), s"n_tokens mismatch: $r")
+      assert(st.getLong(1) == r.getLong(2), s"punct mismatch: $r")
+      assert(st.getLong(2) == r.getLong(3), s"stopword mismatch: $r")
+    }
+  }
+
+  test("TokenStats is null-safe") {
+    val out = Seq(Option.empty[String], Some("a b")).toDF("text")
+      .select(TextExpressions.tokenStats($"text", Nil).as("st"))
+      .collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getStruct(0).getLong(0) == 2L)
+  }
+}
