@@ -343,6 +343,15 @@ object SparkEntry {
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // §2#23b top-N per group via the custom TopKPerKey operator (bounded
+    // heaps, no per-partition sort; see graft.plans.TopKPerKey)
+    "q_topk_custom" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        3)),
+
     // §2#24 star join + agg — fact_visits join shape / TPC-H Q5-ish
     "q_multi_join_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -768,6 +777,13 @@ object SparkEntry {
 
     "q_topn_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_topk_custom" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -12,4 +12,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a concrete catalyst Expression.
+    * `ExpressionUtils.expression` returns a lazy `ColumnNodeExpression`
+    * wrapper, which is neither serializable nor pattern-matchable (a
+    * `.desc` column would not surface as catalyst SortOrder) — custom
+    * operators embedding expressions in their own plan nodes need the real
+    * tree.
+    */
+  def convertedExpression(
+      spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .converter.apply(c.node)
+
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
