@@ -45,7 +45,7 @@ object SparkEntry {
   /** DuckDB fragment: sessionized events (adds session_seq per user). */
   private val SessSql =
     """WITH lagged AS (
-      |  SELECT event_id, user_id, ts, event_type, value,
+      |  SELECT event_id, user_id, ts, event_type, value, props,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |              THEN 1 ELSE 0 END AS is_start
@@ -190,6 +190,71 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           unix_micros(col("matched_ts")).as("matched_ts_us"),
           col("matched_event_id"), col("matched_value"))
+    }),
+
+    // §2#7b point-in-interval join — int_connector_preparing.sql shape
+    // (attach events falling inside each session's [start,end] interval)
+    "q_interval_join" -> ((s, dir) => {
+      val sessions = sessionRollup(s, dir).select(
+        col("user_id"), col("session_seq"),
+        col("session_start_ts"), col("session_end_ts"))
+      val errors = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"))
+      sessions.join(errors,
+          sessions("user_id") === errors("user_id") &&
+            col("err_ts") >= col("session_start_ts") &&
+            col("err_ts") <= col("session_end_ts"),
+          "left")
+        .groupBy(sessions("user_id"), col("session_seq"))
+        .agg(count(col("err_ts")).as("n_errors_in_session"))
+    }),
+
+    // §2#8b group-fill (retroactive identity inference) — fact_visits.sql
+    // step 1: anonymous rows inherit the group's known identity
+    "q_group_fill" -> ((s, dir) => {
+      val tagged = sessionized(s, dir).withColumn("id_tag",
+        when(col("event_type") === "purchase",
+          concat(lit("tag_"), col("user_id"), lit("_"), get_json_object(col("props"), "$.k"))))
+      val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      tagged.select(
+        col("event_id"), col("user_id"), col("session_seq"), col("id_tag"),
+        max(col("id_tag")).over(w).as("inferred_id_tag"))
+    }),
+
+    // §2#8c forward-fill (last non-null per key ordered by ts)
+    "q_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("purchase_value",
+          when(col("event_type") === "purchase", col("value")))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          last(col("purchase_value"), ignoreNulls = true).over(w)
+            .as("last_purchase_value"))
+    }),
+
+    // §2#11b full-outer merge-coalesce — fact_charge_attempts.sql
+    // (two event-derived streams merged per key, fields coalesced)
+    "q_fullouter_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_signups"), unix_micros(min(col("ts"))).as("first_signup_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("purchase_value"))
+      signups.join(purchases, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          col("first_signup_us"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
     }),
 
     // §2#12 merge adjacent/overlapping intervals — int_faulted_outages.sql
@@ -609,6 +674,49 @@ object SparkEntry {
         |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(p_ts) AS matched_ts_us,
         |  p_event_id AS matched_event_id, p_value AS matched_value
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_interval_join" -> (SessSql +
+      """, spans AS (
+        |  SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2
+        |), e AS (SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_seq, cast(count(e.err_ts) AS bigint) AS n_errors_in_session
+        |FROM spans s LEFT JOIN e ON s.user_id = e.user_id
+        |  AND e.err_ts >= s.s_start AND e.err_ts <= s.s_end
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_group_fill" -> (SessSql +
+      """
+        |SELECT event_id, user_id, session_seq,
+        |  CASE WHEN event_type = 'purchase'
+        |    THEN 'tag_' || user_id || '_' || json_extract_string(props, '$.k') END AS id_tag,
+        |  max(CASE WHEN event_type = 'purchase'
+        |    THEN 'tag_' || user_id || '_' || json_extract_string(props, '$.k') END)
+        |    OVER (PARTITION BY user_id, session_seq) AS inferred_id_tag
+        |FROM sess""".stripMargin),
+
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+        |FROM events""".stripMargin,
+
+    "q_fullouter_merge" ->
+      """WITH s AS (
+        |  SELECT user_id, cast(count(*) AS bigint) AS n_signups,
+        |    epoch_us(min(ts)) AS first_signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, cast(count(*) AS bigint) AS n_purchases,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT coalesce(s.user_id, p.user_id) AS user_id,
+        |  coalesce(s.n_signups, 0) AS n_signups, s.first_signup_us,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  coalesce(p.purchase_value, 0.0) AS purchase_value
+        |FROM s FULL OUTER JOIN p ON s.user_id = p.user_id""".stripMargin,
 
     "q_gaps_islands" ->
       """WITH iv AS (SELECT user_id, ts AS from_ts, ts + INTERVAL 10 MINUTE AS to_ts FROM events),

@@ -14,6 +14,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** CSV ingest with an explicit schema — the reference seeds its raw layer
+    * from CSV (demo/seeds); schema-on-read with a declared StructType keeps
+    * the scan single-pass (no inference job) and types stable.
+    */
+  def loadCsv(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines ingest with an explicit schema (e.g. raw OCPP log frames). */
+  def loadJson(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
