@@ -136,14 +136,8 @@ object Dedup {
         col(idCol).as("id"),
         explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("_h"))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_b$i"))
-    val simhashCol = (0 until 64)
-      .map(i => when(col(s"_b$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
     val sims = hashed.groupBy(col("id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), simhashCol.as("simhash"))
+      .agg(graft.plans.SimHashAgg.simhashAgg(col("_h")).as("simhash"))
     val chunked = sims.select(
       col("id"), col("simhash"),
       explode(expr(
