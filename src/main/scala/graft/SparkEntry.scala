@@ -564,6 +564,17 @@ object SparkEntry {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload")),
 
+    // §2#37 sketch aggregates: HLL distinct sketch (mergeable across
+    // partitions/days — the scale path for distinct counts) next to the
+    // exact count (rows-only oracle: sketch estimates are engine-specific)
+    "q_hll_sketch" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
