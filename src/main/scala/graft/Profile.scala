@@ -45,6 +45,34 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "recall") {
+      // ANN quality harness: recall@k of the LSH and IVF variants vs the
+      // exact brute-force baseline on the embeddings table
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") < 50)
+      val k = 10
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.knnBruteForce(
+        emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
+      Seq(
+        "lsh(multiProbe=false)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
+          "vec_id", "embedding", k, planes = 8, multiProbe = false),
+        "lsh(multiProbe=true)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
+          "vec_id", "embedding", k, planes = 8, multiProbe = true),
+        "ivf(nlist=16,nprobe=4)" -> Similarity.knnIvf(emb, probes, "vec_id", "embedding",
+          "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+      ).foreach { case (name, df) =>
+        val got = pairs(df)
+        val recall = (exact & got).size.toDouble / exact.size
+        println(f"[recall] $name%-24s recall@$k = $recall%.3f (candidates returned: ${got.size})")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.documents(spark, sfDir)
     docs.count()
 

@@ -575,6 +575,16 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))),
 
+    // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
+    // rows-only oracle — the plumbing is explode-to-patch-grain with
+    // array<float> features feeding the Similarity operators)
+    "q_multimodal_patches" -> ((s, dir) =>
+      Multimodal.extractPatchFeatures(
+        s,
+        Tables.documents(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)

@@ -52,4 +52,42 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, metaSchema)
   }
+
+  val patchSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("patch_idx", IntegerType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB feature extraction: split the payload into `patchBytes`-sized
+    * chunks ("frames"/"patches") and emit a small deterministic feature
+    * vector per chunk — the dataflow of frame-sampling + per-frame encoder
+    * inference (explode to patch grain, bounded memory per row, features as
+    * `array<float>` ready for the Similarity operators). Replace the inner
+    * loop with a real decoder+model call when the runtime has one.
+    */
+  def extractPatchFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      patchBytes: Int = 256,
+      featureDim: Int = 8): DataFrame = {
+    val rdd = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        bytes.grouped(patchBytes).zipWithIndex.map { case (chunk, idx) =>
+          // deterministic fake "embedding": byte histogram moments per stripe
+          val feats = new Array[Float](featureDim)
+          var i = 0
+          while (i < chunk.length) {
+            feats(i % featureDim) += (chunk(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          Row(id, idx, feats.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, patchSchema)
+  }
 }

@@ -81,14 +81,24 @@ object Similarity {
       k: Int,
       planes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
+    // multi-probe: each probe also searches every 1-bit-flip neighbor
+    // bucket — the standard recall fix for sign LSH, costing (planes+1)×
+    // probe fan-out instead of more hash tables
+    val probeBuckets =
+      if (multiProbe)
+        explode(array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*))
+      else explode(array(lit(0L)))
     val p = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
         Vectors.norm(col(probeVecCol)).as("_np"))
-      .withColumn("bucket", bucketCode(col("_p"), hp))
+      .withColumn("_flip", probeBuckets)
+      .withColumn("bucket", bucketCode(col("_p"), hp).bitwiseXOR(col("_flip")))
+      .drop("_flip")
     val cand = c.join(broadcast(p), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine", pairCosine)

@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamBucketAgg emits finalized tumbling windows past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamBucketAgg.tumbling(df, Seq("user_id"), "ts", "15 minutes",
+      "5 minutes", Seq(sum($"value").as("total_value")))
+    val query = out.writeStream.format("memory").queryName("bucket_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, sqlTs("2024-01-01 10:02:00"), 1.0),
+        (1L, sqlTs("2024-01-01 10:08:00"), 2.0),
+        (1L, sqlTs("2024-01-01 10:17:00"), 4.0))
+      query.processAllAvailable()
+      input.addData((9L, sqlTs("2024-01-01 12:00:00"), 0.0)) // advance watermark
+      query.processAllAvailable()
+      val rows = spark.table("bucket_out")
+        .select($"user_id", $"bucket_start".cast("string"), $"n_events", $"total_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", 2L, 3.0)))
+      assert(rows.contains((1L, "2024-01-01 10:15:00", 1L, 4.0)))
+    } finally query.stop()
+  }
+
   test("StreamChangeDetect emits only transitions, state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StatusEvent]
