@@ -67,7 +67,8 @@ object Intervals {
     * calendar × entities.
     */
   def allocateToDays(df: DataFrame, fromCol: String, toCol: String): DataFrame = {
-    df.withColumn("date_id",
+    df.filter(col(toCol) >= col(fromCol)) // inverted intervals would make sequence() throw
+      .withColumn("date_id",
         explode(sequence(
           to_date(col(fromCol)),
           to_date(col(toCol)),

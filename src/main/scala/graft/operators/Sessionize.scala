@@ -23,7 +23,8 @@ object Sessionize {
     * greater than `gapSeconds` (or there is no previous event).
     */
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), monotonically_increasing_id())
+    // ties on tsCol are safe: a zero gap can never start a session, so the
+    // running sum is order-independent within a tie group
     val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val prevTs = lag(col(tsCol), 1).over(ordered)
     val isStart = prevTs.isNull ||

@@ -108,13 +108,65 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Spherical k-means coarse quantizer, trained driver-side over a
+    * deterministic pseudo-random sample (hash-ordered). The model is
+    * nlist×dim floats — parameters, not data — so Lloyd iterations on the
+    * driver are the right trade; everything query-time stays distributed.
+    */
+  def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 10,
+      sampleSize: Int = 4096): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleSize)
+      .collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val data = sample.map(normalize)
+    var centroids = data.take(nlist).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](data.head.length))
+      val counts = new Array[Long](nlist)
+      data.foreach { v =>
+        var best = 0
+        var bestDot = Double.MinValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { d += v(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else normalize(sums(c).map(_.toFloat))
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF-Flat ANN: corpus vectors are assigned to the nearest of `nlist`
-    * coarse centroids; each probe searches its `nprobe` nearest cells and
-    * reranks by exact cosine. Centroids here are `nlist` deterministic
-    * sample vectors (lowest ids) — a real deployment would k-means them
-    * (driver-side Lloyd iterations over a sample); the query-time dataflow
-    * (cell assignment via argmax over broadcast centroids, cell equi-join,
-    * in-cell rerank) is the part that must scale and is fully distributed.
+    * coarse centroids (k-means-trained via [[trainCentroids]] unless
+    * supplied); each probe searches its `nprobe` nearest cells and reranks
+    * by exact cosine. The query-time dataflow — cell assignment via argmax
+    * over broadcast centroids, cell equi-join, in-cell rerank — is fully
+    * distributed.
     */
   def knnIvf(
       corpus: DataFrame,
@@ -125,13 +177,10 @@ object Similarity {
       probeVecCol: String,
       k: Int,
       nlist: Int,
-      nprobe: Int): DataFrame = {
-    val centroids: Array[Array[Float]] = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(col(idCol))
-      .limit(nlist)
-      .collect()
-      .map(r => r.getAs[scala.collection.Seq[Float]](1).toArray)
+      nprobe: Int,
+      trainedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids: Array[Array[Float]] =
+      trainedCentroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist))
     def cellSims(vec: org.apache.spark.sql.Column) = array(centroids.map { c =>
       val cl = array(c.map(lit): _*)
       Vectors.cosine(vec, cl)
