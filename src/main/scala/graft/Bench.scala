@@ -19,15 +19,21 @@ object Bench {
     try SparkEntry.queries("q_stg_cast")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // a failed query records -1 (never its elapsed time) so a regression
+    // that breaks a query cannot masquerade as a speedup
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,7 +29,8 @@ object SparkEntry {
       (col("ts") + expr("interval 10 minutes")).as("to_ts"))
 
   private def sessionized(spark: SparkSession, dir: String): DataFrame =
-    Sessionize.sessionize(Tables.events(spark, dir), Seq("user_id"), "ts", 1800L)
+    Sessionize.sessionize(Tables.events(spark, dir), Seq("user_id"), "ts", 1800L,
+      tieBreakCols = Seq("event_id"))
 
   private def sessionRollup(spark: SparkSession, dir: String): DataFrame =
     Sessionize.sessionMetrics(
@@ -100,13 +101,12 @@ object SparkEntry {
 
     // §2#5 latest row per key — int_connector_latest_status.sql shape
     "q_latest_status" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+      ChangeDetect.latestByKey(
+          Tables.events(s, dir), Seq("user_id"), Seq("ts", "event_id"), Seq("event_type"))
         .select(
           col("user_id"),
-          unix_micros(col("m.ts")).as("latest_ts_us"),
-          col("m.event_type").as("latest_event_type"))),
+          unix_micros(col("latest_ts")).as("latest_ts_us"),
+          col("latest_event_type"))),
 
     // §2#6 min_by/max_by per key — int_driver_aggregates.sql shape
     "q_minby_maxby" -> ((s, dir) =>
@@ -450,11 +450,7 @@ object SparkEntry {
         .select(
           col("doc_id"), nChars, nTok.as("n_tokens"), punct.as("punct_cnt"),
           stop.as("stopword_cnt"),
-          round(
-            least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4 +
-              (lit(1.0) - when(nChars > 0, punct / nChars.cast("double")).otherwise(0.0)) * 0.3 +
-              when(nTok > 0, stop.cast("double") / nTok).otherwise(0.0) * 0.3,
-            6).as("quality"))
+          round(Text.qualityScoreFrom(nTok, punct, stop, nChars), 6).as("quality"))
     }),
 
     // §2#27 language-ID heuristic via the native single-pass LangHits
@@ -998,10 +994,11 @@ object SparkEntry {
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
          |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
          |  FROM toks WHERE len(tk) >= 3),
-         |sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sh WHERE len(shingles) > 0),
-         |posting AS (SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized),
+         |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
          |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
-         |f AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+         |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
+         |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
          |    count(*) AS inter
          |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

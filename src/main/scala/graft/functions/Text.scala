@@ -72,17 +72,26 @@ object Text {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Quality formula from precomputed counts — the single source of the
+    * 0.4/0.3/0.3 weighting, shared by [[qualityScore]] and the
+    * TokenStats-based query path (the DuckDB oracle mirrors the same
+    * operation order).
+    */
+  def qualityScoreFrom(nTokens: Column, punctCnt: Column, stopwordCnt: Column, nChars: Column): Column = {
+    val nTok = nTokens.cast("double")
+    val nChar = nChars.cast("double")
+    val punctRatio = when(nChar > 0, punctCnt / nChar).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stopwordCnt.cast("double") / nTok).otherwise(lit(0.0))
+    least(nTok / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4·min(tokens/100,1) + 0.3·(1−punct_ratio) + 0.3·stopword_ratio.
     * Single-pass column arithmetic; rounding left to the caller.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val nChar = length(text).cast("double")
-    val punctRatio = when(nChar > 0, punctCount(text) / nChar).otherwise(lit(0.0))
-    val stopRatio = when(nTok > 0, stopwordCount(text, EnStopwords) / nTok).otherwise(lit(0.0))
-    least(nTok / 100.0, lit(1.0)) * 0.4 + (lit(1.0) - punctRatio) * 0.3 + stopRatio * 0.3
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(tokenCount(text), punctCount(text),
+      stopwordCount(text, EnStopwords), length(text))
 
   /** Word n-gram shingles joined with single spaces (distinct set).
     * Empty array when the document has fewer than `n` tokens.

@@ -34,14 +34,24 @@ object ChangeDetect {
       .withColumn("next_ts", lead(col(tsCol), 1).over(w))
   }
 
-  /** Latest row per key (argmax by `tsCol`) — reference
-    * int_connector_latest_status.sql:1. Implemented with `max_by` struct
+  /** Latest row per key (argmax by `orderCols`, lexicographic — add a
+    * unique tiebreaker for determinism) — reference
+    * int_connector_latest_status.sql:1. Implemented with a struct-max
     * aggregation: one shuffle, map-side combined — strictly cheaper than the
-    * window row_number()=1 form at scale (no full sort of each partition).
+    * window row_number()=1 form at scale (no full sort of each partition),
+    * and all value columns are taken from the SAME winning row.
     */
-  def latestByKey(df: DataFrame, keys: Seq[String], tsCol: String, valueCols: Seq[String]): DataFrame = {
-    val aggs = valueCols.map(v => max_by(col(v), col(tsCol)).as(s"latest_$v")) :+
-      max(col(tsCol)).as(s"latest_$tsCol")
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  def latestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val packed = struct((orderCols ++ valueCols).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("_m"))
+      .select(
+        keys.map(col) ++
+          Seq(col(s"_m.${orderCols.head}").as(s"latest_${orderCols.head}")) ++
+          valueCols.map(v => col(s"_m.$v").as(s"latest_$v")): _*)
   }
 }

@@ -34,24 +34,25 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 1000L): DataFrame = {
-    val shingled = df
-      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), n).as("sh"))
-      .withColumn("set_size", size(col("sh")))
-      .filter(col("set_size") > 0)
     // repartition = materialization barrier: CollapseProject would otherwise
     // inline the shingling expression into every downstream reference
     // (df-count filter + both self-join sides), recomputing it 3-4×. The
     // shuffle also co-locates by shingle for the joins that follow.
-    val posting = shingled
-      .select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val posting = df
+      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("shingle"))
       .repartition(col("shingle"))
     val rare = posting
       .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxShingleDocFreq)
       .select("shingle")
+    // set sizes counted over the SAME filtered shingle space as the
+    // intersection — otherwise a doc containing one hot (suppressed)
+    // shingle could never reach jaccard 1.0 even for an exact duplicate
     val filtered = posting.join(rare, "shingle")
-    val a = filtered.toDF("shingle", "id_a", "size_a")
-    val b = filtered.toDF("shingle", "id_b", "size_b")
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
+    val sized = filtered.join(sizes, "id")
+    val a = sized.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
+    val b = sized.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
@@ -132,6 +133,9 @@ object Dedup {
       textCol: String,
       shingleLen: Int,
       maxHamming: Int): DataFrame = {
+    // 4 chunks guarantee a shared chunk only for Hamming <= 3 (pigeonhole);
+    // a larger threshold would silently lose recall
+    require(maxHamming <= 3, s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
     val hashed = df.select(
         col(idCol).as("id"),
         explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))

@@ -143,4 +143,25 @@ object Intervals {
         (unix_micros(col("to_ts")) - unix_micros(col("from_ts"))) / lit(1000000.0))
       .filter(col("gap_seconds") > thresholdSeconds)
   }
+
+  /** Full-window gaps for entities that emitted NO events at all — the
+    * worst outage, invisible to [[heartbeatGaps]] because it only sees rows
+    * that exist. Mirrors the reference's chargers_with_no_messages branch
+    * (int_offline_outages.sql:118): anti-join the entity dim against the
+    * observed event keys and emit one [monitorStart, monitorEnd] gap each.
+    * Union the result with [[heartbeatGaps]] for complete outage coverage.
+    */
+  def silentEntityGaps(
+      entityDim: DataFrame,
+      events: DataFrame,
+      keys: Seq[String],
+      monitorStartCol: String,
+      monitorEndCol: String): DataFrame = {
+    entityDim
+      .join(events.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .select(keys.map(col) :+ col(monitorStartCol).as("from_ts") :+ col(monitorEndCol).as("to_ts"): _*)
+      .withColumn("gap_seconds",
+        (unix_micros(col("to_ts")) - unix_micros(col("from_ts"))) / lit(1000000.0))
+      .filter(col("gap_seconds") > 0)
+  }
 }

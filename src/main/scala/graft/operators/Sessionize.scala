@@ -21,11 +21,19 @@ object Sessionize {
   /** Adds `session_seq` (1-based per key) and `is_session_start`.
     * A new session starts when the gap to the previous event is strictly
     * greater than `gapSeconds` (or there is no previous event).
+    * `tieBreakCols` (e.g. a unique event id) make `is_session_start`
+    * deterministic when rows share a timestamp at a session boundary —
+    * `session_seq` itself is tie-order-independent (a zero gap never starts
+    * a session), but which tied row carries the start flag is not.
     */
-  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapSeconds: Long): DataFrame = {
-    // ties on tsCol are safe: a zero gap can never start a session, so the
-    // running sum is order-independent within a tie group
-    val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val ordered = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreakCols).map(col): _*)
     val prevTs = lag(col(tsCol), 1).over(ordered)
     val isStart = prevTs.isNull ||
       (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L

@@ -125,7 +125,12 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)))
       .limit(sampleSize)
       .collect()
-      .map(r => r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .map(_.getAs[scala.collection.Seq[Any]](1).iterator.map {
+        case f: Float => f
+        case d: Double => d.toFloat // array<double> vectors are supported too
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be array<float>/array<double>, found element $other")
+      }.toArray)
     require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
     def normalize(v: Array[Float]): Array[Float] = {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)

@@ -37,15 +37,22 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Null result when lengths mismatch (a dimension bug should surface, not
+  // silently truncate) or when any element is null — matching what the
+  // aggregate(zip_with(...)) formulation would produce.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -62,12 +69,17 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $x.$lGet($i) * (double) $y.$rGet($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

@@ -18,7 +18,10 @@ object StreamChangeDetect {
 
   /** Emit one row per status transition (first observation counts as a
     * transition from None). Events inside a micro-batch are ordered by ts
-    * before applying state — the iterator order is not guaranteed.
+    * before applying state — the iterator order is not guaranteed. Events
+    * older than the already-applied state (late arrivals from a previous
+    * batch) are dropped rather than emitted as inverted transitions; bound
+    * lateness upstream with a watermark if late data must be captured.
     */
   def changes(ds: Dataset[StatusEvent]): Dataset[StatusChange] = {
     implicit val changeEnc = Encoders.product[StatusChange]
@@ -31,7 +34,8 @@ object StreamChangeDetect {
           val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
           var last = state.getOption
           sorted.foreach { e =>
-            if (!last.exists(_.status == e.status)) {
+            val isLate = last.exists(_.tsMillis > e.ts.getTime)
+            if (!isLate && !last.exists(_.status == e.status)) {
               out += StatusChange(key, e.ts, e.status, last.map(_.status))
               last = Some(LastStatus(e.status, e.ts.getTime))
             }

@@ -27,7 +27,7 @@ class ChangeDetectSpec extends SparkSpec {
   }
 
   test("latestByKey returns argmax row values per key") {
-    val out = ChangeDetect.latestByKey(statuses, Seq("key"), "ts", Seq("status"))
+    val out = ChangeDetect.latestByKey(statuses, Seq("key"), Seq("ts"), Seq("status"))
       .select("key", "latest_status").as[(Long, String)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "Faulted"), (2L, "Faulted")))
   }

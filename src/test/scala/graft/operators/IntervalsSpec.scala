@@ -63,6 +63,17 @@ class IntervalsSpec extends SparkSpec {
     assert(out == Seq("2024-01-01 10:00:00", "2024-01-01 10:15:00"))
   }
 
+  test("silentEntityGaps emits a full-window gap for entities with zero events") {
+    val dim = Seq(1L, 2L).toDF("key")
+      .withColumn("mstart", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("mend", to_timestamp(lit("2024-01-01 06:00:00")))
+    val events = Seq((1L, "2024-01-01 01:00:00")).toDF("key", "s")
+      .select($"key", to_timestamp($"s").as("ts"))
+    val out = Intervals.silentEntityGaps(dim, events, Seq("key"), "mstart", "mend")
+      .select("key", "gap_seconds").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 21600.0)))
+  }
+
   test("heartbeatGaps finds mid, leading and trailing gaps over threshold") {
     val df = Seq(
       (1L, "2024-01-01 02:00:00"), // leading gap 2h from monitor start

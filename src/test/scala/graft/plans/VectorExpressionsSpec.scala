@@ -29,6 +29,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out == Seq(Some(11.0), None))
   }
 
+  test("FloatDot is null on length mismatch and null elements (no silent truncation)") {
+    val mism = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorExpressions.floatDot($"a", $"b")).as[Option[Double]].collect()
+    assert(mism.head.isEmpty)
+    val withNull = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f)))).toDF("a", "b")
+      .select(VectorExpressions.floatDot($"a", $"b")).as[Option[Double]].collect()
+    assert(withNull.head.isEmpty)
+  }
+
   test("float_dot is callable by SQL name once registered") {
     // getOrCreate would return the existing session and skip extensions, so
     // register into the live session's registry with the same builder the

@@ -75,6 +75,10 @@ class StreamingSpec extends SparkSpec {
         StatusEvent(1L, sqlTs("2024-01-01 10:05:00"), "Charging"), // no change across batches
         StatusEvent(1L, sqlTs("2024-01-01 10:06:00"), "Faulted"))
       query.processAllAvailable()
+      // a late event older than applied state must NOT emit an inverted
+      // transition
+      input.addData(StatusEvent(1L, sqlTs("2024-01-01 10:04:00"), "Available"))
+      query.processAllAvailable()
       val rows = spark.table("chg_out")
         .select($"key", $"status", $"previous_status")
         .as[(Long, String, Option[String])].collect().toSeq
