@@ -353,6 +353,22 @@ object SparkEntry {
           unix_micros(col("bucket_ts")).as("bucket_start_us"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // §2#19b keyed pivot — fivetran pivot_json_extract shape in
+    // int_meter_values.sql: one column per measurand, fixed column set so
+    // the schema is static at plan time
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+        .select(
+          col("user_id"),
+          coalesce(col("click"), lit(0.0)).as("click_value"),
+          coalesce(col("view"), lit(0.0)).as("view_value"),
+          coalesce(col("purchase"), lit(0.0)).as("purchase_value"),
+          coalesce(col("signup"), lit(0.0)).as("signup_value"),
+          coalesce(col("error"), lit(0.0)).as("error_value"))),
+
     // §2#20 per-entity profile — int_driver_aggregates.sql
     "q_user_aggs" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -868,6 +884,15 @@ object SparkEntry {
         |  event_type, cast(count(*) AS bigint) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  coalesce(cast(sum(CASE WHEN event_type = 'click' THEN cast(value AS decimal(18,2)) END) AS double), 0.0) AS click_value,
+        |  coalesce(cast(sum(CASE WHEN event_type = 'view' THEN cast(value AS decimal(18,2)) END) AS double), 0.0) AS view_value,
+        |  coalesce(cast(sum(CASE WHEN event_type = 'purchase' THEN cast(value AS decimal(18,2)) END) AS double), 0.0) AS purchase_value,
+        |  coalesce(cast(sum(CASE WHEN event_type = 'signup' THEN cast(value AS decimal(18,2)) END) AS double), 0.0) AS signup_value,
+        |  coalesce(cast(sum(CASE WHEN event_type = 'error' THEN cast(value AS decimal(18,2)) END) AS double), 0.0) AS error_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_user_aggs" ->
       """SELECT user_id, epoch_us(min(ts)) AS first_seen_us, epoch_us(max(ts)) AS last_seen_us,
