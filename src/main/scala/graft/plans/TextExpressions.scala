@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `[!-/:-@[-`{-~]`; stopwords compared after ASCII lowercasing.
   */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TokenStats.schema
 
@@ -39,38 +39,15 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     s
   }
 
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenStats(input.asInstanceOf[UTF8String], stopSet)
 
-  private def isPunct(c: Char): Boolean =
-    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') || (c >= '[' && c <= '`') ||
-      (c >= '{' && c <= '~')
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var nTokens = 0L
-    var punct = 0L
-    var stop = 0L
-    var i = 0
-    val n = s.length
-    val sb = new java.lang.StringBuilder(16)
-    while (i <= n) {
-      val atEnd = i == n
-      val c = if (atEnd) ' ' else s.charAt(i)
-      if (atEnd || isSpace(c)) {
-        if (sb.length() > 0) {
-          nTokens += 1
-          if (stopSet.contains(sb.toString)) stop += 1
-          sb.setLength(0)
-        }
-      } else {
-        if (isPunct(c)) punct += 1
-        // ASCII lowercase to mirror lower() over the token stream
-        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-      }
-      i += 1
-    }
-    InternalRow(nTokens, punct, stop)
+  // codegen = one static kernel call per row, keeping the surrounding
+  // projection inside whole-stage codegen (no interpreted fallback plumbing)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.tokenStats($in, $setRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -90,7 +67,7 @@ object TokenStats {
   * Returns `struct<<lang>_hits: long, ...>` in `langs` order.
   */
 case class LangHits(child: Expression, langs: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     StructType(langs.map { case (l, _) => StructField(s"${l}_hits", LongType, nullable = false) })
@@ -109,11 +86,62 @@ case class LangHits(child: Expression, langs: Seq[(String, Seq[String])])
       s
     }.toArray
 
-  private def isSpace(c: Char): Boolean =
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langHits(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.langHits($in, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared single-pass scan kernels, called from both interpreted eval and
+  * generated code. Tokenization semantics: whitespace = Java regex `\s`
+  * ([ \t\n\x0B\f\r]); punctuation = ASCII ranges; ASCII lowercasing
+  * (non-ASCII uppercase can never match the ASCII/zh stopword lists either
+  * way, so parity with `lower()` holds for the counts).
+  */
+object TextKernels {
+
+  @inline private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  @inline private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') || (c >= '[' && c <= '`') ||
+      (c >= '{' && c <= '~')
+
+  def tokenStats(input: UTF8String, stopSet: java.util.HashSet[String]): InternalRow = {
+    val s = input.toString
+    var nTokens = 0L
+    var punct = 0L
+    var stop = 0L
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val atEnd = i == n
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (atEnd || isSpace(c)) {
+        if (sb.length() > 0) {
+          nTokens += 1
+          if (stopSet.contains(sb.toString)) stop += 1
+          sb.setLength(0)
+        }
+      } else {
+        if (isPunct(c)) punct += 1
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      }
+      i += 1
+    }
+    InternalRow(nTokens, punct, stop)
+  }
+
+  def langHits(input: UTF8String, sets: Array[java.util.HashSet[String]]): InternalRow = {
+    val s = input.toString
     val hits = new Array[Long](sets.length)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
@@ -138,9 +166,6 @@ case class LangHits(child: Expression, langs: Seq[(String, Seq[String])])
     }
     InternalRow(hits.map(Long.box): _*)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 object TextExpressions {
