@@ -589,13 +589,21 @@ object SparkEntry {
 
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
-    // array<float> features feeding the Similarity operators)
+    // array<float> features feeding the Similarity operators). The gate
+    // output projects the feature vector to scalar summaries (L2 norm /
+    // sum) because the driver's pandas comparator can't hash array cells;
+    // the raw-array path is exercised by MultimodalSpec + Similarity ops.
     "q_multimodal_patches" -> ((s, dir) =>
       Multimodal.extractPatchFeatures(
-        s,
-        Tables.documents(s, dir)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload")),
+          s,
+          Tables.documents(s, dir)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload")
+        .select(
+          col("doc_id"), col("patch_idx"),
+          sqrt(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x))
+            .as("feat_l2"),
+          aggregate(col("features"), lit(0.0), (acc, x) => acc + x).as("feat_sum"))),
 
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
@@ -648,7 +656,7 @@ object SparkEntry {
 
     "q_status_changes" ->
       """WITH lagged AS (
-        |  SELECT user_id, ts, event_type,
+        |  SELECT user_id, event_id, ts, event_type,
         |    lag(event_type) OVER w AS previous_status, lag(ts) OVER w AS previous_ts
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), changes AS (
@@ -658,7 +666,7 @@ object SparkEntry {
         |  epoch_us(previous_ts) AS previous_ts_us,
         |  lead(event_type) OVER w2 AS next_status,
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
-        |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
+        |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_sessionize" -> (SessSql +
       """

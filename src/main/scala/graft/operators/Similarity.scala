@@ -57,6 +57,22 @@ object Similarity {
     Array.fill(planes, dim)(rng.nextGaussian())
   }
 
+  /** Fail fast if the declared `dim` does not match the data. A mismatch
+    * would make `float_dot` return null for every vector×hyperplane pair, so
+    * every row would silently hash to bucket 0 and the LSH join would
+    * degenerate to a full quadratic self-join. One `limit(1)` job on the
+    * driver is cheap insurance against that.
+    */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
+    val sampled = df.select(size(col(vecCol)).as("d")).filter(col("d") >= 0).head(1)
+    sampled.headOption.foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"declared embedding dim=$dim but column '$vecCol' has $actual elements; " +
+          "pass the correct dim= so LSH hyperplanes match the data")
+    }
+  }
+
   /** Sign-bucket code for a vector column under the given hyperplanes. */
   private def bucketCode(vec: org.apache.spark.sql.Column, hp: Array[Array[Double]]) = {
     val bits = hp.zipWithIndex.map { case (plane, i) =>
@@ -83,6 +99,7 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       multiProbe: Boolean = true): DataFrame = {
+    requireDim(corpus, vecCol, dim)
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_nv"))
@@ -225,6 +242,7 @@ object Similarity {
       planes: Int = 4,
       dim: Int = 64,
       seed: Long = 7L): DataFrame = {
+    requireDim(df, vecCol, dim)
     val hp = hyperplanes(planes, dim, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_n"))

@@ -20,6 +20,17 @@ import org.apache.spark.sql.graft.Bridge
   * same hash repartitioning — at 100 TB the sort's spill traffic is the
   * difference.
   *
+  * Memory bound: the retained set is O(distinct-keys-per-partition × k)
+  * rows. When it crosses `graft.topk.spillThreshold` rows (default 4M),
+  * the exec flattens the heaps to a local spill file and continues; at
+  * end-of-input the spilled runs are re-merged through the same bounded-heap
+  * pass (each run's retained set is a superset of the global top-k for its
+  * keys, so the merge is exact). Peak memory is therefore
+  * min(keys·k, threshold) rows during the scan plus the partition's final
+  * output during the merge. If the *output* itself (keys·k) cannot fit in
+  * memory, use the window/sort formulation instead — that is the regime
+  * where an external sort wins.
+  *
   * Demonstrates the full custom-operator stack: logical node →
   * [[TopKStrategy]] (SparkStrategy) → [[TopKPerKeyExec]] (SparkPlan),
   * registered through `SparkSessionExtensions` ([[GraftExtensions]]).
@@ -52,23 +63,81 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
+    val nFields = childOutput.length
+    val spillThreshold = conf.getConfString("graft.topk.spillThreshold", "4194304").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection guaranteeing UnsafeRow (spillable byte layout)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = RowOrdering.create(orderExprs, childOutput)
       // max-heap by sort order: head = worst retained row for the key
-      val heapOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
-      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val heapOrd: Ordering[UnsafeRow] = (a, b) => ord.compare(a, b)
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      var retained = 0L
+      val spillFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete()))
+
+      // `owned`: row is already a private UnsafeRow copy (spill readback)
+      def offer(row: UnsafeRow, owned: Boolean): Unit = {
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
-            if (h.size < kLocal) h.enqueue(row.copy())
-            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+            if (h.size < kLocal) {
+              h.enqueue(if (owned) row else row.copy()); retained += 1
+            } else if (ord.compare(row, h.head) < 0) {
+              h.dequeue(); h.enqueue(if (owned) row else row.copy())
+            }
           case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            h.enqueue(row.copy())
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            h.enqueue(if (owned) row else row.copy())
             heaps.put(key.copy(), h)
+            retained += 1
         }
+      }
+
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        spillFiles += f
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+        val buf = new Array[Byte](1 << 12)
+        try {
+          heaps.valuesIterator.foreach(_.foreach { r =>
+            out.writeInt(r.getSizeInBytes)
+            r.writeToStream(out, buf)
+          })
+        } finally out.close()
+        heaps.clear()
+        retained = 0L
+      }
+
+      def readSpill(f: java.io.File): Iterator[UnsafeRow] = {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+        new Iterator[UnsafeRow] {
+          private var nextSize = try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }
+          override def hasNext: Boolean = nextSize >= 0
+          override def next(): UnsafeRow = {
+            val bytes = new Array[Byte](nextSize)
+            in.readFully(bytes)
+            val r = new UnsafeRow(nFields)
+            r.pointTo(bytes, nextSize)
+            nextSize = try in.readInt() catch { case _: java.io.EOFException => in.close(); -1 }
+            r
+          }
+        }
+      }
+
+      iter.foreach { row =>
+        offer(rowProj(row), owned = false)
+        if (retained >= spillThreshold) spill()
+      }
+      // merge: each spilled run already holds ≤k rows per key, a superset of
+      // the global per-key top-k, so re-offering them is exact. The merged
+      // retained set is exactly this partition's output (keys·k rows).
+      spillFiles.toSeq.foreach { f =>
+        readSpill(f).foreach(offer(_, owned = true))
       }
       heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }

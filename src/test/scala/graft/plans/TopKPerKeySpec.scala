@@ -26,6 +26,29 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("TopK.perKey spill path (tiny threshold) matches the in-memory result") {
+    withStrategy {
+      val prev = spark.conf.getOption("graft.topk.spillThreshold")
+      spark.conf.set("graft.topk.spillThreshold", "16") // force many spill runs
+      try {
+        val df = spark.range(5000).select(
+          (col("id") % 101).as("g"), col("id"), (col("id") * 131 % 997).as("score"))
+        val topk = TopK.perKey(df, Seq("g"), Seq(col("score").desc, col("id").asc), 4)
+          .select("g", "id").as[(Long, Long)].collect().toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+        val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select("g", "id").as[(Long, Long)].collect().toSet
+        assert(topk == expected)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("graft.topk.spillThreshold", v)
+          case None => spark.conf.unset("graft.topk.spillThreshold")
+        }
+      }
+    }
+  }
+
   test("TopK.perKey handles ties-free total order deterministically across partitions") {
     withStrategy {
       val df = spark.range(1000).select(
