@@ -143,6 +143,41 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"),
         col("is_session_start"), col("session_seq"))),
 
+    // §2#8e the FULL fact_visits pipeline: per-entity tag-inference chains
+    // (2-min, stop→start gaps), then dynamic-gap sessionization (30 min
+    // authenticated / 2 min anonymous, keyed by location+tag vs
+    // location+entity), then per-visit rollup — fact_visits.sql:58-290.
+    // Attempts are derived from events: charger=user, port=event parity,
+    // location=user bucket, a deterministic stop offset, and a tag only on
+    // purchase/click rows (so both the authenticated and anonymous paths and
+    // the inference chains are exercised).
+    "q_visits" -> ((s, dir) => {
+      val attempts = Tables.events(s, dir).select(
+        col("event_id"),
+        col("user_id").cast("string").as("charger_id"),
+        (col("event_id") % 2).cast("string").as("port_id"),
+        (col("user_id") % 20).cast("string").as("location_id"),
+        col("ts").as("start_ts"),
+        timestamp_micros(
+          unix_micros(col("ts")) + (lit(30L) + col("event_id") % 300L) * 1000000L)
+          .as("stop_ts"),
+        when(col("event_type").isin("purchase", "click"),
+          concat(lit("T"), (col("user_id") % 7).cast("string"))).as("id_tag"),
+        col("value"))
+      Visits.visits(attempts, "location_id", Seq("charger_id", "port_id"),
+          "start_ts", "stop_ts", "id_tag",
+          authGapSeconds = 1800L, anonGapSeconds = 120L, chainGapSeconds = 120L,
+          tieBreakCols = Seq("event_id"),
+          extraAggs = Seq(
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")))
+        .select(
+          col("grouping_key"), col("visit_seq"),
+          unix_micros(col("visit_start_ts")).as("visit_start_us"),
+          unix_micros(col("visit_end_ts")).as("visit_end_us"),
+          col("charge_attempt_count"), col("id_tag"), col("location_id"),
+          col("total_value"))
+    }),
+
     // §2#9 per-session rollup — fact_visits.sql new_visits CTE
     "q_session_metrics" -> ((s, dir) =>
       sessionRollup(s, dir).select(
@@ -667,6 +702,58 @@ object SparkEntry {
         |  lead(event_type) OVER w2 AS next_status,
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_visits" ->
+      """WITH attempts AS (
+        |  SELECT event_id,
+        |    cast(user_id AS varchar) AS charger_id,
+        |    cast(event_id % 2 AS varchar) AS port_id,
+        |    cast(user_id % 20 AS varchar) AS location_id,
+        |    ts AS start_ts,
+        |    make_timestamp(epoch_us(ts) + (30 + event_id % 300) * 1000000) AS stop_ts,
+        |    CASE WHEN event_type IN ('purchase', 'click')
+        |         THEN 'T' || cast(user_id % 7 AS varchar) END AS id_tag,
+        |    value
+        |  FROM events
+        |), chained AS (
+        |  SELECT *,
+        |    CASE WHEN lag(stop_ts) OVER w IS NULL
+        |           OR epoch_us(start_ts) - epoch_us(lag(stop_ts) OVER w) > 120000000
+        |           OR (id_tag IS NOT NULL AND lag(id_tag) OVER w IS NOT NULL
+        |               AND id_tag <> lag(id_tag) OVER w)
+        |         THEN 1 ELSE 0 END AS chain_start
+        |  FROM attempts WINDOW w AS (PARTITION BY charger_id, port_id ORDER BY start_ts, event_id)
+        |), chains AS (
+        |  SELECT *, sum(chain_start) OVER (PARTITION BY charger_id, port_id
+        |    ORDER BY start_ts, event_id ROWS UNBOUNDED PRECEDING) AS chain_seq
+        |  FROM chained
+        |), inferred AS (
+        |  SELECT * REPLACE (max(id_tag) OVER (PARTITION BY charger_id, port_id, chain_seq) AS id_tag)
+        |  FROM chains
+        |), keyed AS (
+        |  SELECT *,
+        |    CASE WHEN id_tag IS NOT NULL THEN location_id || '_' || id_tag
+        |         ELSE location_id || '_' || charger_id || '_' || port_id END AS grouping_key,
+        |    CASE WHEN id_tag IS NOT NULL THEN 1800000000 ELSE 120000000 END AS window_us
+        |  FROM inferred
+        |), flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(stop_ts) OVER w2 IS NULL
+        |           OR epoch_us(start_ts) - epoch_us(lag(stop_ts) OVER w2) > window_us
+        |         THEN 1 ELSE 0 END AS visit_start
+        |  FROM keyed WINDOW w2 AS (PARTITION BY grouping_key ORDER BY start_ts, event_id)
+        |), sessions AS (
+        |  SELECT *, cast(sum(visit_start) OVER (PARTITION BY grouping_key
+        |    ORDER BY start_ts, event_id ROWS UNBOUNDED PRECEDING) AS bigint) AS visit_seq
+        |  FROM flagged
+        |)
+        |SELECT grouping_key, visit_seq,
+        |  epoch_us(min(start_ts)) AS visit_start_us,
+        |  epoch_us(max(stop_ts)) AS visit_end_us,
+        |  cast(count(*) AS bigint) AS charge_attempt_count,
+        |  max(id_tag) AS id_tag, max(location_id) AS location_id,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM sessions GROUP BY grouping_key, visit_seq""".stripMargin,
 
     "q_sessionize" -> (SessSql +
       """

@@ -144,6 +144,26 @@ object Intervals {
       .filter(col("gap_seconds") > thresholdSeconds)
   }
 
+  /** Anti point-in-interval join: rows of `points` whose `ptCol` does NOT
+    * fall inside any [fromCol, toCol) interval of `intervals` sharing the
+    * key columns. Reference fact_downtime_daily.sql:47 uses this to drop
+    * offline outages that began during an active faulted outage (the fault
+    * explains the silence). Planned as an equi-key left_anti hash join with
+    * the range predicate as a post-filter — never a cartesian.
+    */
+  def antiIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      ptCol: String,
+      fromCol: String,
+      toCol: String): DataFrame = {
+    val iv = intervals.select((keys.map(col) :+ col(fromCol).as("_ivf") :+ col(toCol).as("_ivt")): _*)
+    val cond = keys.map(k => points(k) === iv(k)).reduce(_ && _) &&
+      points(ptCol) >= iv("_ivf") && points(ptCol) < iv("_ivt")
+    points.join(iv, cond, "left_anti")
+  }
+
   /** Full-window gaps for entities that emitted NO events at all — the
     * worst outage, invisible to [[heartbeatGaps]] because it only sees rows
     * that exist. Mirrors the reference's chargers_with_no_messages branch
