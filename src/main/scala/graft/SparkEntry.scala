@@ -300,6 +300,25 @@ object SparkEntry {
           unix_micros(col("from_ts")).as("from_us"),
           unix_micros(col("to_ts")).as("to_us"))),
 
+    // §2#12b composite all-faulted outage rule — int_faulted_outages.sql
+    // end-to-end: per-sub-entity islands → boundary sweep → full-coverage
+    // segments → merged outage windows ("outage only while ALL connectors
+    // are faulted"). Two "connectors" are derived from event-id parity.
+    "q_faulted_outages" -> ((s, dir) => {
+      val spans = Tables.events(s, dir).select(
+        col("user_id"),
+        (col("event_id") % 2).cast("string").as("connector_id"),
+        col("ts").as("from_ts"),
+        (col("ts") + expr("interval 10 minutes")).as("to_ts"))
+      val required = spans.select("user_id").distinct()
+        .withColumn("n_connectors", lit(2L))
+      Outages.allFaultedOutages(spans, Seq("user_id"), "connector_id",
+          "from_ts", "to_ts", required, "n_connectors")
+        .select(col("user_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          unix_micros(col("to_ts")).as("to_us"))
+    }),
+
     // §2#13 concurrent-interval sweep — int_faulted_outages.sql overlap count
     "q_interval_sweep" -> ((s, dir) =>
       Intervals.sweepActiveCount(eventIntervals(s, dir), Seq("user_id"), "from_ts", "to_ts")
@@ -754,6 +773,52 @@ object SparkEntry {
         |  max(id_tag) AS id_tag, max(location_id) AS location_id,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM sessions GROUP BY grouping_key, visit_seq""".stripMargin,
+
+    "q_faulted_outages" ->
+      """WITH spans AS (
+        |  SELECT user_id, cast(event_id % 2 AS varchar) AS connector_id,
+        |    ts AS from_ts, make_timestamp(epoch_us(ts) + 600000000) AS to_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR prev_max < from_ts THEN 1 ELSE 0 END AS new_island
+        |  FROM (SELECT *, max(to_ts) OVER (PARTITION BY user_id, connector_id
+        |          ORDER BY from_ts, to_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |        FROM spans)
+        |), islands AS (
+        |  SELECT user_id, connector_id, from_ts, to_ts,
+        |    sum(new_island) OVER (PARTITION BY user_id, connector_id
+        |      ORDER BY from_ts, to_ts ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged
+        |), disjoint AS (
+        |  SELECT user_id, connector_id, min(from_ts) AS from_ts, max(to_ts) AS to_ts
+        |  FROM islands GROUP BY user_id, connector_id, island
+        |), points AS (
+        |  SELECT user_id, from_ts AS pt, 1 AS delta FROM disjoint
+        |  UNION ALL
+        |  SELECT user_id, to_ts, -1 FROM disjoint
+        |), grouped AS (
+        |  SELECT user_id, pt, sum(delta) AS delta FROM points GROUP BY user_id, pt
+        |), sweep AS (
+        |  SELECT user_id, pt AS segment_start, lead(pt) OVER w AS segment_end,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY pt ROWS UNBOUNDED PRECEDING) AS active
+        |  FROM grouped WINDOW w AS (PARTITION BY user_id ORDER BY pt)
+        |), full_seg AS (
+        |  SELECT user_id, segment_start AS from_ts, segment_end AS to_ts
+        |  FROM sweep WHERE segment_end IS NOT NULL AND active = 2
+        |), f2 AS (
+        |  SELECT *, CASE WHEN prev_max IS NULL OR prev_max < from_ts THEN 1 ELSE 0 END AS new_island
+        |  FROM (SELECT *, max(to_ts) OVER (PARTITION BY user_id
+        |          ORDER BY from_ts, to_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |        FROM full_seg)
+        |), i2 AS (
+        |  SELECT user_id, from_ts, to_ts,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY from_ts, to_ts
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f2
+        |)
+        |SELECT user_id, epoch_us(min(from_ts)) AS from_us, epoch_us(max(to_ts)) AS to_us
+        |FROM i2 GROUP BY user_id, island
+        |HAVING max(to_ts) > min(from_ts)""".stripMargin,
 
     "q_sessionize" -> (SessSql +
       """
