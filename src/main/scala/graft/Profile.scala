@@ -45,6 +45,58 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "slow") {
+      // decompose the slowest bench queries into labeled stages
+      import graft.operators.Similarity
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val emb = Tables.embeddings(spark, sfDir)
+      emb.count()
+      val probes = emb.filter(col("vec_id") < 8)
+      time("ivf: trainCentroids") {
+        Similarity.trainCentroids(emb, "vec_id", "embedding", 16); 0L
+      }
+      val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", 16)
+      time("ivf: query w/ pretrained") {
+        noop(Similarity.knnIvf(emb, probes, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 2, trainedCentroids = Some(trained)))
+      }
+      time("ivf: full") {
+        noop(Similarity.knnIvf(emb, probes, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 2))
+      }
+      val docs = Tables.documents(spark, sfDir)
+      docs.count()
+      time("ngram_jaccard full") {
+        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L))
+      }
+      time("simhash full") {
+        noop(graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text", 3, 3))
+      }
+      time("minhash full") {
+        noop(graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.5))
+      }
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      li.count(); ord.count()
+      time("salted_join full") {
+        noop(graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", "l_linenumber", 4)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty")))
+      }
+      time("plain join (reference)") {
+        noop(li.join(ord, Seq("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty")))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "recall") {
       // ANN quality harness: recall@k of the LSH and IVF variants vs the
       // exact brute-force baseline on the embeddings table

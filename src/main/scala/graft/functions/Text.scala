@@ -103,7 +103,19 @@ object Text {
     * Inside the lambda, `t` is a lambda-variable lookup, so the n slices and
     * zip_with passes are O(tokens) total.
     */
+  /** Distinct word n-gram shingles (first-occurrence order) — native
+    * single-pass codegen'd expression ([[graft.plans.WordShingles]]).
+    */
   def wordShingles(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.wordShingles(text, n)
+
+  /** Declarative HOF formulation of [[wordShingles]] — interpreted
+    * (`transform`/`zip_with` have no codegen) and kept only as the
+    * semantics reference for the spec that cross-checks the native kernel.
+    * The `transform(array(...))` wrapper is a let-binding so CollapseProject
+    * inlines the tokenization once, not once per slice.
+    */
+  def wordShinglesHof(text: Column, n: Int): Column =
     element_at(
       transform(array(tokens(text)), t => {
         val cnt = greatest(size(t) - (n - 1), lit(0))

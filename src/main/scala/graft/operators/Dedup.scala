@@ -38,8 +38,13 @@ object Dedup {
     // inline the shingling expression into every downstream reference
     // (df-count filter + both self-join sides), recomputing it 3-4×. The
     // shuffle also co-locates by shingle for the joins that follow.
+    // shingles are joined/grouped only by identity, so hash them to 8-byte
+    // longs before the four downstream shuffles (~4× less shuffle volume
+    // than ~30-byte strings; collision odds at 2^64 are negligible and a
+    // collision only perturbs one count)
     val posting = df
-      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("_sh"))
+      .select(col("id"), xxhash64(col("_sh")).as("shingle"))
       .repartition(col("shingle"))
     val rare = posting
       .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))

@@ -203,18 +203,27 @@ object Similarity {
       trainedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val centroids: Array[Array[Float]] =
       trainedCentroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist))
-    def cellSims(vec: org.apache.spark.sql.Column) = array(centroids.map { c =>
-      val cl = array(c.map(lit): _*)
-      Vectors.cosine(vec, cl)
-    }: _*)
+    // one FloatDot per centroid, reusing the row's precomputed norm (`nv`);
+    // centroid norms are driver-side constants. (Vectors.cosine would
+    // recompute norm(v) — itself a dot — per centroid: 3× the flops.)
+    def cellSims(vec: org.apache.spark.sql.Column, nv: org.apache.spark.sql.Column) =
+      array(centroids.map { c =>
+        val nc = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+        if (nc == 0.0) lit(0.0)
+        else when(nv > 0, Vectors.dot(vec, array(c.map(lit): _*)) / (nv * lit(nc)))
+          .otherwise(lit(0.0))
+      }: _*)
+    // let-binding via single-element transform: `array_position(s, array_max(s))`
+    // references the sims array twice, and CollapseProject would inline the
+    // nlist-dot expression into both references (no CSE for this projection)
+    def argmaxCell(sims: org.apache.spark.sql.Column) =
+      element_at(transform(array(sims), s => array_position(s, array_max(s))), 1)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_nv"))
-      .withColumn("_sims", cellSims(col("_v")))
-      .withColumn("cell", expr("array_position(_sims, array_max(_sims))"))
-      .drop("_sims")
+      .withColumn("cell", argmaxCell(cellSims(col("_v"), col("_nv"))))
     val p0 = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
         Vectors.norm(col(probeVecCol)).as("_np"))
-      .withColumn("_sims", cellSims(col("_p")))
+      .withColumn("_sims", cellSims(col("_p"), col("_np")))
       .select(col("probe_id"), col("_p"), col("_np"),
         posexplode(col("_sims")).as(Seq("_cpos", "_csim")))
     val wp = Window.partitionBy(col("probe_id")).orderBy(col("_csim").desc, col("_cpos"))

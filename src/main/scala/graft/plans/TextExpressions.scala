@@ -105,6 +105,38 @@ case class LangHits(child: Expression, langs: Seq[(String, Seq[String])])
   * (non-ASCII uppercase can never match the ASCII/zh stopword lists either
   * way, so parity with `lower()` holds for the counts).
   */
+/** Distinct word n-gram shingles in ONE pass of the string, as a native
+  * codegen'd expression. Semantics identical to the declarative formulation
+  * (`filter(split(lower(text),"\\s+"), ...)` sliced into n-grams joined by a
+  * single space, `array_distinct`, first-occurrence order): the whole
+  * string is Unicode-lowercased via `UTF8String.toLowerCase` — exactly
+  * Spark's `lower()` — then split on Java-`\s` whitespace. The HOF
+  * formulation is interpreted (no codegen for `transform`/`zip_with`) and
+  * re-evaluates slices per position — this kernel feeds every shingle-based
+  * dedup operator (ngram Jaccard, MinHash, SimHash).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string input and n >= 1, got ${child.dataType.simpleString}, n=$n")
+
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.wordShingles($in, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   @inline private def isSpace(c: Char): Boolean =
@@ -138,6 +170,44 @@ object TextKernels {
       i += 1
     }
     InternalRow(nTokens, punct, stop)
+  }
+
+  def wordShingles(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // Unicode lowercase on the UTF8String — bit-identical to Spark's lower()
+    val s = input.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String](32)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val atEnd = i == len
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (atEnd || isSpace(c)) {
+        if (sb.length() > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    val m = tokens.size - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var j = 0
+    while (j < m) {
+      val shB = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < n) {
+        if (k > 0) shB.append(' ')
+        shB.append(tokens.get(j + k))
+        k += 1
+      }
+      seen.add(shB.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def langHits(input: UTF8String, sets: Array[java.util.HashSet[String]]): InternalRow = {
@@ -174,4 +244,7 @@ object TextExpressions {
 
   def langHits(text: Column, langs: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangHits(Bridge.expression(text), langs))
+
+  def wordShingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
 }

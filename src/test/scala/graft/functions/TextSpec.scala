@@ -35,6 +35,23 @@ class TextSpec extends SparkSpec {
     assert(one(Text.wordShingles($"text", 3), "a b") == Seq())
   }
 
+  test("native wordShingles kernel matches the HOF formulation") {
+    val samples = Seq(
+      "a b c d", "a b", "", "   ", "A  B\tC\nD e", "x x x x x",
+      "Hello, World! Hello, World! again", "Ünïcode UPPER lower MiXeD case words")
+    val df = samples.toDF("text")
+      .select(
+        Text.wordShingles($"text", 3).as("native"),
+        Text.wordShinglesHof($"text", 3).as("hof"),
+        Text.wordShingles($"text", 1).as("native1"),
+        Text.wordShinglesHof($"text", 1).as("hof1"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    df.foreach { case (n3, h3, n1, h1) =>
+      assert(n3 == h3, s"3-gram mismatch: $n3 vs $h3")
+      assert(n1 == h1, s"1-gram mismatch: $n1 vs $h1")
+    }
+  }
+
   test("simhash64 is identical for identical shingle sets, differs for unrelated") {
     val df = Seq("a b c d e f", "a b c d e f", "x y z w q r").toDF("text")
       .withColumn("sh", Text.wordShingles($"text", 3))
