@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.operators.Intervals
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming daily-downtime pipeline — the streaming counterpart of
+  * fact_downtime_daily / fact_uptime (models/marts/fact_downtime_daily.sql):
+  * [[StreamHeartbeat]] outage increments → interval→day allocation → per
+  * (entity, day) downtime minutes.
+  *
+  * Because [[StreamHeartbeat.gaps]] emits NON-OVERLAPPING increments, daily
+  * downtime is a pure delta-sum: each micro-batch appends its allocated
+  * increment minutes (`foreachBatch` — the blessed pattern for a stateful
+  * stream feeding a second aggregation) and the daily table is the sum of
+  * deltas per (key, date_id). Append-only writes, no upsert needed, safe
+  * to re-aggregate under any partitioning — the same shape an exactly-once
+  * sink (Delta/Iceberg MERGE) would consume at production scale.
+  */
+object StreamUptime {
+
+  /** Start the pipeline: allocated per-day downtime deltas are appended to
+    * `deltaDir` as parquet. Read the current daily table with
+    * [[readDailyDowntime]].
+    */
+  def run(
+      gaps: Dataset[StreamHeartbeat.Gap],
+      deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    gaps.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[StreamHeartbeat.Gap], _: Long) =>
+        Intervals.allocateToDays(batch.toDF(), "from_ts", "to_ts")
+          .groupBy(col("key"), col("date_id"))
+          .agg(sum(col("overlap_minutes")).as("downtime_minutes"))
+          .write.mode("append").parquet(deltaDir)
+        ()
+      }
+      .start()
+
+  /** Current daily downtime: sum of appended deltas per (key, day). */
+  def readDailyDowntime(spark: org.apache.spark.sql.SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .groupBy(col("key"), col("date_id"))
+      .agg(sum(col("downtime_minutes")).as("downtime_minutes"))
+}

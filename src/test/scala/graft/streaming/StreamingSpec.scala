@@ -59,6 +59,65 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamHeartbeat emits closed gaps on arrival and ongoing gaps via timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamHeartbeat._
+    val input = MemoryStream[Heartbeat]
+    val out = StreamHeartbeat.gaps(input.toDS(), thresholdSeconds = 300L)
+    val query = out.writeStream.format("memory").queryName("hb_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Heartbeat(1L, sqlTs("2024-01-01 10:00:00")),
+        Heartbeat(1L, sqlTs("2024-01-01 10:01:00")),
+        Heartbeat(1L, sqlTs("2024-01-01 10:20:00")), // 19-min gap > 300 s
+        Heartbeat(2L, sqlTs("2024-01-01 10:00:00"))) // then silent forever
+      query.processAllAvailable()
+      input.addData(Heartbeat(9L, sqlTs("2024-01-01 11:00:00"))) // advance watermark
+      query.processAllAvailable()
+      input.addData(Heartbeat(9L, sqlTs("2024-01-01 12:00:00"))) // fire timeouts again
+      query.processAllAvailable()
+      val rows = spark.table("hb_out")
+        .select($"key", $"from_ts".cast("string"), $"to_ts".cast("string"), $"closed")
+        .as[(Long, String, String, Boolean)].collect().toSeq
+      assert(rows.contains((1L, "2024-01-01 10:01:00", "2024-01-01 10:20:00", true)))
+      val ongoing = rows.filter(r => r._1 == 2L && !r._4)
+      assert(ongoing.nonEmpty && ongoing.map(_._2).min == "2024-01-01 10:00:00",
+        s"expected ongoing increments for silent key 2 starting 10:00, got $rows")
+      // increments chain: each starts where the previous one stopped, and
+      // together they cover [10:00, >= 11:00]
+      assert(ongoing.map(_._3).max >= "2024-01-01 11:00:00")
+      val sortedInc = ongoing.sortBy(_._2)
+      sortedInc.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 == b._2, s"non-touching increments: $a then $b")
+        case _ =>
+      }
+    } finally query.stop()
+  }
+
+  test("StreamUptime accumulates per-day downtime from gap increments") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamHeartbeat._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uptime").toString
+    val input = MemoryStream[Heartbeat]
+    val gapsDs = StreamHeartbeat.gaps(input.toDS(), thresholdSeconds = 300L)
+    val query = StreamUptime.run(gapsDs, s"$tmp/deltas", s"$tmp/ckpt")
+    try {
+      input.addData(
+        Heartbeat(1L, sqlTs("2024-01-01 23:00:00")),
+        Heartbeat(1L, sqlTs("2024-01-02 01:00:00"))) // 2 h gap across midnight
+      query.processAllAvailable()
+      input.addData(Heartbeat(1L, sqlTs("2024-01-02 01:01:00")))
+      query.processAllAvailable()
+      val daily = StreamUptime.readDailyDowntime(spark, s"$tmp/deltas")
+        .select($"key", $"date_id".cast("string"), $"downtime_minutes")
+        .as[(Long, String, Double)].collect().toSet
+      assert(daily == Set(
+        (1L, "2024-01-01", 60.0), // 23:00 → midnight
+        (1L, "2024-01-02", 60.0))) // midnight → 01:00
+    } finally query.stop()
+  }
+
   test("StreamChangeDetect emits only transitions, state persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StatusEvent]
