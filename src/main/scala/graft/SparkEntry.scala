@@ -558,12 +558,16 @@ object SparkEntry {
       Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, maxHamming = 3)),
 
-    // §2#32 brute-force cosine top-k (rows-only oracle)
+    // §2#32 brute-force cosine top-k. Exact DuckDB oracle: FloatDot is a
+    // sequential double fold over the float elements, which list_reduce
+    // replicates bit-for-bit (IEEE ops are deterministic given the same
+    // order), so even the doubles hash-match.
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnBruteForce(
-        emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // §2#21b nested JSON array unnest + keyed rollup — int_meter_values.sql
@@ -773,6 +777,31 @@ object SparkEntry {
         |  max(id_tag) AS id_tag, max(location_id) AS location_id,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM sessions GROUP BY grouping_key, visit_seq""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH dots AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(generate_series(1, len(c.embedding)),
+        |      i -> cast(c.embedding[i] AS double) * cast(p.embedding[i] AS double)),
+        |      (acc, x) -> acc + x) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)),
+        |      i -> cast(c.embedding[i] AS double) * cast(c.embedding[i] AS double)),
+        |      (acc, x) -> acc + x)) AS nc,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(p.embedding)),
+        |      i -> cast(p.embedding[i] AS double) * cast(p.embedding[i] AS double)),
+        |      (acc, x) -> acc + x)) AS np
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id
+        |), cos AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN nc * np > 0 THEN d / (nc * np) ELSE 0.0 END AS cosine
+        |  FROM dots
+        |), ranked AS (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS bigint) AS rank
+        |  FROM cos
+        |)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_faulted_outages" ->
       """WITH spans AS (
