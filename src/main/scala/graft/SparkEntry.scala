@@ -658,10 +658,11 @@ object SparkEntry {
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "doc_id", "payload")
         .select(
-          col("doc_id"), col("patch_idx"),
-          sqrt(aggregate(col("features"), lit(0.0), (acc, x) => acc + x * x))
-            .as("feat_l2"),
-          aggregate(col("features"), lit(0.0), (acc, x) => acc + x).as("feat_sum"))),
+          col("doc_id"), col("patch_idx").cast("long").as("patch_idx"),
+          sqrt(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("feat_l2"),
+          aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("feat_sum"))),
 
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
@@ -777,6 +778,37 @@ object SparkEntry {
         |  max(id_tag) AS id_tag, max(location_id) AS location_id,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
         |FROM sessions GROUP BY grouping_key, visit_seq""".stripMargin,
+
+    // exact oracle for the stubbed patch encoder: the stub accumulates byte
+    // histogram stripes in double with one float rounding per stripe, which
+    // DuckDB replicates via the same sequential folds (text is ASCII, so
+    // char positions == UTF-8 byte offsets)
+    "q_multimodal_patches" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), patches AS (
+        |  SELECT doc_id, text, n, unnest(generate_series(0, (n - 1) // 256)) AS patch_idx
+        |  FROM d WHERE n > 0
+        |), feats AS (
+        |  SELECT doc_id, patch_idx,
+        |    list_transform(generate_series(0, 7), s ->
+        |      CASE WHEN patch_idx * 256 + 1 + s > least(n, (patch_idx + 1) * 256) THEN cast(0.0 AS real)
+        |      ELSE cast(
+        |        list_reduce(
+        |          list_transform(
+        |            generate_series(patch_idx * 256 + 1 + s, least(n, (patch_idx + 1) * 256), 8),
+        |            j -> cast(ascii(substring(text, j, 1)) AS double) / 255.0),
+        |          (acc, x) -> acc + x)
+        |        AS real) END) AS features
+        |  FROM patches
+        |)
+        |SELECT doc_id, cast(patch_idx AS bigint) AS patch_idx,
+        |  sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(features, x -> cast(x AS double) * cast(x AS double))),
+        |    (acc, x) -> acc + x)) AS feat_l2,
+        |  list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(features, x -> cast(x AS double))), (acc, x) -> acc + x) AS feat_sum
+        |FROM feats""".stripMargin,
 
     "q_knn_brute" ->
       """WITH dots AS (

@@ -77,13 +77,19 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         bytes.grouped(patchBytes).zipWithIndex.map { case (chunk, idx) =>
-          // deterministic fake "embedding": byte histogram moments per stripe
-          val feats = new Array[Float](featureDim)
+          // deterministic fake "embedding": byte histogram moments per
+          // stripe. Accumulated in double with ONE float rounding per
+          // stripe, so an engine-portable oracle can reproduce the floats
+          // exactly (sequential float += would round per byte).
+          val acc = new Array[Double](featureDim)
           var i = 0
           while (i < chunk.length) {
-            feats(i % featureDim) += (chunk(i) & 0xFF) / 255.0f
+            acc(i % featureDim) += (chunk(i) & 0xFF) / 255.0
             i += 1
           }
+          val feats = new Array[Float](featureDim)
+          var k = 0
+          while (k < featureDim) { feats(k) = acc(k).toFloat; k += 1 }
           Row(id, idx, feats.toSeq)
         }
       }
