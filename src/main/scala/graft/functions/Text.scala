@@ -125,11 +125,18 @@ object Text {
       }),
       1)
 
-  /** BPE-ish token stream: maximal runs of word chars (with inner
-    * apostrophes) or digit runs. Same RE2/Java semantics.
+  /** BPE-ish token stream: maximal runs of word chars (with one inner
+    * apostrophe group) or digit runs — `[a-z]+(?:'[a-z]+)?|[0-9]+` over the
+    * lowercased text, as a native single-pass scanner
+    * ([[graft.plans.RegexTokens]]); the regex formulation is kept as
+    * [[regexTokensRegexp]] for the spec that cross-checks the kernel.
     * `textCol` is the source column name (SQL identifier).
     */
   def regexTokens(textCol: String): Column =
+    graft.plans.TextExpressions.bpeTokens(col(textCol))
+
+  /** java.util.regex formulation of [[regexTokens]] (semantics reference). */
+  def regexTokensRegexp(textCol: String): Column =
     expr(s"regexp_extract_all(lower($textCol), \"[a-z]+(?:'[a-z]+)?|[0-9]+\", 0)")
 
   /** 64-bit SimHash over a string-array column named `shinglesCol`: per bit,

@@ -137,6 +137,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE-ish token stream (`[a-z]+(?:'[a-z]+)?|[0-9]+` over the lowercased
+  * text) as a native single-pass scanner — the pattern is regular enough
+  * that a hand scanner reproduces the regex's greedy-maximal matches
+  * exactly, without java.util.regex overhead per document.
+  */
+case class RegexTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens requires a string input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.bpeTokens($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
 
   @inline private def isSpace(c: Char): Boolean =
@@ -170,6 +197,34 @@ object TextKernels {
       i += 1
     }
     InternalRow(nTokens, punct, stop)
+  }
+
+  def bpeTokens(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // Unicode lowercase — bit-identical to Spark's lower()
+    val s = input.toLowerCase.toString
+    val out = new java.util.ArrayList[Any](32)
+    val len = s.length
+    @inline def isAlpha(c: Char) = c >= 'a' && c <= 'z'
+    @inline def isDigit(c: Char) = c >= '0' && c <= '9'
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (isAlpha(c)) {
+        val start = i
+        while (i < len && isAlpha(s.charAt(i))) i += 1
+        // one optional '[a-z]+ group, greedy — exactly [a-z]+(?:'[a-z]+)?
+        if (i + 1 < len && s.charAt(i) == '\'' && isAlpha(s.charAt(i + 1))) {
+          i += 1
+          while (i < len && isAlpha(s.charAt(i))) i += 1
+        }
+        out.add(UTF8String.fromString(s.substring(start, i)))
+      } else if (isDigit(c)) {
+        val start = i
+        while (i < len && isDigit(s.charAt(i))) i += 1
+        out.add(UTF8String.fromString(s.substring(start, i)))
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   def wordShingles(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -247,4 +302,7 @@ object TextExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def bpeTokens(text: Column): Column =
+    Bridge.column(RegexTokens(Bridge.expression(text)))
 }

@@ -35,6 +35,18 @@ class TextSpec extends SparkSpec {
     assert(one(Text.wordShingles($"text", 3), "a b") == Seq())
   }
 
+  test("native bpeTokens kernel matches the regexp_extract_all formulation") {
+    val samples = Seq(
+      "Hello, World! It's 42 degrees", "don't rock'n'roll '' 'leading trailing'",
+      "", "1234abc5678", "a'b'c''d", "UPPER lower 00x99")
+    val df = samples.toDF("text")
+      .select(
+        Text.regexTokens("text").as("native"),
+        Text.regexTokensRegexp("text").as("re"))
+      .as[(Seq[String], Seq[String])].collect()
+    df.foreach { case (n, r) => assert(n == r, s"mismatch: $n vs $r") }
+  }
+
   test("native wordShingles kernel matches the HOF formulation") {
     val samples = Seq(
       "a b c d", "a b", "", "   ", "A  B\tC\nD e", "x x x x x",
