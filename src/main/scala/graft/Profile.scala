@@ -31,7 +31,8 @@ object Profile {
       // plan audit: dump formatted plans for the headline queries and grep-
       // friendly markers (PushedFilters, BroadcastHashJoin, Exchange count)
       Seq("q1_pricing", "q_multi_join_agg", "q_sessionize", "q_dim_join",
-        "q_bucket15", "q_knn_brute", "q_minhash_lsh").foreach { name =>
+        "q_bucket15", "q_knn_brute", "q_minhash_lsh", "q_visits",
+        "q_faulted_outages", "q_interval_sweep", "q_ngram_jaccard").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))

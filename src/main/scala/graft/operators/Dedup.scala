@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -34,28 +35,26 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 1000L): DataFrame = {
-    // repartition = materialization barrier: CollapseProject would otherwise
-    // inline the shingling expression into every downstream reference
-    // (df-count filter + both self-join sides), recomputing it 3-4×. The
-    // shuffle also co-locates by shingle for the joins that follow.
     // shingles are joined/grouped only by identity, so hash them to 8-byte
-    // longs before the four downstream shuffles (~4× less shuffle volume
-    // than ~30-byte strings; collision odds at 2^64 are negligible and a
+    // longs before the downstream shuffles (~4× less shuffle volume than
+    // ~30-byte strings; collision odds at 2^64 are negligible and a
     // collision only perturbs one count)
     val posting = df
       .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("_sh"))
       .select(col("id"), xxhash64(col("_sh")).as("shingle"))
-      .repartition(col("shingle"))
-    val rare = posting
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") <= maxShingleDocFreq)
-      .select("shingle")
-    // set sizes counted over the SAME filtered shingle space as the
+    // hot-shingle suppression and per-doc set sizes as WINDOW counts, not
+    // groupBy+join-back: a join-back re-plans the posting subtree per
+    // reference (the previous formulation planned 36 exchanges / 6
+    // recomputations of the shingling scan); windows keep it single-pass.
+    // Set sizes are counted over the SAME filtered shingle space as the
     // intersection — otherwise a doc containing one hot (suppressed)
-    // shingle could never reach jaccard 1.0 even for an exact duplicate
-    val filtered = posting.join(rare, "shingle")
-    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("set_size"))
-    val sized = filtered.join(sizes, "id")
+    // shingle could never reach jaccard 1.0 even for an exact duplicate.
+    val wShingle = Window.partitionBy(col("shingle"))
+    val wDoc = Window.partitionBy(col("id"))
+    val sized = posting
+      .withColumn("df_cnt", count(lit(1)).over(wShingle))
+      .filter(col("df_cnt") <= maxShingleDocFreq)
+      .withColumn("set_size", count(lit(1)).over(wDoc))
     val a = sized.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
     val b = sized.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
     a.join(b, Seq("shingle"))

@@ -46,9 +46,19 @@ object Intervals {
     */
   def sweepActiveCount(df: DataFrame, keys: Seq[String], fromCol: String, toCol: String): DataFrame = {
     val k = keys.map(col)
-    val starts = df.select(k :+ col(fromCol).as("_pt") :+ lit(1L).as("_delta"): _*)
-    val ends = df.select(k :+ col(toCol).as("_pt") :+ lit(-1L).as("_delta"): _*)
-    val points = starts.unionAll(ends)
+    // explode, not union: a union of two projections of the same child plans
+    // as TWO full computations of the child subtree (ReuseExchange only
+    // dedupes identical exchanges) — one row → two boundary events keeps the
+    // input single-pass however expensive its lineage is
+    // one shuffle total: hash on the key alone, which satisfies BOTH the
+    // (key, _pt) aggregation's clustering and the running-sum window's —
+    // the boundary dedup and the sweep share the partitioning
+    val points = df
+      .select(k :+ explode(array(
+        struct(col(fromCol).as("_pt"), lit(1L).as("_delta")),
+        struct(col(toCol).as("_pt"), lit(-1L).as("_delta")))).as("_e"): _*)
+      .select(k :+ col("_e._pt").as("_pt") :+ col("_e._delta").as("_delta"): _*)
+      .repartition(k: _*)
       .groupBy(k :+ col("_pt"): _*).agg(sum(col("_delta")).as("_delta"))
     val w = Window.partitionBy(k: _*).orderBy(col("_pt"))
     points
