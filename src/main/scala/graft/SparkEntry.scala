@@ -178,6 +178,33 @@ object SparkEntry {
           col("total_value"))
     }),
 
+    // §2#20b batch incremental merge — int_driver_aggregates incremental
+    // branch: per-key first/last state built from the "previous runs" half
+    // of the data, merged with the "new batch" half via
+    // Incremental.mergeFirstLast; correctness oracle = the full-data
+    // aggregate (the merge must equal a from-scratch recompute)
+    "q_incremental_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val existing = ev.filter(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("ts")).as("first_seen_ts"),
+          max(col("ts")).as("last_seen_ts"),
+          min_by(col("event_type"), col("ts")).as("first_event_type"),
+          max_by(col("event_type"), col("ts")).as("last_event_type"))
+      val updates = ev.filter(col("ts") >= cutoff)
+      Incremental.mergeFirstLast(
+          existing, updates, "user_id", "ts", "event_type",
+          firstTsCol = "first_seen_ts", lastTsCol = "last_seen_ts",
+          firstValCol = "first_event_type", lastValCol = "last_event_type")
+        .select(
+          col("user_id"),
+          unix_micros(col("first_seen_ts")).as("first_seen_us"),
+          unix_micros(col("last_seen_ts")).as("last_seen_us"),
+          col("first_event_type"), col("last_event_type"))
+    }),
+
     // §2#9 per-session rollup — fact_visits.sql new_visits CTE
     "q_session_metrics" -> ((s, dir) =>
       sessionRollup(s, dir).select(
@@ -664,6 +691,33 @@ object SparkEntry {
           aggregate(col("features"), lit(0.0),
             (acc, x) => acc + x.cast("double")).as("feat_sum"))),
 
+    // §2#38 deterministic stratified sampling (hash-mod bucketing, pure
+    // scan-side filter — the 100 TB sampling pattern; modulus bucketing here
+    // so the oracle can replicate, xxhash64 bucketing in production)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(
+          Tables.events(s, dir), "event_type",
+          bucket = pmod(col("event_id"), lit(100L)), buckets = 100,
+          rates = Map("purchase" -> 50, "click" -> 20, "view" -> 5),
+          defaultRate = 10)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sampled_value"))),
+
+    // §2#39 intra-document repetition quality signal (dup-token ratio)
+    "q_repetition" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_tokens") > 0,
+            (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)))
+    }),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -726,6 +780,34 @@ object SparkEntry {
         |  lead(event_type) OVER w2 AS next_status,
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n_sampled,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sampled_value
+        |FROM events
+        |WHERE event_id % 100 < CASE event_type
+        |  WHEN 'purchase' THEN 50 WHEN 'click' THEN 20 WHEN 'view' THEN 5 ELSE 10 END
+        |GROUP BY event_type""".stripMargin,
+
+    "q_repetition" -> (
+      s"""SELECT doc_id,
+         |  cast(len($TokSql) AS bigint) AS n_tokens,
+         |  cast(len(list_distinct($TokSql)) AS bigint) AS n_distinct,
+         |  CASE WHEN len($TokSql) > 0
+         |    THEN cast(len($TokSql) - len(list_distinct($TokSql)) AS double)
+         |      / cast(len($TokSql) AS double)
+         |    ELSE 0.0 END AS dup_ratio
+         |FROM documents""".stripMargin),
+
+    // oracle = full-data recompute: the incremental merge must be
+    // indistinguishable from aggregating everything from scratch
+    "q_incremental_merge" ->
+      """SELECT user_id,
+        |  epoch_us(min(ts)) AS first_seen_us,
+        |  epoch_us(max(ts)) AS last_seen_us,
+        |  arg_min(event_type, ts) AS first_event_type,
+        |  arg_max(event_type, ts) AS last_event_type
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_visits" ->
       """WITH attempts AS (
