@@ -77,6 +77,48 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k_value"),
         col("event_type"))),
 
+    // §2#2b OCPP JSON ARRAY frame parsing — stg_ocpp_logs.sql:24: message
+    // type at [0], message id at [1], payload position depends on the type
+    // (CALL=2 → [3], CALLRESULT=3 → [2]); frames synthesized from events
+    "q_json_frame" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val msg = when(col("event_id") % 2 === 0,
+          concat(lit("[2,\""), col("event_id"), lit("\",\""), col("event_type"),
+            lit("\","), col("props"), lit("]")))
+        .otherwise(concat(lit("[3,\""), col("event_id"), lit("\","), col("props"), lit("]")))
+      ev.select(col("event_id"), msg.as("msg"))
+        .select(
+          col("event_id"),
+          get_json_object(col("msg"), "$[0]").as("message_type_id"),
+          get_json_object(col("msg"), "$[1]").as("unique_id"),
+          when(get_json_object(col("msg"), "$[0]") === "2",
+            get_json_object(col("msg"), "$[3].k"))
+            .otherwise(get_json_object(col("msg"), "$[2].k"))
+            .cast("bigint").as("k_value"))
+    }),
+
+    // §2#7c interval-scoped event enrichment with ordered array aggregation
+    // — int_connector_preparing.sql:116-189: events falling inside a status
+    // span are attached and rolled up as distinct arrays (emitted here as a
+    // sorted joined string: engine-portable and gate-hashable)
+    "q_span_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spans = ev.filter(col("event_type") === "error").select(
+        col("user_id"), col("event_id").as("span_id"),
+        col("ts").as("from_ts"),
+        (col("ts") + expr("interval 10 minutes")).as("to_ts"))
+      val other = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      other.join(spans, Seq("user_id"))
+        .filter(col("ts") >= col("from_ts") && col("ts") < col("to_ts"))
+        .groupBy(col("user_id"), col("span_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(
+            transform(sort_array(collect_list(col("event_id"))), _.cast("string")), ",")
+            .as("event_ids"))
+    }),
+
     // §2#3 dim hierarchy join + surrogate key — dim_connectors.sql shape
     "q_dim_join" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -780,6 +822,37 @@ object SparkEntry {
         |  lead(event_type) OVER w2 AS next_status,
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_json_frame" ->
+      """WITH frames AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0
+        |      THEN '[2,"' || event_id || '","' || event_type || '",' || props || ']'
+        |      ELSE '[3,"' || event_id || '",' || props || ']' END AS msg
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  json_extract_string(msg, '$[0]') AS message_type_id,
+        |  json_extract_string(msg, '$[1]') AS unique_id,
+        |  cast(CASE WHEN json_extract_string(msg, '$[0]') = '2'
+        |    THEN json_extract_string(msg, '$[3].k')
+        |    ELSE json_extract_string(msg, '$[2].k') END AS bigint) AS k_value
+        |FROM frames""".stripMargin,
+
+    "q_span_enrich" ->
+      """WITH spans AS (
+        |  SELECT user_id, event_id AS span_id, ts AS from_ts,
+        |    make_timestamp(epoch_us(ts) + 600000000) AS to_ts
+        |  FROM events WHERE event_type = 'error'
+        |), other AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type <> 'error'
+        |)
+        |SELECT o.user_id, s.span_id,
+        |  cast(count(*) AS bigint) AS n_events,
+        |  array_to_string(list_sort(list(o.event_id)), ',') AS event_ids
+        |FROM other o JOIN spans s
+        |  ON o.user_id = s.user_id AND o.ts >= s.from_ts AND o.ts < s.to_ts
+        |GROUP BY o.user_id, s.span_id""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT event_type, cast(count(*) AS bigint) AS n_sampled,
