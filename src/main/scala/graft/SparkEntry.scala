@@ -661,6 +661,32 @@ object SparkEntry {
           max(col("v")).as("max_v"))
     }),
 
+    // §2#21c TWO-level nested JSON array unnest — int_meter_values.sql:92:
+    // meterValue[] × sampledValue[] (outer group × inner measurand), double
+    // lateral explode then keyed rollup
+    "q_nested_unnest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val payload = concat(
+        lit("[{\"grp\":\"a\",\"sv\":[{\"m\":\"value\",\"v\":"), col("value").cast("string"),
+        lit("},{\"m\":\"key\",\"v\":"), col("k").cast("string"),
+        lit("}]},{\"grp\":\"b\",\"sv\":[{\"m\":\"key2\",\"v\":"), col("k").cast("string"),
+        lit("}]}]"))
+      ev.withColumn("payload", payload)
+        .select(col("event_type"),
+          explode(from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(
+            "array<struct<grp:string,sv:array<struct<m:string,v:double>>>>"))).as("mv"))
+        .select(col("event_type"), col("mv.grp").as("grp"), explode(col("mv.sv")).as("s"))
+        .select(col("event_type"), col("grp"), col("s.m").as("m"), col("s.v").as("v"))
+        .groupBy(col("event_type"), col("grp"), col("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("total_v"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+    }),
+
     // §2#33b IVF-Flat ANN (rows-only oracle)
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1337,6 +1363,23 @@ object SparkEntry {
         |SELECT event_type, m, cast(count(*) AS bigint) AS n,
         |  cast(sum(cast(v AS decimal(18,2))) AS double) AS total_v, max(v) AS max_v
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_nested_unnest" ->
+      """WITH e AS (SELECT event_type, value,
+        |    cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events),
+        |p AS (SELECT event_type,
+        |    '[{"grp":"a","sv":[{"m":"value","v":' || cast(value AS varchar) ||
+        |    '},{"m":"key","v":' || cast(k AS varchar) ||
+        |    '}]},{"grp":"b","sv":[{"m":"key2","v":' || cast(k AS varchar) ||
+        |    '}]}]' AS payload FROM e),
+        |u1 AS (SELECT event_type, unnest(cast(payload AS JSON[])) AS mv FROM p),
+        |u2 AS (SELECT event_type, mv->>'grp' AS grp,
+        |    unnest(cast(mv->'sv' AS JSON[])) AS s FROM u1),
+        |x AS (SELECT event_type, grp, s->>'m' AS m, cast(s->>'v' AS double) AS v FROM u2)
+        |SELECT event_type, grp, m, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(v AS decimal(18,2))) AS double) AS total_v,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
