@@ -773,18 +773,21 @@ object SparkEntry {
           count(lit(1)).as("n_sampled"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sampled_value"))),
 
-    // §2#39 intra-document repetition quality signal (dup-token ratio)
-    "q_repetition" -> ((s, dir) => {
-      val toks = Text.tokens(col("text"))
+    // §2#39 intra-document repetition quality signal (dup-token ratio).
+    // Token total from the native single-pass TokenStats kernel; only the
+    // distinct count needs the interpreted array pass (naively sharing one
+    // tokens() alias would inline the tokenization into both consumers —
+    // interpreted projections get no CSE).
+    "q_repetition" -> ((s, dir) =>
       Tables.documents(s, dir).select(
           col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"))
+          graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+            .getField("n_tokens").as("n_tokens"),
+          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
         .withColumn("dup_ratio",
           when(col("n_tokens") > 0,
             (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
-            .otherwise(lit(0.0)))
-    }),
+            .otherwise(lit(0.0)))),
 
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
@@ -937,8 +940,10 @@ object SparkEntry {
         |  FROM chains
         |), keyed AS (
         |  SELECT *,
-        |    CASE WHEN id_tag IS NOT NULL THEN location_id || '_' || id_tag
-        |         ELSE location_id || '_' || charger_id || '_' || port_id END AS grouping_key,
+        |    CASE WHEN id_tag IS NOT NULL
+        |         THEN 'A' || chr(1) || location_id || chr(1) || id_tag
+        |         ELSE 'U' || chr(1) || location_id || chr(1) || charger_id || chr(1) || port_id
+        |    END AS grouping_key,
         |    CASE WHEN id_tag IS NOT NULL THEN 1800000000 ELSE 120000000 END AS window_us
         |  FROM inferred
         |), flagged AS (

@@ -77,11 +77,16 @@ object Visits {
       authGapSeconds: Long = 1800L,
       anonGapSeconds: Long = 120L,
       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    // Control-char (\\u0001) separator + A/U discriminator: authenticated and anonymous key
+    // spaces must not collide even when ids contain the separator character
+    // (the reference's `location || '_' || tag` concat collides for ids
+    // containing '_'; "L1"+"7_1" vs "L1_7"+"1")
+    val sep = "\u0001"
     val keyed = df
       .withColumn("grouping_key",
         when(col(tagCol).isNotNull,
-          concat_ws("_", col(locationCol), col(tagCol)))
-          .otherwise(concat_ws("_", (col(locationCol) +: entityKeys.map(col)): _*)))
+          concat_ws(sep, lit("A"), col(locationCol), col(tagCol)))
+          .otherwise(concat_ws(sep, (lit("U") +: col(locationCol) +: entityKeys.map(col)): _*)))
       .withColumn("_window_us",
         when(col(tagCol).isNotNull, lit(authGapSeconds * 1000000L))
           .otherwise(lit(anonGapSeconds * 1000000L)))

@@ -97,7 +97,9 @@ case class TopKPerKeyExec(
       }
 
       def spill(): Unit = {
-        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        // task-local scratch space (spark.local.dir), not the JVM tmpdir —
+        // /tmp is typically a small root/tmpfs partition on YARN/K8s nodes
+        val f = Bridge.localSpillFile("graft-topk-spill")
         spillFiles += f
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))

@@ -20,9 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamUptime {
 
-  /** Start the pipeline: allocated per-day downtime deltas are appended to
-    * `deltaDir` as parquet. Read the current daily table with
-    * [[readDailyDowntime]].
+  /** Start the pipeline: allocated per-day downtime deltas are written to
+    * `deltaDir/batch_id=N` as parquet, OVERWRITING that batch's directory —
+    * foreachBatch is at-least-once, so a replayed micro-batch after a crash
+    * rewrites the same path instead of double-appending its deltas. Read
+    * the current daily table with [[readDailyDowntime]].
     */
   def run(
       gaps: Dataset[StreamHeartbeat.Gap],
@@ -31,18 +33,18 @@ object StreamUptime {
     gaps.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[StreamHeartbeat.Gap], _: Long) =>
+      .foreachBatch { (batch: Dataset[StreamHeartbeat.Gap], batchId: Long) =>
         Intervals.allocateToDays(batch.toDF(), "from_ts", "to_ts")
           .groupBy(col("key"), col("date_id"))
           .agg(sum(col("overlap_minutes")).as("downtime_minutes"))
-          .write.mode("append").parquet(deltaDir)
+          .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
         ()
       }
       .start()
 
-  /** Current daily downtime: sum of appended deltas per (key, day). */
+  /** Current daily downtime: sum of the per-batch deltas per (key, day). */
   def readDailyDowntime(spark: org.apache.spark.sql.SparkSession, deltaDir: String): DataFrame =
-    spark.read.parquet(deltaDir)
+    spark.read.option("basePath", deltaDir).parquet(s"$deltaDir/batch_id=*")
       .groupBy(col("key"), col("date_id"))
       .agg(sum(col("downtime_minutes")).as("downtime_minutes"))
 }

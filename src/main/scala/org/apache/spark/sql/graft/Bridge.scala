@@ -30,4 +30,22 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A spill file in Spark's task-local scratch space (`spark.local.dir` via
+    * the DiskBlockManager — the disks sized for shuffle/spill on a real
+    * cluster), falling back to the JVM tmpdir outside an executor context.
+    * DiskBlockManager is private[spark]; this object lives inside the
+    * org.apache.spark tree precisely for bridges like this.
+    */
+  def localSpillFile(prefix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.blockManager != null) {
+      val (_, f) = env.blockManager.diskBlockManager.createTempLocalBlock()
+      f
+    } else {
+      val f = java.io.File.createTempFile(prefix, ".spill")
+      f.deleteOnExit()
+      f
+    }
+  }
 }
