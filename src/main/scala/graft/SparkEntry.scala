@@ -341,6 +341,25 @@ object SparkEntry {
             .as("last_purchase_value"))
     }),
 
+    // §2#11c backward as-of join: each purchase picks the latest prior view
+    // by the same user (trade↔quote shape) — union + carry-forward window,
+    // one shuffle, no range join
+    "q_asof_backward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOf.asOfBackward(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+              col("value").as("view_value")),
+          Seq("user_id"), "ts", "ts", Seq("view_id", "view_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_view_id"), col("asof_view_value"))
+    }),
+
     // §2#11b full-outer merge-coalesce — fact_charge_attempts.sql
     // (two event-derived streams merged per key, fields coalesced)
     "q_fullouter_merge" -> ((s, dir) => {
@@ -1141,6 +1160,20 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
         |FROM events""".stripMargin,
+
+    "q_asof_backward" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), views AS (
+        |  SELECT user_id, ts, event_id AS view_id, value AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS ts_us,
+        |  epoch_us(v.ts) AS asof_ts_us,
+        |  v.view_id AS asof_view_id, v.view_value AS asof_view_value
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "q_fullouter_merge" ->
       """WITH s AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bounded-window event correlation (request ↔ response / as-of pick-first).
@@ -49,5 +50,56 @@ object AsOf {
         leftCols.map(col) ++
           Seq(col("_m._r_ts").as("matched_ts")) ++
           rightCols.map(c => col(s"_m._r_$c").as(s"matched_$c")): _*)
+  }
+
+  /** Backward as-of join: for each left row, the LATEST right row with the
+    * same key whose ts is <= the left row's ts (the classic trade↔quote
+    * as-of). Implemented as union + carry-forward window — NOT a range
+    * join: tag both streams, sort each key's merged timeline once, and
+    * `last(value, ignoreNulls)` carries the most recent right values onto
+    * every left row. One shuffle on the key, linear per partition,
+    * unbounded lookback for free — a range-join formulation needs a bounded
+    * window and rescans candidates per row, and at 100 TB the merged-scan
+    * form is the one that holds.
+    *
+    * Right values arrive as `asof_<col>` (null when no prior right row —
+    * left outer semantics). At equal timestamps the right row wins (<=).
+    * `rightTs` is also carried as `asof_ts`.
+    */
+  def asOfBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // the whole right row is carried as ONE struct, so a null field in the
+    // newest right row correctly overwrites an older non-null (per-column
+    // last(ignoreNulls) would resurrect stale values)
+    val rpack = struct(
+      (col(rightTs).as("_asof_ts") +: valueCols.map(c => col(c))): _*)
+    val rpackType = right.select(rpack.as("_rp")).schema("_rp").dataType
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_ts"), lit(1).as("_side"),
+        struct(leftCols.map(col): _*).as("_lrow"),
+        lit(null).cast(rpackType).as("_rp")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_ts"), lit(0).as("_side"),
+        lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
+        rpack.as("_rp")): _*)
+    // right (_side=0) sorts before left (_side=1) at equal ts → <= semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+          (col("_asof._asof_ts").as("asof_ts") +:
+            valueCols.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -29,4 +29,27 @@ class AsOfSpec extends SparkSpec {
       (11L, None, None),
       (12L, None, None)))
   }
+
+  test("asOfBackward attaches the latest right row at or before each left ts") {
+    val trades = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), // before any quote → nulls
+      (2L, 1L, "2024-01-01 10:05:00"), // exactly at quote ts → that quote (<=)
+      (3L, 1L, "2024-01-01 10:30:00"), // latest prior = 10:10
+      (4L, 2L, "2024-01-01 10:30:00")  // other key, no quotes → nulls
+    ).toDF("trade_id", "k", "s").select($"trade_id", $"k", to_timestamp($"s").as("ts"))
+    val quotes = Seq(
+      (1L, "2024-01-01 10:05:00", Some(5.0)),
+      (1L, "2024-01-01 10:10:00", None: Option[Double]) // newest value is NULL
+    ).toDF("k", "s", "px").select($"k", to_timestamp($"s").as("ts"), $"px")
+    val out = AsOf.asOfBackward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+      .select($"trade_id", $"asof_ts".cast("string"), $"asof_px")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, None, None),
+      (2L, Some("2024-01-01 10:05:00"), Some(5.0)),
+      // the newest quote wins even though its value is null — per-column
+      // carry-forward would wrongly resurrect 5.0
+      (3L, Some("2024-01-01 10:10:00"), None),
+      (4L, None, None)))
+  }
 }
