@@ -73,6 +73,83 @@ class ParityStatusSpec extends SparkSpec {
     assert(got == Seq(("CH-002", "1", "P-002", "Charging")))
   }
 
+  /** dim_drivers assembly (models/marts/dim_drivers.sql:15-60): known
+    * drivers pass through; the __UNKNOWN__ sentinel maps to one UNKNOWN
+    * dimension row, falling back to 1900-01-01 when absent.
+    */
+  private def dimDrivers(aggs: DataFrame): DataFrame = {
+    val known = aggs.filter(col("id_tag") =!= "__UNKNOWN__")
+      .withColumn("is_known_driver", lit(true))
+    val unknown = aggs.agg(
+        coalesce(
+          max(when(col("id_tag") === "__UNKNOWN__", col("first_seen_ts"))),
+          to_timestamp(lit("1900-01-01"))).as("first_seen_ts"),
+        coalesce(
+          max(when(col("id_tag") === "__UNKNOWN__", col("last_seen_ts"))),
+          to_timestamp(lit("1900-01-01"))).as("last_seen_ts"))
+      .select(
+        lit("UNKNOWN").as("id_tag"), col("first_seen_ts"), col("last_seen_ts"),
+        lit(null).cast("string").as("first_authorization_status"),
+        lit(null).cast("string").as("latest_authorization_status"),
+        lit(false).as("is_known_driver"))
+    known.unionByName(unknown)
+  }
+
+  test("dim_drivers assembles known rows and maps the sentinel to UNKNOWN (marts yml:6)") {
+    val aggs = Seq(
+      ("TAG-001", "2025-10-02 10:00:00", "2025-10-02 12:00:00", Some("Invalid"), Some("Blocked")),
+      ("__UNKNOWN__", "2025-10-02 08:00:00", "2025-10-02 09:00:00", None, None))
+      .toDF("id_tag", "f_s", "l_s", "first_authorization_status", "latest_authorization_status")
+      .withColumn("first_seen_ts", to_timestamp(col("f_s")))
+      .withColumn("last_seen_ts", to_timestamp(col("l_s")))
+      .drop("f_s", "l_s")
+    val got = dimDrivers(aggs)
+      .select(col("id_tag"), col("is_known_driver"),
+        col("first_authorization_status"), col("latest_authorization_status"),
+        col("first_seen_ts").cast("string"), col("last_seen_ts").cast("string"))
+      .as[(String, Boolean, Option[String], Option[String], String, String)]
+      .collect().toSet
+    assert(got == Set(
+      ("TAG-001", true, Some("Invalid"), Some("Blocked"),
+        "2025-10-02 10:00:00", "2025-10-02 12:00:00"),
+      ("UNKNOWN", false, None, None,
+        "2025-10-02 08:00:00", "2025-10-02 09:00:00")))
+  }
+
+  test("dim_drivers UNKNOWN row falls back to 1900-01-01 without a sentinel (marts yml:20)") {
+    val aggs = Seq(
+      ("TAG-001", "2025-10-02 10:00:00", "2025-10-02 12:00:00", Some("Accepted"), Some("Accepted")))
+      .toDF("id_tag", "f_s", "l_s", "first_authorization_status", "latest_authorization_status")
+      .withColumn("first_seen_ts", to_timestamp(col("f_s")))
+      .withColumn("last_seen_ts", to_timestamp(col("l_s")))
+      .drop("f_s", "l_s")
+    val got = dimDrivers(aggs)
+      .select(col("id_tag"), col("is_known_driver"),
+        col("first_seen_ts").cast("string"), col("last_seen_ts").cast("string"))
+      .as[(String, Boolean, String, String)].collect().toSet
+    assert(got == Set(
+      ("TAG-001", true, "2025-10-02 10:00:00", "2025-10-02 12:00:00"),
+      ("UNKNOWN", false, "1900-01-01 00:00:00", "1900-01-01 00:00:00")))
+  }
+
+  test("buffered preparing row gains next_status from new status changes (int yml:342)") {
+    // int_connector_preparing incremental: the buffered row (next_status
+    // null) is superseded by the new run's version of the SAME span
+    // (unique_id) now carrying the transition — latest-wins coalesce merge
+    val buffer = Seq(("CH-001", "1", "UID-001", "Preparing", None: Option[String]))
+      .toDF("charger_id", "connector_id", "unique_id", "status", "next_status")
+    val fresh = Seq(("CH-001", "1", "UID-001", "Preparing", Some("Charging")))
+      .toDF("charger_id", "connector_id", "unique_id", "status", "n_next_status")
+    val merged = buffer.join(fresh.withColumnRenamed("status", "n_status"),
+        Seq("charger_id", "connector_id", "unique_id"), "full_outer")
+      .select(
+        col("charger_id"), col("connector_id"), col("unique_id"),
+        coalesce(col("n_status"), col("status")).as("status"),
+        coalesce(col("n_next_status"), col("next_status")).as("next_status"))
+      .as[(String, String, String, String, Option[String])].collect().toSeq
+    assert(merged == Seq(("CH-001", "1", "UID-001", "Preparing", Some("Charging"))))
+  }
+
   private def mergeDrivers(existing: DataFrame, updates: DataFrame): DataFrame =
     Incremental.mergeFirstLast(
       existing, updates, "id_tag", "ts", "status",
