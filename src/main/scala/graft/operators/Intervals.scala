@@ -142,13 +142,19 @@ object Intervals {
       .withColumn("_prev", lag(col(tsCol), 1).over(w))
       .withColumn("_next", lead(col(tsCol), 1).over(w))
     val k = keys.map(col)
-    val mid = g.filter(col("_prev").isNotNull)
-      .select(k :+ col("_prev").as("from_ts") :+ col(tsCol).as("to_ts"): _*)
-    val leading = g.filter(col("_prev").isNull && col(tsCol) > col(monitorStartCol))
-      .select(k :+ col(monitorStartCol).as("from_ts") :+ col(tsCol).as("to_ts"): _*)
-    val trailing = g.filter(col("_next").isNull && col(tsCol) < col(monitorEndCol))
-      .select(k :+ col(tsCol).as("from_ts") :+ col(monitorEndCol).as("to_ts"): _*)
-    mid.unionAll(leading).unionAll(trailing)
+    // every row emits its (up to two) candidate gaps through ONE explode —
+    // a union of three filtered projections of `g` would plan the windowed
+    // subtree three times (ReuseExchange only dedupes identical exchanges)
+    val candidates = array(
+      when(col("_prev").isNotNull,
+        struct(col("_prev").as("from_ts"), col(tsCol).as("to_ts"))),
+      when(col("_prev").isNull && col(tsCol) > col(monitorStartCol),
+        struct(col(monitorStartCol).as("from_ts"), col(tsCol).as("to_ts"))),
+      when(col("_next").isNull && col(tsCol) < col(monitorEndCol),
+        struct(col(tsCol).as("from_ts"), col(monitorEndCol).as("to_ts"))))
+    g.select(k :+ explode(candidates).as("_gap"): _*)
+      .filter(col("_gap").isNotNull)
+      .select(k :+ col("_gap.from_ts").as("from_ts") :+ col("_gap.to_ts").as("to_ts"): _*)
       .withColumn("gap_seconds",
         (unix_micros(col("to_ts")) - unix_micros(col("from_ts"))) / lit(1000000.0))
       .filter(col("gap_seconds") > thresholdSeconds)
