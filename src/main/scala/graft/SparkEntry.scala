@@ -99,8 +99,9 @@ object SparkEntry {
 
     // §2#7c interval-scoped event enrichment with ordered array aggregation
     // — int_connector_preparing.sql:116-189: events falling inside a status
-    // span are attached and rolled up as distinct arrays (emitted here as a
-    // sorted joined string: engine-portable and gate-hashable)
+    // span are attached and rolled up as an ordered id array (ids are unique
+    // per span here; emitted as a sorted joined string: engine-portable and
+    // gate-hashable)
     "q_span_enrich" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val spans = ev.filter(col("event_type") === "error").select(
@@ -345,14 +346,18 @@ object SparkEntry {
     // by the same user (trade↔quote shape) — union + carry-forward window,
     // one shuffle, no range join
     "q_asof_backward" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      // null keys excluded on BOTH sides (and in the oracle): Spark window
+      // partitioning groups null keys together while a SQL equi-join drops
+      // them — filtering keeps the two engines' semantics aligned
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
       AsOf.asOfBackward(
           ev.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts")),
           ev.filter(col("event_type") === "view")
             .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
               col("value").as("view_value")),
-          Seq("user_id"), "ts", "ts", Seq("view_id", "view_value"))
+          Seq("user_id"), "ts", "ts", Seq("view_id", "view_value"),
+          rightTieBreakCols = Seq("view_id"))
         .select(
           col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
@@ -1163,10 +1168,11 @@ object SparkEntry {
 
     "q_asof_backward" ->
       """WITH purchases AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
         |), views AS (
         |  SELECT user_id, ts, event_id AS view_id, value AS view_value
-        |  FROM events WHERE event_type = 'view'
+        |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
         |)
         |SELECT p.event_id, p.user_id,
         |  epoch_us(p.ts) AS ts_us,

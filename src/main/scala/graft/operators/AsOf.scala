@@ -64,7 +64,9 @@ object AsOf {
     *
     * Right values arrive as `asof_<col>` (null when no prior right row —
     * left outer semantics). At equal timestamps the right row wins (<=).
-    * `rightTs` is also carried as `asof_ts`.
+    * `rightTs` is also carried as `asof_ts`. When two RIGHT rows tie on
+    * (key, ts), pass a unique right column in `rightTieBreakCols` to make
+    * the pick deterministic (the row with the LARGEST tiebreak wins).
     */
   def asOfBackward(
       left: DataFrame,
@@ -72,7 +74,8 @@ object AsOf {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
     // the whole right row is carried as ONE struct, so a null field in the
     // newest right row correctly overwrites an older non-null (per-column
@@ -90,9 +93,15 @@ object AsOf {
         col(rightTs).as("_ts"), lit(0).as("_side"),
         lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
         rpack.as("_rp")): _*)
-    // right (_side=0) sorts before left (_side=1) at equal ts → <= semantics
+    require(rightTieBreakCols.forall(valueCols.contains),
+      "rightTieBreakCols must be a subset of valueCols (they order via the carried struct)")
+    // right (_side=0) sorts before left (_side=1) at equal ts → <= semantics;
+    // tied right rows are totally ordered by the tiebreak fields (null for
+    // left rows, which sort first within their ts+side group — harmless,
+    // every left row computes its own carry)
+    val tieOrder = rightTieBreakCols.map(c => col("_rp").getField(c))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy((col("_ts") +: col("_side") +: tieOrder): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_asof", last(col("_rp"), ignoreNulls = true).over(w))

@@ -81,12 +81,18 @@ object Visits {
     // spaces must not collide even when ids contain the separator character
     // (the reference's `location || '_' || tag` concat collides for ids
     // containing '_'; "L1"+"7_1" vs "L1_7"+"1")
+    // Null-PROPAGATING concat (not concat_ws, which silently drops null
+    // elements and manufactures collisions): a null component yields a null
+    // key, and window partitioning groups all null keys together -- the
+    // same behavior the reference's SQL `||` + PARTITION BY produces.
     val sep = "\u0001"
+    def key(parts: Seq[Column]): Column =
+      concat(parts.flatMap(p => Seq(lit(sep), p)).tail: _*)
     val keyed = df
       .withColumn("grouping_key",
         when(col(tagCol).isNotNull,
-          concat_ws(sep, lit("A"), col(locationCol), col(tagCol)))
-          .otherwise(concat_ws(sep, (lit("U") +: col(locationCol) +: entityKeys.map(col)): _*)))
+          key(Seq(lit("A"), col(locationCol), col(tagCol))))
+          .otherwise(key(lit("U") +: col(locationCol) +: entityKeys.map(col))))
       .withColumn("_window_us",
         when(col(tagCol).isNotNull, lit(authGapSeconds * 1000000L))
           .otherwise(lit(anonGapSeconds * 1000000L)))

@@ -34,7 +34,9 @@ object Bridge {
   /** A spill file in Spark's task-local scratch space (`spark.local.dir` via
     * the DiskBlockManager — the disks sized for shuffle/spill on a real
     * cluster), falling back to the JVM tmpdir outside an executor context.
-    * DiskBlockManager is private[spark]; this object lives inside the
+    * `prefix` names the file only on the fallback path; executor-side files
+    * are DiskBlockManager-named (temp_local_<uuid>) like every other Spark
+    * spill. DiskBlockManager is private[spark]; this object lives inside the
     * org.apache.spark tree precisely for bridges like this.
     */
   def localSpillFile(prefix: String): java.io.File = {
