@@ -32,7 +32,9 @@ object Profile {
       // friendly markers (PushedFilters, BroadcastHashJoin, Exchange count)
       Seq("q1_pricing", "q_multi_join_agg", "q_sessionize", "q_dim_join",
         "q_bucket15", "q_knn_brute", "q_minhash_lsh", "q_visits",
-        "q_faulted_outages", "q_interval_sweep", "q_ngram_jaccard").foreach { name =>
+        "q_faulted_outages", "q_interval_sweep", "q_ngram_jaccard",
+        "q_asof_backward", "q_offline_gaps", "q_span_enrich",
+        "q_nested_unnest").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))

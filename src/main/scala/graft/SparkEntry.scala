@@ -813,6 +813,18 @@ object SparkEntry {
             (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
             .otherwise(lit(0.0)))),
 
+    // §2#40 PII-style redaction: digit runs ≥4 scrubbed (synthetic ids
+    // injected deterministically so the pass has something to redact)
+    "q_redact" -> ((s, dir) => {
+      val injected = concat(
+        col("text"), lit(" phone="), (lit(1000000L) + col("doc_id") * 7919L).cast("string"),
+        lit(" id="), col("doc_id").cast("string"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.longNumberCount(injected).cast("long").as("n_long_numbers"),
+        Text.redactLongNumbers(injected).as("redacted"))
+    }),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -914,6 +926,18 @@ object SparkEntry {
         |WHERE event_id % 100 < CASE event_type
         |  WHEN 'purchase' THEN 50 WHEN 'click' THEN 20 WHEN 'view' THEN 5 ELSE 10 END
         |GROUP BY event_type""".stripMargin,
+
+    "q_redact" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || ' phone=' || cast(1000000 + doc_id * 7919 AS varchar)
+        |      || ' id=' || cast(doc_id AS varchar) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
+        |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
+        |FROM injected""".stripMargin,
 
     "q_repetition" -> (
       s"""SELECT doc_id,

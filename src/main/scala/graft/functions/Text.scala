@@ -125,6 +125,19 @@ object Text {
       }),
       1)
 
+  /** PII-style scrubbing: replace digit runs of `minRun`+ with `marker`
+    * (phone numbers, ids, SSNs — the standard training-corpus redaction
+    * pass). Codegen'd `regexp_replace`; the pattern is RE2-compatible so an
+    * engine-portable oracle can reproduce it (DuckDB needs the 'g' flag to
+    * match Java's replace-all default).
+    */
+  def redactLongNumbers(text: Column, minRun: Int = 4, marker: String = "[NUM]"): Column =
+    regexp_replace(text, s"[0-9]{$minRun,}", marker)
+
+  /** Count of digit runs of `minRun`+ (what [[redactLongNumbers]] removes). */
+  def longNumberCount(text: Column, minRun: Int = 4): Column =
+    size(regexp_extract_all(text, lit(s"[0-9]{$minRun,}"), lit(0)))
+
   /** BPE-ish token stream: maximal runs of word chars (with one inner
     * apostrophe group) or digit runs — `[a-z]+(?:'[a-z]+)?|[0-9]+` over the
     * lowercased text, as a native single-pass scanner
