@@ -500,6 +500,19 @@ object SparkEntry {
           unix_micros(col("bucket_ts")).as("bucket_start_us"),
           col("event_type"), col("n"), col("total_value"))),
 
+    // §2#19c interval→15-min-bucket allocation with clipped partial first/
+    // last buckets — fact_interval_data.sql:165-190
+    "q_bucket_alloc" -> ((s, dir) =>
+      Intervals.allocateToBuckets(eventIntervals(s, dir), "from_ts", "to_ts", 900L)
+        .groupBy(col("user_id"), col("bucket_start"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("overlap_us")).as("total_overlap_us"))
+        .select(
+          col("user_id"),
+          unix_micros(col("bucket_start")).as("bucket_us"),
+          col("n_intervals"), col("total_overlap_us"))),
+
     // §2#19b keyed pivot — fivetran pivot_json_extract shape in
     // int_meter_values.sql: one column per measurand, fixed column set so
     // the schema is static at plan time
@@ -1348,6 +1361,28 @@ object SparkEntry {
         |FROM commissioned c LEFT JOIN downtime d
         |  ON c.user_id = d.user_id AND c.date_id = d.date_id
         |WHERE c.c_us > 0""".stripMargin,
+
+    "q_bucket_alloc" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS from_ts,
+        |    make_timestamp(epoch_us(ts) + 600000000) AS to_ts FROM events
+        |), b AS (
+        |  SELECT user_id, from_ts, to_ts,
+        |    unnest(generate_series(
+        |      make_timestamp(epoch_us(from_ts) // 900000000 * 900000000),
+        |      make_timestamp(epoch_us(to_ts) // 900000000 * 900000000),
+        |      INTERVAL 900 SECOND)) AS bucket_start
+        |  FROM iv
+        |), c AS (
+        |  SELECT user_id, bucket_start,
+        |    epoch_us(least(to_ts, bucket_start + INTERVAL 900 SECOND)) -
+        |    epoch_us(greatest(from_ts, bucket_start)) AS overlap_us
+        |  FROM b
+        |)
+        |SELECT user_id, epoch_us(bucket_start) AS bucket_us,
+        |  cast(count(*) AS bigint) AS n_intervals,
+        |  cast(sum(overlap_us) AS bigint) AS total_overlap_us
+        |FROM c WHERE overlap_us > 0 GROUP BY 1, 2""".stripMargin,
 
     "q_bucket15" ->
       """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS bucket_start_us,

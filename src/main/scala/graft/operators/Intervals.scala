@@ -93,6 +93,35 @@ object Intervals {
       .drop("_day_start", "_day_end")
   }
 
+  /** Allocate [from,to] intervals onto fixed-width epoch-aligned buckets
+    * (e.g. 900 s for the reference's 15-minute interval data): one output
+    * row per (input row, bucket touched) with the clipped overlap — the
+    * generalization of [[allocateToDays]] and the dataflow behind
+    * fact_interval_data.sql:165-190's partial first/last buckets (bucket
+    * bounds clipped to the measurement bounds). The explode is bounded by
+    * the interval's own span — never a bucket-spine cross join.
+    */
+  def allocateToBuckets(
+      df: DataFrame,
+      fromCol: String,
+      toCol: String,
+      widthSeconds: Long): DataFrame = {
+    df.filter(col(toCol) >= col(fromCol))
+      .withColumn("bucket_start",
+        explode(sequence(
+          timeBucket(col(fromCol), widthSeconds),
+          timeBucket(col(toCol), widthSeconds),
+          expr(s"interval $widthSeconds seconds"))))
+      .withColumn("_bucket_end",
+        col("bucket_start") + expr(s"interval $widthSeconds seconds"))
+      .withColumn("clipped_start", greatest(col(fromCol), col("bucket_start")))
+      .withColumn("clipped_end", least(col(toCol), col("_bucket_end")))
+      .withColumn("overlap_us",
+        unix_micros(col("clipped_end")) - unix_micros(col("clipped_start")))
+      .filter(col("overlap_us") > 0)
+      .drop("_bucket_end")
+  }
+
   /** Calendar date dimension — reference dim_dates.sql:1 (dbt_utils
     * date_spine). Generated with `sequence` + `explode` (distributed, no
     * driver loop). `day_of_week`: 1=Sunday … 7=Saturday (Spark `dayofweek`).

@@ -48,6 +48,20 @@ class IntervalsSpec extends SparkSpec {
     assert(out == Seq(("2024-01-01", 60.0), ("2024-01-02", 90.0)))
   }
 
+  test("allocateToBuckets clips partial first/last buckets to the interval bounds") {
+    // 10:07 → 10:40 over 15-min buckets: [10:07,10:15), [10:15,10:30), [10:30,10:40)
+    val df = iv((1L, "2024-01-01 10:07:00", "2024-01-01 10:40:00"))
+    val out = Intervals.allocateToBuckets(df, "from_ts", "to_ts", 900L)
+      .select($"bucket_start".cast("string"),
+        $"clipped_start".cast("string"), $"clipped_end".cast("string"),
+        ($"overlap_us" / 60000000L).cast("double"))
+      .as[(String, String, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00", "2024-01-01 10:07:00", "2024-01-01 10:15:00", 8.0),
+      ("2024-01-01 10:15:00", "2024-01-01 10:15:00", "2024-01-01 10:30:00", 15.0),
+      ("2024-01-01 10:30:00", "2024-01-01 10:30:00", "2024-01-01 10:40:00", 10.0)))
+  }
+
   test("dateSpine generates the calendar with correct fields") {
     val out = Intervals.dateSpine(spark, "2024-02-28", "2024-03-01")
     assert(out.count() == 3) // leap year: 02-28, 02-29, 03-01
