@@ -659,6 +659,93 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
+    // §2#30b MinHash+LSH with a PORTABLE hash family: the exact pipeline of
+    // q_minhash_lsh (signature mins → band buckets → bucket join → estimated
+    // Jaccard) but with md5-derived 64-bit hashes that DuckDB can replicate
+    // digit-for-digit — so the banding/bucketing/estimation math itself is
+    // oracle-checked, not just row counts. (q_minhash_lsh keeps codegen'd
+    // xxhash64 as the fast path; DuckDB has no xxhash64.)
+    "q_minhash_md5" -> ((s, dir) => {
+      val numHashes = 16
+      val bands = 4
+      val rowsPer = numHashes / bands
+      // validation slice: md5 is ~5x costlier than xxhash64, so the
+      // hash-exact check runs on a bounded sample (the whole table at the
+      // sf0.01 gate); the fast xxhash64 variant covers full-scale timing
+      val shingled = Tables.documents(s, dir).filter(col("doc_id") < 1000).select(
+        col("doc_id").as("id"),
+        explode(Text.wordShingles(col("text"), 3)).as("shingle"))
+      val hashCols = (0 until numHashes).map(i =>
+        conv(substring(md5(concat(lit(s"$i|"), col("shingle"))), 1, 16), 16, 10)
+          .cast("decimal(20,0)").as(s"_h$i"))
+      val hashed = shingled.select(col("id") +: hashCols: _*)
+      val minAggs = (0 until numHashes).map(i => min(col(s"_h$i")).as(s"_m$i"))
+      val sigs = hashed.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      val banded = sigs.select(
+          col("id"),
+          array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(",",
+                (b * rowsPer until (b + 1) * rowsPer).map(i => col(s"_m$i").cast("string")): _*)
+                .as("bucket"))): _*)).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val l = banded.toDF("id_a", "sig_a", "band", "bucket")
+      val r = banded.toDF("id_b", "sig_b", "band", "bucket")
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / numHashes).as("est_jaccard"))
+        .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    }),
+
+    // §2#31b SimHash with the portable md5 hash family: bit-sum folding,
+    // sign fingerprint (as four 16-bit chunks), chunk-bucket join and
+    // Hamming filter — the full simhash math, oracle-checked digit-for-
+    // digit (the 64-bit hash rides as two 32-bit halves so both engines
+    // can shift/mask it in plain bigint arithmetic).
+    "q_simhash_md5" -> ((s, dir) => {
+      // validation slice — see q_minhash_md5
+      val shingled = Tables.documents(s, dir).filter(col("doc_id") < 1000).select(
+        col("doc_id").as("id"),
+        explode(Text.wordShingles(col("text"), 3)).as("shingle"))
+      val hx = shingled
+        .select(col("id"), md5(col("shingle")).as("_md5"))
+        .select(col("id"),
+          conv(substring(col("_md5"), 1, 8), 16, 10).cast("long").as("hi"),
+          conv(substring(col("_md5"), 9, 8), 16, 10).cast("long").as("lo"))
+      val bitSums = (0 until 64).map { b =>
+        val src = if (b < 32) col("lo") else col("hi")
+        sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"_s$b")
+      }
+      val sums = hx.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      val chunkCols = (0 until 4).map { c =>
+        (0 until 16).map(j =>
+          when(col(s"_s${c * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"chunk$c")
+      }
+      val fp = sums.select(col("id") +: chunkCols: _*)
+      val banded = fp.select(
+          col("id"), col("chunk0"), col("chunk1"), col("chunk2"), col("chunk3"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("cidx"), col(s"chunk$c").as("piece"))): _*)).as("cp"))
+        .select(col("id"), col("chunk0"), col("chunk1"), col("chunk2"), col("chunk3"),
+          col("cp.cidx").as("cidx"), col("cp.piece").as("piece"))
+      val l = banded.toDF("id_a", "c0a", "c1a", "c2a", "c3a", "cidx", "piece")
+      val r = banded.toDF("id_b", "c0b", "c1b", "c2b", "c3b", "cidx", "piece")
+      l.join(r, Seq("cidx", "piece"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("c0a").bitwiseXOR(col("c0b"))) +
+            bit_count(col("c1a").bitwiseXOR(col("c1b"))) +
+            bit_count(col("c2a").bitwiseXOR(col("c2b"))) +
+            bit_count(col("c3a").bitwiseXOR(col("c3b")))).cast("long").as("hamming"))
+        .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+        .filter(col("hamming") <= 3)
+    }),
+
     // §2#31 SimHash near-dup (rows-only oracle)
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
@@ -1535,6 +1622,76 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
         |'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint FROM documents""".stripMargin,
+
+    "q_simhash_md5" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents WHERE doc_id < 1000),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |posting AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh),
+         |hs AS (SELECT id, md5(shingle) AS m FROM posting),
+         |hv AS (SELECT id,
+         |  cast(list_reduce(list_prepend(cast(0 AS hugeint),
+         |    list_transform(split(substring(m, 1, 8), ''),
+         |      c -> cast(strpos('0123456789abcdef', c) - 1 AS hugeint))),
+         |    (acc, x) -> acc * 16 + x) AS bigint) AS hi,
+         |  cast(list_reduce(list_prepend(cast(0 AS hugeint),
+         |    list_transform(split(substring(m, 9, 8), ''),
+         |      c -> cast(strpos('0123456789abcdef', c) - 1 AS hugeint))),
+         |    (acc, x) -> acc * 16 + x) AS bigint) AS lo
+         |  FROM hs),
+         |bits AS (SELECT id, unnest(range(0, 64)) AS b,
+         |  unnest(list_transform(range(0, 64), b ->
+         |    CASE WHEN b < 32 THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END)) AS bit
+         |  FROM hv),
+         |bs AS (SELECT id, b, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+         |chunks AS (SELECT id, b // 16 AS cidx,
+         |    cast(sum(CASE WHEN s > 0 THEN 1 << (b % 16) ELSE 0 END) AS bigint) AS piece
+         |  FROM bs GROUP BY 1, 2),
+         |fp AS (SELECT id, list(piece ORDER BY cidx) AS cs FROM chunks GROUP BY 1),
+         |banded AS (SELECT id, cs, u.c AS cidx, cs[u.c + 1] AS piece
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS c) u),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.cs AS cs_a, b.cs AS cs_b
+         |  FROM banded a JOIN banded b
+         |    ON a.cidx = b.cidx AND a.piece = b.piece AND a.id < b.id),
+         |h AS (SELECT id_a, id_b,
+         |    bit_count(xor(cs_a[1], cs_b[1])) + bit_count(xor(cs_a[2], cs_b[2])) +
+         |    bit_count(xor(cs_a[3], cs_b[3])) + bit_count(xor(cs_a[4], cs_b[4])) AS hamming
+         |  FROM p)
+         |SELECT id_a, id_b, cast(min(hamming) AS bigint) AS hamming FROM h
+         |GROUP BY 1, 2 HAVING min(hamming) <= 3""".stripMargin),
+
+    // md5-hex folded to a 64-bit unsigned decimal via hugeint — matches
+    // Spark's conv(substring(md5(x),1,16),16,10) digit-for-digit
+    "q_minhash_md5" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents WHERE doc_id < 1000),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |posting AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh),
+         |hashed AS (SELECT id,
+         |  list_transform(range(0, 16), i ->
+         |    cast(list_reduce(list_prepend(cast(0 AS hugeint),
+         |      list_transform(split(substring(md5(cast(i AS varchar) || '|' || shingle), 1, 16), ''),
+         |        c -> cast(strpos('0123456789abcdef', c) - 1 AS hugeint))),
+         |      (acc, x) -> acc * 16 + x) AS decimal(20,0))) AS hs
+         |  FROM posting),
+         |hx AS (SELECT id, unnest(range(0, 16)) AS i, unnest(hs) AS h FROM hashed),
+         |hm AS (SELECT id, i, min(h) AS m FROM hx GROUP BY 1, 2),
+         |sigs AS (SELECT id, list(m ORDER BY i) AS sig FROM hm GROUP BY 1),
+         |banded AS (SELECT id, sig, u.b AS band,
+         |    array_to_string(list_transform(list_slice(sig, u.b * 4 + 1, u.b * 4 + 4),
+         |      v -> cast(v AS varchar)), ',') AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS b) u),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |est AS (SELECT id_a, id_b,
+         |    cast(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS double) / 16
+         |      AS est_jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
+         |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin),
 
     "q_ngram_jaccard" -> (
       s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
