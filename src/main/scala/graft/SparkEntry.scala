@@ -839,6 +839,43 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
     }),
 
+    // §2#33c sign-LSH ANN with DETERMINISTIC integer hyperplanes
+    // (component(p,d) = (p*31 + d*17) % 7 - 3): the exact bucket + rerank
+    // pipeline of q_knn_lsh with arithmetic both engines reproduce exactly,
+    // so bucketing AND cosines hash-match (the RNG-hyperplane variant stays
+    // rows-only — the oracle can't replay scala.util.Random).
+    "q_knn_lsh_det" -> ((s, dir) => {
+      val planes = Array.tabulate(6, 64)((p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLsh(
+          emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6,
+          multiProbe = false, hyperplanesOverride = Some(planes))
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // §2#33d IVF ANN with DETERMINISTIC integer centroids
+    // (component(c,d) = (c*13 + d*7) % 5 - 2): cell assignment, nprobe cell
+    // search and rerank all hash-match the oracle (the k-means-trained
+    // variant stays rows-only — Lloyd iterations aren't SQL-replayable).
+    "q_knn_ivf_det" -> ((s, dir) => {
+      val centroids = Array.tabulate(8, 64)((c, d) => ((c * 13 + d * 7) % 5 - 2).toFloat)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnIvf(
+          emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+          trainedCentroids = Some(centroids))
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // §2#34b embedding near-dup with deterministic hyperplanes (see 33c)
+    "q_embed_neardup_det" -> ((s, dir) => {
+      val planes = Array.tabulate(3, 64)((p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
+      Similarity.embeddingNearDup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.25, planes = 3, hyperplanesOverride = Some(planes))
+    }),
+
     // §2#34 embedding-cosine near-dup (rows-only oracle)
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
@@ -1143,6 +1180,148 @@ object SparkEntry {
         |  list_reduce(list_prepend(cast(0.0 AS double),
         |    list_transform(features, x -> cast(x AS double))), (acc, x) -> acc + x) AS feat_sum
         |FROM feats""".stripMargin,
+
+    "q_knn_lsh_det" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> cast((p * 31 + d * 17) % 7 - 3 AS double)) AS w
+        |  FROM (SELECT unnest(range(0, 6)) AS p)
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+        |  FROM emb e, pl
+        |), codes AS (
+        |  SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), wemb AS (
+        |  SELECT e.vec_id, e.embedding, e.nv, k.bucket FROM emb e JOIN codes k USING (vec_id)
+        |), cand AS (
+        |  SELECT a.vec_id AS neighbor_id, b.vec_id AS probe_id,
+        |    a.embedding AS va, a.nv AS na, b.embedding AS vb, b.nv AS nb
+        |  FROM wemb a JOIN wemb b
+        |    ON a.bucket = b.bucket AND b.vec_id < 8 AND a.vec_id <> b.vec_id
+        |), cos AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN na * nb > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(va) + 1),
+        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
+        |      / (na * nb)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS bigint) AS rank FROM cos
+        |)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_knn_ivf_det" ->
+      """WITH cent AS (
+        |  SELECT c, list_transform(range(0, 64),
+        |    d -> cast((c * 13 + d * 7) % 5 - 2 AS double)) AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS c)
+        |), centn AS (
+        |  SELECT c, w, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(range(1, 65), i -> w[i] * w[i])), (acc, x) -> acc + x)) AS nc
+        |  FROM cent
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), vc AS (
+        |  SELECT e.vec_id, ct.c,
+        |    CASE WHEN e.nv > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(e.embedding) + 1),
+        |          i -> cast(e.embedding[i] AS double) * ct.w[i])), (acc, x) -> acc + x)
+        |      / (e.nv * ct.nc)
+        |    ELSE 0.0 END AS sim
+        |  FROM emb e, centn ct
+        |), sims AS (
+        |  SELECT vec_id, list(sim ORDER BY c) AS sims FROM vc GROUP BY vec_id
+        |), corpus AS (
+        |  SELECT e.vec_id, e.embedding, e.nv,
+        |    cast(list_indexof(s.sims, list_aggregate(s.sims, 'max')) AS bigint) AS cell
+        |  FROM emb e JOIN sims s USING (vec_id)
+        |), pc AS (
+        |  SELECT s.vec_id, unnest(range(0, 8)) AS cpos, unnest(s.sims) AS csim
+        |  FROM sims s WHERE s.vec_id < 8
+        |), pr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cpos) AS crank
+        |  FROM pc
+        |), psel AS (
+        |  SELECT pr.vec_id, e.embedding, e.nv, pr.cpos + 1 AS cell
+        |  FROM pr JOIN emb e ON pr.vec_id = e.vec_id
+        |  WHERE pr.crank <= 2
+        |), cand AS (
+        |  SELECT c.vec_id AS neighbor_id, q.vec_id AS probe_id,
+        |    c.embedding AS va, c.nv AS na, q.embedding AS vb, q.nv AS nb
+        |  FROM corpus c JOIN psel q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        |), cos AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN na * nb > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(va) + 1),
+        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
+        |      / (na * nb)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS bigint) AS rank FROM cos
+        |)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_embed_neardup_det" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> cast((p * 31 + d * 17) % 7 - 3 AS double)) AS w
+        |  FROM (SELECT unnest(range(0, 3)) AS p)
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+        |  FROM emb e, pl
+        |), codes AS (
+        |  SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), wemb AS (
+        |  SELECT e.vec_id, e.embedding, e.nv, k.bucket FROM emb e JOIN codes k USING (vec_id)
+        |), cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS va, a.nv AS na, b.embedding AS vb, b.nv AS nb
+        |  FROM wemb a JOIN wemb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN na * nb > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(va) + 1),
+        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
+        |      / (na * nb)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand
+        |)
+        |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.25""".stripMargin,
 
     "q_knn_brute" ->
       """WITH dots AS (

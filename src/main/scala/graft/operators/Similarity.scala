@@ -98,9 +98,10 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64,
       seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     requireDim(corpus, vecCol, dim)
-    val hp = hyperplanes(planes, dim, seed)
+    val hp = hyperplanesOverride.getOrElse(hyperplanes(planes, dim, seed))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
@@ -250,9 +251,10 @@ object Similarity {
       threshold: Double,
       planes: Int = 4,
       dim: Int = 64,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     requireDim(df, vecCol, dim)
-    val hp = hyperplanes(planes, dim, seed)
+    val hp = hyperplanesOverride.getOrElse(hyperplanes(planes, dim, seed))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
         Vectors.norm(col(vecCol)).as("_n"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
