@@ -35,6 +35,16 @@ class TextSpec extends SparkSpec {
     assert(one(Text.wordShingles($"text", 3), "a b") == Seq())
   }
 
+  test("redactLongNumbers scrubs runs at the threshold, leaves shorter ones") {
+    val got = Seq("call 555 or 5551234, id 123456789!")
+      .toDF("text")
+      .select(
+        Text.redactLongNumbers($"text").as("r"),
+        Text.longNumberCount($"text").as("n"))
+      .as[(String, Int)].head()
+    assert(got == ("call 555 or [NUM], id [NUM]!", 2))
+  }
+
   test("native bpeTokens kernel matches the regexp_extract_all formulation") {
     val samples = Seq(
       "Hello, World! It's 42 degrees", "don't rock'n'roll '' 'leading trailing'",
