@@ -234,8 +234,8 @@ object SparkEntry {
         .agg(
           min(col("ts")).as("first_seen_ts"),
           max(col("ts")).as("last_seen_ts"),
-          min_by(col("event_type"), col("ts")).as("first_event_type"),
-          max_by(col("event_type"), col("ts")).as("last_event_type"))
+          min_by(col("event_type"), struct(col("ts"), col("event_type"))).as("first_event_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_type"))).as("last_event_type"))
       val updates = ev.filter(col("ts") >= cutoff)
       Incremental.mergeFirstLast(
           existing, updates, "user_id", "ts", "event_type",
@@ -868,19 +868,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // §2#34b embedding near-dup with deterministic hyperplanes (see 33c)
+    // §2#34b embedding near-dup with deterministic hyperplanes (see 33c) —
+    // banded: 2 tables × 3 sign bits, same integer hyperplane family, so the
+    // band slicing AND the cosines hash-match the oracle
     "q_embed_neardup_det" -> ((s, dir) => {
-      val planes = Array.tabulate(3, 64)((p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
+      val planes = Array.tabulate(6, 64)((p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
       Similarity.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25, planes = 3, hyperplanesOverride = Some(planes))
+        threshold = 0.25, bands = 2, bandBits = 3, hyperplanesOverride = Some(planes))
     }),
 
-    // §2#34 embedding-cosine near-dup (rows-only oracle)
+    // §2#34 embedding-cosine near-dup (rows-only oracle). 4 tables × 5 bits:
+    // 32 buckets per table ≈ the sf0.1 corpus / 64 — at production scale
+    // bandBits comes from Similarity.bandBitsFor(corpusSize) instead, which
+    // keeps expected bucket size (and the Σ|bucket|² join cost) bounded.
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25, planes = 3)),
+        threshold = 0.25, bands = 4, bandBits = 5)),
 
     // §2#35 multimodal binary plumbing (decode stubbed deterministically)
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1087,14 +1092,25 @@ object SparkEntry {
          |FROM documents""".stripMargin),
 
     // oracle = full-data recompute: the incremental merge must be
-    // indistinguishable from aggregating everything from scratch
+    // indistinguishable from aggregating everything from scratch. Duplicate
+    // (user_id, ts) rows are tie-broken by event_type on BOTH sides (Spark
+    // min_by/max_by over struct(ts, val); here an explicit (ts, event_type)
+    // ordering) so the comparison is deterministic.
     "q_incremental_merge" ->
-      """SELECT user_id,
-        |  epoch_us(min(ts)) AS first_seen_us,
-        |  epoch_us(max(ts)) AS last_seen_us,
-        |  arg_min(event_type, ts) AS first_event_type,
-        |  arg_max(event_type, ts) AS last_event_type
-        |FROM events GROUP BY user_id""".stripMargin,
+      """WITH r AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rf,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rl
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, epoch_us(min(ts)) AS first_seen_us,
+        |    epoch_us(max(ts)) AS last_seen_us
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.first_seen_us, a.last_seen_us,
+        |  f.event_type AS first_event_type, l.event_type AS last_event_type
+        |FROM a JOIN r f ON a.user_id = f.user_id AND f.rf = 1
+        |JOIN r l ON a.user_id = l.user_id AND l.rl = 1""".stripMargin,
 
     "q_visits" ->
       """WITH attempts AS (
@@ -1288,7 +1304,7 @@ object SparkEntry {
       """WITH pl AS (
         |  SELECT p, list_transform(range(0, 64),
         |    d -> cast((p * 31 + d * 17) % 7 - 3 AS double)) AS w
-        |  FROM (SELECT unnest(range(0, 3)) AS p)
+        |  FROM (SELECT unnest(range(0, 6)) AS p)
         |), emb AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
@@ -1303,23 +1319,24 @@ object SparkEntry {
         |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
         |  FROM emb e, pl
         |), codes AS (
-        |  SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
-        |  FROM dots GROUP BY vec_id
-        |), wemb AS (
-        |  SELECT e.vec_id, e.embedding, e.nv, k.bucket FROM emb e JOIN codes k USING (vec_id)
+        |  SELECT vec_id, cast(p // 3 AS bigint) AS band,
+        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % 3) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id, p // 3
         |), cand AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    a.embedding AS va, a.nv AS na, b.embedding AS vb, b.nv AS nb
-        |  FROM wemb a JOIN wemb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM codes a JOIN codes b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |), cos AS (
         |  SELECT id_a, id_b,
-        |    CASE WHEN na * nb > 0 THEN
+        |    CASE WHEN ea.nv * eb.nv > 0 THEN
         |      list_reduce(list_prepend(cast(0.0 AS double),
-        |        list_transform(range(1, len(va) + 1),
-        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
-        |      / (na * nb)
+        |        list_transform(range(1, len(ea.embedding) + 1),
+        |          i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double))),
+        |        (acc, x) -> acc + x)
+        |      / (ea.nv * eb.nv)
         |    ELSE 0.0 END AS cosine
-        |  FROM cand
+        |  FROM cand JOIN emb ea ON cand.id_a = ea.vec_id
+        |            JOIN emb eb ON cand.id_b = eb.vec_id
         |)
         |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.25""".stripMargin,
 
@@ -1477,12 +1494,22 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id AS view_id, value AS view_value
         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
         |)
-        |SELECT p.event_id, p.user_id,
-        |  epoch_us(p.ts) AS ts_us,
-        |  epoch_us(v.ts) AS asof_ts_us,
-        |  v.view_id AS asof_view_id, v.view_value AS asof_view_value
-        |FROM purchases p ASOF LEFT JOIN views v
-        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+        |, won AS (
+        |  -- NOT an ASOF JOIN: DuckDB's ASOF leaves the winner unspecified when
+        |  -- two right rows share (user_id, ts); the Spark side deterministically
+        |  -- keeps the largest view_id (rightTieBreakCols), so the oracle picks
+        |  -- the winning row explicitly (max ts, then max view_id)
+        |  SELECT p.event_id, p.user_id, p.ts, v.ts AS vts, v.view_id, v.view_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC NULLS LAST, v.view_id DESC NULLS LAST) AS rn
+        |  FROM purchases p LEFT JOIN views v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts
+        |)
+        |SELECT event_id, user_id,
+        |  epoch_us(ts) AS ts_us,
+        |  epoch_us(vts) AS asof_ts_us,
+        |  view_id AS asof_view_id, view_value AS asof_view_value
+        |FROM won WHERE rn = 1""".stripMargin,
 
     "q_fullouter_merge" ->
       """WITH s AS (

@@ -42,18 +42,28 @@ object Dedup {
     val posting = df
       .select(col(idCol).as("id"), explode(Text.wordShingles(col(textCol), n)).as("_sh"))
       .select(col("id"), xxhash64(col("_sh")).as("shingle"))
-    // hot-shingle suppression and per-doc set sizes as WINDOW counts, not
-    // groupBy+join-back: a join-back re-plans the posting subtree per
-    // reference (the previous formulation planned 36 exchanges / 6
-    // recomputations of the shingling scan); windows keep it single-pass.
-    // Set sizes are counted over the SAME filtered shingle space as the
-    // intersection — otherwise a doc containing one hot (suppressed)
+    // hot-shingle suppression via a map-side-combined groupBy + BROADCAST
+    // anti-join, NOT a window over the shingle key: a window has no partial
+    // aggregation, so every occurrence of a stopword shingle would cross the
+    // network into ONE task just to be counted and discarded — the exact hot
+    // key the cap exists to suppress would bottleneck a stage earlier. The
+    // groupBy collapses hot keys map-side; the surviving hot set is tiny by
+    // definition (df_cnt > maxShingleDocFreq ⇒ at most |postings|/max such
+    // shingles), so the anti-join is a broadcast hash join that does NOT
+    // re-plan or reshuffle the big posting side. Cost: one recompute of the
+    // cheap shingling scan for the count pass.
+    val hotShingles = posting
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxShingleDocFreq)
+      .select(col("shingle"))
+    // Per-doc set sizes are counted over the SAME filtered shingle space as
+    // the intersection — otherwise a doc containing one hot (suppressed)
     // shingle could never reach jaccard 1.0 even for an exact duplicate.
-    val wShingle = Window.partitionBy(col("shingle"))
+    // The doc-id window is fine at scale: high-cardinality partition key.
     val wDoc = Window.partitionBy(col("id"))
     val sized = posting
-      .withColumn("df_cnt", count(lit(1)).over(wShingle))
-      .filter(col("df_cnt") <= maxShingleDocFreq)
+      .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .withColumn("set_size", count(lit(1)).over(wDoc))
     val a = sized.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
     val b = sized.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))

@@ -41,10 +41,16 @@ object Incremental {
       col(keyCol), col(lastTsCol).as(tsCol), col(lastValCol).as(valCol))
     val all = replayFirst.unionAll(replayLast).unionAll(
       updates.select(col(keyCol), col(tsCol), col(valCol)))
+    // tie-break on (ts, val), not ts alone: min_by/max_by keep an arbitrary
+    // row on duplicate timestamps, which would make merge-vs-recompute (and
+    // Spark-vs-oracle) comparisons flaky whenever two events share a ts —
+    // ordering by the struct makes the kept value deterministic under any
+    // partitioning, and the oracle mirrors it with arg_min/arg_max over the
+    // same composite
     all.groupBy(col(keyCol)).agg(
       min(col(tsCol)).as(firstTsCol),
       max(col(tsCol)).as(lastTsCol),
-      min_by(col(valCol), col(tsCol)).as(firstValCol),
-      max_by(col(valCol), col(tsCol)).as(lastValCol))
+      min_by(col(valCol), struct(col(tsCol), col(valCol))).as(firstValCol),
+      max_by(col(valCol), struct(col(tsCol), col(valCol))).as(lastValCol))
   }
 }

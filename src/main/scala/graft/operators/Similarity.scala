@@ -57,21 +57,18 @@ object Similarity {
     Array.fill(planes, dim)(rng.nextGaussian())
   }
 
-  /** Fail fast if the declared `dim` does not match the data. A mismatch
-    * would make `float_dot` return null for every vector×hyperplane pair, so
-    * every row would silently hash to bucket 0 and the LSH join would
-    * degenerate to a full quadratic self-join. One `limit(1)` job on the
-    * driver is cheap insurance against that.
+  /** Lazy per-row dim guard. A dim mismatch would make `float_dot` return
+    * null for every vector×hyperplane pair, so every row would silently hash
+    * to bucket 0 and the LSH join would degenerate to a full quadratic
+    * self-join. Raising from inside the projection (rather than an eager
+    * `head(1)` job at construction time) keeps explain-only paths and
+    * streaming inputs job-free AND covers every row, not one sampled row —
+    * mixed-dimension data fails loudly instead of skewing to bucket 0.
     */
-  private def requireDim(df: DataFrame, vecCol: String, dim: Int): Unit = {
-    val sampled = df.select(size(col(vecCol)).as("d")).filter(col("d") >= 0).head(1)
-    sampled.headOption.foreach { r =>
-      val actual = r.getInt(0)
-      require(actual == dim,
-        s"declared embedding dim=$dim but column '$vecCol' has $actual elements; " +
-          "pass the correct dim= so LSH hyperplanes match the data")
-    }
-  }
+  private def checkedDim(vec: org.apache.spark.sql.Column, dim: Int) =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"embedding dim mismatch: LSH hyperplanes declared dim=$dim but vector has "),
+      size(vec).cast("string"), lit(" elements"))))
 
   /** Sign-bucket code for a vector column under the given hyperplanes. */
   private def bucketCode(vec: org.apache.spark.sql.Column, hp: Array[Array[Double]]) = {
@@ -100,9 +97,9 @@ object Similarity {
       seed: Long = 42L,
       multiProbe: Boolean = true,
       hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
-    requireDim(corpus, vecCol, dim)
     val hp = hyperplanesOverride.getOrElse(hyperplanes(planes, dim, seed))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        checkedDim(col(vecCol), dim).as("_v"),
         Vectors.norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", bucketCode(col("_v"), hp))
     // multi-probe: each probe also searches every 1-bit-flip neighbor
@@ -112,7 +109,8 @@ object Similarity {
       if (multiProbe)
         explode(array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*))
       else explode(array(lit(0L)))
-    val p = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+        checkedDim(col(probeVecCol), dim).as("_p"),
         Vectors.norm(col(probeVecCol)).as("_np"))
       .withColumn("_flip", probeBuckets)
       .withColumn("bucket", bucketCode(col("_p"), hp).bitwiseXOR(col("_flip")))
@@ -240,31 +238,79 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, candidates from
-    * LSH sign buckets (all 1-plane-relaxations included via multi-probe:
-    * exact bucket only here; duplicates suppressed by id ordering).
+  /** `bandBits` for a target expected bucket size: buckets per table =
+    * 2^bandBits ≈ corpusSize / targetBucketSize, so the candidate join cost
+    * Σ_bucket |bucket|² ≈ bands · corpusSize · targetBucketSize stays LINEAR
+    * in corpus size instead of quadratic-within-few-buckets.
+    */
+  def bandBitsFor(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val bits = math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(20, math.max(1, bits))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`.
+    *
+    * Candidate generation is BANDED sign-LSH — `bands` independent hash
+    * tables of `bandBits` hyperplanes each (the same table-OR construction
+    * [[graft.operators.Dedup.minhashLsh]] uses for signatures): a pair is a
+    * candidate if all `bandBits` signs agree in ANY band. All
+    * `bands·bandBits` dots are computed in one projection and packed into a
+    * single 64-bit code; band buckets are shift/mask slices of it.
+    *
+    * Scale bound (the reason for banding instead of one wide-or-narrow
+    * table): per band the join cost is Σ_bucket |bucket|² with 2^bandBits
+    * buckets, so the expected candidate volume on spread-out data is
+    * bands·N²/2^bandBits — pick `bandBits` ≈ log2(N / targetBucketSize) via
+    * [[bandBitsFor]] to keep expected bucket size (and per-bucket skew)
+    * bounded as the corpus grows; recall is recovered through the band OR:
+    * P(candidate) = 1 − (1 − p^bandBits)^bands for per-plane agreement p.
+    * A single 4-plane table (the r2 formulation) had only 16 buckets —
+    * quadratic within ~N/16-sized buckets and a 16-way skewed shuffle at
+    * 100 TB; banding removes that shape entirely.
     */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 4,
+      bands: Int = 4,
+      bandBits: Int = 16,
       dim: Int = 64,
       seed: Long = 7L,
       hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
-    requireDim(df, vecCol, dim)
-    val hp = hyperplanesOverride.getOrElse(hyperplanes(planes, dim, seed))
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("_v"),
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      s"bands*bandBits must fit a long: got $bands*$bandBits")
+    val hp = hyperplanesOverride.getOrElse(hyperplanes(bands * bandBits, dim, seed))
+    require(hp.length == bands * bandBits,
+      s"need ${bands * bandBits} hyperplanes, got ${hp.length}")
+    val mask = (1L << bandBits) - 1L
+    // the packed code is referenced once per band; let-bind it through a
+    // single-element transform so CollapseProject cannot inline the
+    // bands·bandBits-dot expression into every band slice (interpreted
+    // projections get no CSE — see RewriteHofDot notes)
+    val bandStructs = element_at(
+      transform(array(bucketCode(col("_v"), hp)), code =>
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(code, b * bandBits).bitwiseAND(lit(mask)).as("bucket"))): _*)), 1)
+    val v = df.select(col(idCol).as("id"),
+        checkedDim(col(vecCol), dim).as("_v"),
         Vectors.norm(col(vecCol)).as("_n"))
-      .withColumn("bucket", bucketCode(col("_v"), hp))
-    val a = v.toDF("id_a", "_va", "_na", "bucket")
-    val b = v.toDF("id_b", "_vb", "_nb", "bucket")
+      .withColumn("bb", explode(bandStructs))
+      .select(col("id"), col("_v"), col("_n"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = v.toDF("id_a", "_va", "_na", "band", "bucket")
+    val b = v.toDF("id_b", "_vb", "_nb", "band", "bucket")
     val nn = col("_na") * col("_nb")
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         when(nn > 0, Vectors.dot(col("_va"), col("_vb")) / nn).otherwise(lit(0.0)))
+      // a pair meeting in several bands has the same cosine each time — the
+      // group-max is pure dedup, same shape as minhashLsh's est_jaccard max
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -42,9 +42,25 @@ object StreamUptime {
       }
       .start()
 
-  /** Current daily downtime: sum of the per-batch deltas per (key, day). */
-  def readDailyDowntime(spark: org.apache.spark.sql.SparkSession, deltaDir: String): DataFrame =
-    spark.read.option("basePath", deltaDir).parquet(s"$deltaDir/batch_id=*")
-      .groupBy(col("key"), col("date_id"))
-      .agg(sum(col("downtime_minutes")).as("downtime_minutes"))
+  /** Current daily downtime: sum of the per-batch deltas per (key, day).
+    * Before any micro-batch has committed there are no `batch_id=N`
+    * directories yet — return an empty daily table instead of letting the
+    * glob read throw a path-not-found AnalysisException.
+    */
+  def readDailyDowntime(spark: org.apache.spark.sql.SparkSession, deltaDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (!hasBatches) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key string, date_id date, downtime_minutes double"))
+    } else {
+      spark.read.option("basePath", deltaDir).parquet(s"$deltaDir/batch_id=*")
+        .groupBy(col("key"), col("date_id"))
+        .agg(sum(col("downtime_minutes")).as("downtime_minutes"))
+    }
+  }
 }

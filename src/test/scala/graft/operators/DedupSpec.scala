@@ -26,6 +26,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccard counts doc frequency with a partial aggregate, not a shingle window") {
+    val df = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, maxShingleDocFreq = 1000L)
+    df.collect() // finalize the adaptive plan before asserting on it
+    val plan = df.queryExecution.executedPlan.toString
+    // a window over the shingle key has no map-side combine: every occurrence
+    // of a hot (stopword) shingle would cross the network into one task just
+    // to be discarded — the formulation under test must not contain one
+    assert(!plan.contains("windowspecdefinition(shingle"),
+      s"hot-shingle suppression regressed to a window over the shingle key:\n$plan")
+    // the doc-frequency count must be a real aggregate on the shingle key
+    // (partial mode collapses hot keys map-side before the shuffle) ...
+    assert(plan.contains("partial_count"), s"no partial aggregate on the DF-count path:\n$plan")
+    // ... and the tiny hot set must come back as a broadcast anti-join that
+    // does not reshuffle the posting list
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"hot set is not applied as a broadcast anti-join:\n$plan")
+  }
+
+  test("ngramJaccard hot-shingle cap: exact dups still reach jaccard 1.0 after suppression") {
+    // cap=2 suppresses every shingle shared by docs 1, 2 and 4 (df=3) but
+    // keeps the df=2 shingles of the exact-dup pair (1,4); since set sizes
+    // are counted over the SAME filtered space, (1,4) must still score 1.0
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, maxShingleDocFreq = 2L)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = out.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 1.0)
+  }
+
   test("minhashLsh surfaces near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)

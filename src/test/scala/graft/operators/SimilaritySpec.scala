@@ -41,9 +41,37 @@ class SimilaritySpec extends SparkSpec {
 
   test("embeddingNearDup finds the near-identical pair") {
     val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
-        threshold = 0.9, planes = 2, dim = 4)
+        threshold = 0.9, bands = 2, bandBits = 2, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
     assert(!out.contains((1L, 4L)))
+  }
+
+  test("embeddingNearDup emits each pair once even when it collides in several bands") {
+    // identical vectors collide in EVERY band; the group-max dedup must
+    // collapse the per-band hits to one output row
+    val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.9, bands = 3, bandBits = 2, dim = 4)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("embeddingNearDup dim mismatch fails loudly instead of bucketing to 0") {
+    val bad = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.embeddingNearDup(bad, "vec_id", "embedding",
+        threshold = 0.5, bands = 1, bandBits = 2, dim = 4).collect()
+    }
+    assert(ex.getMessage.contains("dim mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dim mismatch")))
+  }
+
+  test("bandBitsFor bounds expected bucket size as the corpus grows") {
+    assert(Similarity.bandBitsFor(1L << 20, 1024L) == 10)   // 1M / 1k buckets
+    assert(Similarity.bandBitsFor(2000L, 1024L) == 1)
+    assert(Similarity.bandBitsFor(100L, 1024L) == 1)        // floor at 1 bit
+    assert(Similarity.bandBitsFor(1L << 40, 1024L) == 20)   // capped
   }
 }
