@@ -40,6 +40,37 @@ object SparkEntry {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
         max(struct(col("ts"), col("event_id"), col("event_type"))).as("_last")))
 
+  /** The reference's visit semantic model (semantic_models.yml:97-145 +
+    * metrics:310-375) declared once: measures over a fact_visits-shaped
+    * frame (`is_successful`, `n_events` per visit), simple + ratio metrics
+    * over them. Public so specs can re-instantiate the SAME declarations
+    * over different dimension sets.
+    */
+  def visitSemanticModel: graft.metrics.SemanticModel = {
+    import graft.metrics._
+    SemanticModel(
+      measures = Seq(
+        Measure("visits_count", MeasureAgg.Count, col("session_seq")),
+        Measure("charge_attempts_count", MeasureAgg.Sum, col("n_events")),
+        Measure("first_attempt_success_count", MeasureAgg.SumBoolean,
+          col("is_successful") && col("n_events") === 1L),
+        Measure("troubled_success_count", MeasureAgg.SumBoolean,
+          col("is_successful") && col("n_events") > 1L),
+        // yml: agg count, expr "case when is_successful then null else visit_id"
+        Measure("failed_visits_count", MeasureAgg.Count,
+          when(!col("is_successful"), col("session_seq")))),
+      metrics = Seq(
+        SimpleMetric("total_visits", "visits_count"),
+        SimpleMetric("total_charge_attempts", "charge_attempts_count"),
+        RatioMetric("average_attempts_per_visit", "total_charge_attempts", "total_visits"),
+        SimpleMetric("first_attempt_success", "first_attempt_success_count"),
+        SimpleMetric("troubled_success", "troubled_success_count"),
+        SimpleMetric("failed_visits", "failed_visits_count"),
+        RatioMetric("first_attempt_success_rate", "first_attempt_success", "total_visits"),
+        RatioMetric("troubled_success_rate", "troubled_success", "total_visits"),
+        RatioMetric("failed_rate", "failed_visits", "total_visits")))
+  }
+
   /** DuckDB fragment: whitespace tokens of `text`, lowercased, no empties. */
   private val TokSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
@@ -55,6 +86,58 @@ object SparkEntry {
       |  SELECT *, cast(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS UNBOUNDED PRECEDING) AS bigint) AS session_seq
       |  FROM lagged
+      |)""".stripMargin
+
+  /** DuckDB fragment: the full uptime pipeline (commissioned spans →
+    * heartbeat gaps → daily allocation → per (user, day) uptime ratio) as a
+    * WITH chain ending in CTE `uptime(user_id, date_id, uptime)` — shared by
+    * the q_uptime oracle and the metric-layer oracle's average_uptime.
+    */
+  private val UptimeSql =
+    """WITH spans AS (SELECT user_id, min(ts) AS c_start, max(ts) AS c_end FROM events GROUP BY 1),
+      |cdays AS (
+      |  SELECT user_id, c_start, c_end,
+      |    cast(unnest(generate_series(cast(date_trunc('day', c_start) AS timestamp),
+      |      cast(date_trunc('day', c_end) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+      |  FROM spans
+      |), commissioned AS (
+      |  SELECT user_id, date_id,
+      |    epoch_us(least(c_end, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+      |    epoch_us(greatest(c_start, cast(date_id AS timestamp))) AS c_us
+      |  FROM cdays
+      |), g AS (
+      |  SELECT e.user_id, e.ts, lag(e.ts) OVER w AS prev, lead(e.ts) OVER w AS nxt,
+      |    s.c_start, s.c_end
+      |  FROM events e JOIN spans s ON e.user_id = s.user_id
+      |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+      |), gaps AS (
+      |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g WHERE prev IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, c_start, ts FROM g WHERE prev IS NULL AND ts > c_start
+      |  UNION ALL
+      |  SELECT user_id, ts, c_end FROM g WHERE nxt IS NULL AND ts < c_end
+      |), big_gaps AS (
+      |  SELECT user_id, from_ts, to_ts FROM gaps
+      |  WHERE (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 > 3600
+      |), gdays AS (
+      |  SELECT user_id, from_ts, to_ts,
+      |    cast(unnest(generate_series(cast(date_trunc('day', from_ts) AS timestamp),
+      |      cast(date_trunc('day', to_ts) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+      |  FROM big_gaps
+      |), downtime AS (
+      |  SELECT user_id, date_id, sum(
+      |    epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+      |    epoch_us(greatest(from_ts, cast(date_id AS timestamp)))) AS d_us
+      |  FROM gdays
+      |  WHERE epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+      |        epoch_us(greatest(from_ts, cast(date_id AS timestamp))) > 0
+      |  GROUP BY 1, 2
+      |), uptime AS (
+      |  SELECT c.user_id, c.date_id,
+      |    cast(c.c_us - coalesce(d.d_us, 0) AS double) / cast(c.c_us AS double) AS uptime
+      |  FROM commissioned c LEFT JOIN downtime d
+      |    ON c.user_id = d.user_id AND c.date_id = d.date_id
+      |  WHERE c.c_us > 0
       |)""".stripMargin
 
   // ---- queries ----------------------------------------------------------
@@ -280,6 +363,42 @@ object SparkEntry {
             .as("failed_rate"),
           round(col("total_attempts").cast("double") / col("total_visits"), 6)
             .as("avg_attempts_per_visit"))),
+
+    // §2#10b declarative metric layer — semantic_models.yml:310-383: the
+    // reference's 10 metrics (6 simple + 4 ratio, incl. average_uptime)
+    // declared ONCE as measures/metrics and instantiated over a dimension
+    // here; MetricsSpec proves the same declarations re-instantiate over a
+    // different grain unchanged. One aggregation pass per semantic model
+    // (visit grain + uptime grain), joined on the dimension.
+    "q_metric_layer" -> ((s, dir) => {
+      import graft.metrics._
+      val visits = sessionRollup(s, dir)
+        .withColumn("is_successful", col("_last.event_type") === "purchase")
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      val visitMetrics = visitSemanticModel.query(
+        visits, Seq(col("cohort")),
+        Seq("total_visits", "total_charge_attempts", "average_attempts_per_visit",
+          "first_attempt_success", "troubled_success", "failed_visits",
+          "first_attempt_success_rate", "troubled_success_rate", "failed_rate"))
+      // uptime semantic model (yml:296-309): average_uptime over the
+      // fact_uptime-shaped frame. The ratio is quantized to 2^-40 by BINARY
+      // scaling (floor(x*2^40)/2^40): multiplying/dividing by a power of two
+      // and floor are exact IEEE ops, every quantized value is k/2^40 with
+      // k < 2^40, so partial double sums stay exact (< 2^53) — the mean is
+      // association-order-free and bit-identical across engines (a decimal
+      // cast is NOT: double→decimal rounds the shortest string repr in
+      // Spark but the binary value in DuckDB, which diverges near ties)
+      val q = lit(1099511627776.0) // 2^40
+      val uptime = queries("q_uptime")(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      val uptimeModel = SemanticModel(
+        measures = Seq(Measure("uptime_average", MeasureAgg.Average,
+          floor(col("uptime") * q) / q)),
+        metrics = Seq(SimpleMetric("average_uptime", "uptime_average")))
+      val uptimeMetrics =
+        uptimeModel.query(uptime, Seq(col("cohort")), Seq("average_uptime"))
+      visitMetrics.join(uptimeMetrics, Seq("cohort"), "left")
+    }),
 
     // §2#11 bounded-window correlation — int_transactions.sql req↔conf
     "q_event_correlate" -> ((s, dir) => {
@@ -967,6 +1086,30 @@ object SparkEntry {
         Text.redactLongNumbers(injected).as("redacted"))
     }),
 
+    // §2#41 data-quality assertion layer — marts.yml:10-31 schema tests
+    // (not_null / unique / accepted_values / relationships) as production
+    // operators emitting ONE violations report. Violations are seeded
+    // deterministically (nulled segments, duplicated keys, a truncated
+    // parent set) so every check type reports a non-zero count the oracle
+    // reproduces.
+    "q_quality_checks" -> ((s, dir) => {
+      val customers = Tables.customer(s, dir)
+      val seeded = customers.select(
+          col("c_custkey"),
+          when(col("c_custkey") % 97 =!= 0, col("c_mktsegment")).as("segment"),
+          col("c_nationkey"))
+        .unionAll(customers.filter(col("c_custkey") <= 5).select(
+          col("c_custkey"), col("c_mktsegment").as("segment"), col("c_nationkey")))
+      val parent = Tables.nation(s, dir).filter(col("n_nationkey") < 20)
+      Checks.violations(seeded, Seq(
+        Checks.NotNull("segment"),
+        Checks.NotNull("c_custkey"),
+        Checks.Unique(Seq("c_custkey")),
+        Checks.AcceptedValues("segment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY")),
+        Checks.Relationships("c_nationkey", parent, "n_nationkey", "nation20")))
+    }),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1080,6 +1223,37 @@ object SparkEntry {
         |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
         |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
         |FROM injected""".stripMargin,
+
+    "q_quality_checks" ->
+      """WITH seeded AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 97 <> 0 THEN c_mktsegment END AS segment,
+        |    c_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer WHERE c_custkey <= 5
+        |)
+        |SELECT 'not_null' AS check_type, 'segment' AS target,
+        |  cast(count(CASE WHEN segment IS NULL THEN 1 END) AS bigint) AS violations
+        |FROM seeded
+        |UNION ALL
+        |SELECT 'not_null', 'c_custkey',
+        |  cast(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS bigint) FROM seeded
+        |UNION ALL
+        |SELECT 'unique', 'c_custkey',
+        |  cast((SELECT count(*) FROM (
+        |    SELECT c_custkey FROM seeded WHERE c_custkey IS NOT NULL
+        |    GROUP BY 1 HAVING count(*) > 1)) AS bigint)
+        |UNION ALL
+        |SELECT 'accepted_values', 'segment',
+        |  cast(count(CASE WHEN segment IS NOT NULL AND segment NOT IN
+        |    ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY') THEN 1 END) AS bigint)
+        |FROM seeded
+        |UNION ALL
+        |SELECT 'relationships', 'c_nationkey->nation20.n_nationkey',
+        |  cast(count(*) AS bigint) FROM seeded
+        |WHERE c_nationkey IS NOT NULL
+        |  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)""".stripMargin,
 
     "q_repetition" -> (
       s"""SELECT doc_id,
@@ -1447,6 +1621,53 @@ object SparkEntry {
         |  round(cast(total_attempts AS double) / total_visits, 6) AS avg_attempts_per_visit
         |FROM agg""".stripMargin),
 
+    // same metric definitions as the Spark semantic model, written out by
+    // hand: visit metrics from the session rollup, average_uptime from the
+    // shared uptime CTE chain, joined on the cohort dimension
+    "q_metric_layer" -> (UptimeSql + ", " +
+      SessSql.stripPrefix("WITH ") +
+      """, per_session AS (
+        |  SELECT user_id, session_seq, cast(count(*) AS bigint) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN event_type END) = 'purchase' AS is_successful
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM sess)
+        |  GROUP BY user_id, session_seq
+        |), vm AS (
+        |  SELECT user_id % 10 AS cohort,
+        |    cast(count(session_seq) AS bigint) AS total_visits,
+        |    cast(sum(n_events) AS bigint) AS total_charge_attempts,
+        |    cast(sum(CASE WHEN is_successful AND n_events = 1 THEN 1 ELSE 0 END) AS bigint)
+        |      AS first_attempt_success,
+        |    cast(sum(CASE WHEN is_successful AND n_events > 1 THEN 1 ELSE 0 END) AS bigint)
+        |      AS troubled_success,
+        |    cast(count(CASE WHEN is_successful THEN NULL ELSE session_seq END) AS bigint)
+        |      AS failed_visits
+        |  FROM per_session GROUP BY 1
+        |), um AS (
+        |  -- binary 2^-40 quantization: floor/×2^40/÷2^40 are exact IEEE ops,
+        |  -- so the double sum is exact and order-free — matches Spark bitwise
+        |  SELECT user_id % 10 AS cohort,
+        |    sum(floor(uptime * 1099511627776) / 1099511627776)
+        |      / cast(count(uptime) AS double) AS average_uptime
+        |  FROM uptime GROUP BY 1
+        |)
+        |SELECT vm.cohort, total_visits, total_charge_attempts,
+        |  CASE WHEN total_visits <> 0 THEN
+        |    cast(total_charge_attempts AS double) / cast(total_visits AS double) END
+        |    AS average_attempts_per_visit,
+        |  first_attempt_success, troubled_success, failed_visits,
+        |  CASE WHEN total_visits <> 0 THEN
+        |    cast(first_attempt_success AS double) / cast(total_visits AS double) END
+        |    AS first_attempt_success_rate,
+        |  CASE WHEN total_visits <> 0 THEN
+        |    cast(troubled_success AS double) / cast(total_visits AS double) END
+        |    AS troubled_success_rate,
+        |  CASE WHEN total_visits <> 0 THEN
+        |    cast(failed_visits AS double) / cast(total_visits AS double) END
+        |    AS failed_rate,
+        |  um.average_uptime
+        |FROM vm LEFT JOIN um ON vm.cohort = um.cohort""".stripMargin),
+
     "q_event_correlate" ->
       """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
         |p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts, value AS p_value
@@ -1609,52 +1830,7 @@ object SparkEntry {
         |SELECT user_id, date_id, overlap_us / 60000000.0 AS minutes
         |FROM clipped WHERE overlap_us > 0""".stripMargin,
 
-    "q_uptime" ->
-      """WITH spans AS (SELECT user_id, min(ts) AS c_start, max(ts) AS c_end FROM events GROUP BY 1),
-        |cdays AS (
-        |  SELECT user_id, c_start, c_end,
-        |    cast(unnest(generate_series(cast(date_trunc('day', c_start) AS timestamp),
-        |      cast(date_trunc('day', c_end) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
-        |  FROM spans
-        |), commissioned AS (
-        |  SELECT user_id, date_id,
-        |    epoch_us(least(c_end, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
-        |    epoch_us(greatest(c_start, cast(date_id AS timestamp))) AS c_us
-        |  FROM cdays
-        |), g AS (
-        |  SELECT e.user_id, e.ts, lag(e.ts) OVER w AS prev, lead(e.ts) OVER w AS nxt,
-        |    s.c_start, s.c_end
-        |  FROM events e JOIN spans s ON e.user_id = s.user_id
-        |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
-        |), gaps AS (
-        |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g WHERE prev IS NOT NULL
-        |  UNION ALL
-        |  SELECT user_id, c_start, ts FROM g WHERE prev IS NULL AND ts > c_start
-        |  UNION ALL
-        |  SELECT user_id, ts, c_end FROM g WHERE nxt IS NULL AND ts < c_end
-        |), big_gaps AS (
-        |  SELECT user_id, from_ts, to_ts FROM gaps
-        |  WHERE (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 > 3600
-        |), gdays AS (
-        |  SELECT user_id, from_ts, to_ts,
-        |    cast(unnest(generate_series(cast(date_trunc('day', from_ts) AS timestamp),
-        |      cast(date_trunc('day', to_ts) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
-        |  FROM big_gaps
-        |), downtime AS (
-        |  SELECT user_id, date_id, sum(
-        |    epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
-        |    epoch_us(greatest(from_ts, cast(date_id AS timestamp)))) AS d_us
-        |  FROM gdays
-        |  WHERE epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
-        |        epoch_us(greatest(from_ts, cast(date_id AS timestamp))) > 0
-        |  GROUP BY 1, 2
-        |)
-        |SELECT c.user_id, c.date_id,
-        |  cast(c.c_us - coalesce(d.d_us, 0) AS double) / cast(c.c_us AS double) AS uptime
-        |FROM commissioned c LEFT JOIN downtime d
-        |  ON c.user_id = d.user_id AND c.date_id = d.date_id
-        |WHERE c.c_us > 0""".stripMargin,
-
+    "q_uptime" -> (UptimeSql + "\nSELECT user_id, date_id, uptime FROM uptime"),
     "q_bucket_alloc" ->
       """WITH iv AS (
         |  SELECT user_id, ts AS from_ts,
