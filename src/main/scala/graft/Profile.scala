@@ -34,7 +34,7 @@ object Profile {
         "q_bucket15", "q_knn_brute", "q_minhash_lsh", "q_visits",
         "q_faulted_outages", "q_interval_sweep", "q_ngram_jaccard",
         "q_asof_backward", "q_offline_gaps", "q_span_enrich",
-        "q_nested_unnest").foreach { name =>
+        "q_nested_unnest", "q_metric_layer", "q_quality_checks").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
@@ -43,6 +43,42 @@ object Profile {
         println(s"[explain] $name exchanges=$exchanges broadcastJoins=$bhj")
         if (pushed.nonEmpty) println(s"[explain]   $pushed")
         sys.env.get("GRAFT_FULL_PLAN").foreach(_ => println(plan))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "variantab") {
+      // interleaved A/B: q_nested_unnest's parse stage as from_json (Jackson
+      // tree walk) vs parse_json→VARIANT cast — 3 rounds each, noop sink
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val payload = concat(
+        lit("[{\"grp\":\"a\",\"sv\":[{\"m\":\"value\",\"v\":"), col("value").cast("string"),
+        lit("},{\"m\":\"key\",\"v\":"), col("k").cast("string"),
+        lit("}]},{\"grp\":\"b\",\"sv\":[{\"m\":\"key2\",\"v\":"), col("k").cast("string"),
+        lit("}]}]"))
+      val base = ev.withColumn("payload", payload)
+      def downstream(parsed: org.apache.spark.sql.Column) =
+        base.select(col("event_type"), explode(parsed).as("mv"))
+          .select(col("event_type"), col("mv.grp").as("grp"), explode(col("mv.sv")).as("s"))
+          .select(col("event_type"), col("grp"), col("s.m").as("m"), col("s.v").as("v"))
+          .groupBy(col("event_type"), col("grp"), col("m"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast("decimal(18,2)")).cast("double").as("total_v"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val ddl = "array<struct<grp:string,sv:array<struct<m:string,v:double>>>>"
+      val viaFromJson = downstream(
+        from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+      val viaVariant = downstream(
+        expr(s"variant_get(parse_json(payload), '$$', '$ddl')"))
+      base.write.format("noop").mode("overwrite").save() // warm the scan
+      (1 to 3).foreach { i =>
+        time(s"from_json round $i") {
+          viaFromJson.write.format("noop").mode("overwrite").save(); 0L }
+        time(s"variant   round $i") {
+          viaVariant.write.format("noop").mode("overwrite").save(); 0L }
       }
       spark.stop()
       return

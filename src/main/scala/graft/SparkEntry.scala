@@ -906,7 +906,12 @@ object SparkEntry {
 
     // §2#21c TWO-level nested JSON array unnest — int_meter_values.sql:92:
     // meterValue[] × sampledValue[] (outer group × inner measurand), double
-    // lateral explode then keyed rollup
+    // lateral explode then keyed rollup. Parsing goes through Spark 4
+    // VARIANT (`parse_json` → binary variant → one cast to the nested
+    // type). An interleaved A/B (`runMain graft.Profile <sf> variantab`)
+    // measured VARIANT ≈ from_json at sf0.1 (1.2–1.9 s/round each — the
+    // parse is no longer this query's bottleneck); VARIANT is kept so the
+    // gate exercises the variant path, with the hash unchanged.
     "q_nested_unnest" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_type"), col("value"),
@@ -918,8 +923,9 @@ object SparkEntry {
         lit("}]}]"))
       ev.withColumn("payload", payload)
         .select(col("event_type"),
-          explode(from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(
-            "array<struct<grp:string,sv:array<struct<m:string,v:double>>>>"))).as("mv"))
+          explode(expr(
+            "variant_get(parse_json(payload), '$', " +
+              "'array<struct<grp:string,sv:array<struct<m:string,v:double>>>>')")).as("mv"))
         .select(col("event_type"), col("mv.grp").as("grp"), explode(col("mv.sv")).as("s"))
         .select(col("event_type"), col("grp"), col("s.m").as("m"), col("s.v").as("v"))
         .groupBy(col("event_type"), col("grp"), col("m"))
