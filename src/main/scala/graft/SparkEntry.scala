@@ -74,6 +74,46 @@ object SparkEntry {
   /** DuckDB fragment: whitespace tokens of `text`, lowercased, no empties. */
   private val TokSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  // ---- FnvMix oracle fragments (replay graft.plans.FnvMix in DuckDB) ----
+
+  /** `(a * b) mod 2^64` over UBIGINT `a` and constant `b`, via 32-bit limb
+    * split — a direct HUGEINT product of two near-2^64 values would overflow
+    * int128, so: a*b ≡ al*bl + ((al*bh + ah*bl) mod 2^32)·2^32 (mod 2^64),
+    * every intermediate < 2^66.
+    */
+  private def mulModSql(a: String, b: BigInt): String = {
+    val bh = b >> 32
+    val bl = b & 0xFFFFFFFFL
+    s"CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $bl) + " +
+      s"((CAST(($a) % 4294967296 AS HUGEINT) * $bh + " +
+      s"CAST(($a) // 4294967296 AS HUGEINT) * $bl) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616 AS UBIGINT)"
+  }
+
+  private val FnvPrimeB = BigInt("1099511628211")          // 0x100000001b3
+  private val GoldenB = BigInt("11400714819323198485")     // 0x9E3779B97F4A7C15
+  private val Mix1B = BigInt("13787848793156543929")       // 0xBF58476D1CE4E5B9
+  private val Mix2B = BigInt("10723151780598845931")       // 0x94D049BB133111EB
+
+  /** FNV-1a fold of column `shingle` (ASCII text: codepoint == UTF-8 byte,
+    * which holds for the generated documents) → UBIGINT.
+    */
+  private val FnvFoldSql =
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
+      "list_transform(range(1, length(shingle) + 1), " +
+      "i -> CAST(unicode(shingle[i]) AS UBIGINT))), " +
+      s"(acc, b) -> ${mulModSql("xor(acc, b)", FnvPrimeB)})"
+
+  /** DuckDB fragment: distinct 3-word shingles per document → CTE
+    * `posting(id, shingle)` (shared by the minhash/simhash oracles).
+    */
+  private val ShinglePostingSql =
+    s"""toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+       |  FROM toks WHERE len(tk) >= 3),
+       |posting AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+
   /** DuckDB fragment: sessionized events (adds session_seq per user). */
   private val SessSql =
     """WITH lagged AS (
@@ -773,7 +813,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
 
-    // §2#30 MinHash+LSH near-dup (rows-only oracle)
+    // §2#30 MinHash+LSH near-dup. The signature hash family is FnvMix
+    // (FNV-1a + splitmix64 — graft.plans.HashExpressions), which DuckDB
+    // replays exactly (limb-split wraparound multiplication), so the FULL
+    // fast path — signatures, banding, est_jaccard — is hash-checked.
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
@@ -865,7 +908,9 @@ object SparkEntry {
         .filter(col("hamming") <= 3)
     }),
 
-    // §2#31 SimHash near-dup (rows-only oracle)
+    // §2#31 SimHash near-dup — hash-exact oracle via the FnvMix family
+    // (see q_minhash_lsh); the 64-bit fingerprint, chunk banding and
+    // Hamming filter are all replayed by the oracle.
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, maxHamming = 3)),
@@ -956,12 +1001,16 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))),
 
-    // §2#33 LSH-bucketed ANN (rows-only oracle)
+    // §2#33 LSH-bucketed ANN — the FAST path is now hash-exact too: the
+    // default hyperplanes are engine-portable integer-derived uniforms
+    // (Similarity.hyperplanes), so the oracle replays buckets, multi-probe
+    // flips AND cosines digit-for-digit
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnLsh(
-        emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
+          emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6)
+        .withColumn("rank", col("rank").cast("long"))
     }),
 
     // §2#33c sign-LSH ANN with DETERMINISTIC integer hyperplanes
@@ -1003,10 +1052,11 @@ object SparkEntry {
         threshold = 0.25, bands = 2, bandBits = 3, hyperplanesOverride = Some(planes))
     }),
 
-    // §2#34 embedding-cosine near-dup (rows-only oracle). 4 tables × 5 bits:
-    // 32 buckets per table ≈ the sf0.1 corpus / 64 — at production scale
-    // bandBits comes from Similarity.bandBitsFor(corpusSize) instead, which
-    // keeps expected bucket size (and the Σ|bucket|² join cost) bounded.
+    // §2#34 embedding-cosine near-dup. 4 tables × 5 bits: 32 buckets per
+    // table ≈ the sf0.1 corpus / 64 — at production scale bandBits comes
+    // from Similarity.bandBitsFor(corpusSize) instead, which keeps expected
+    // bucket size (and the Σ|bucket|² join cost) bounded. Hash-exact
+    // oracle via the portable hyperplane family (see q_knn_lsh).
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -2048,6 +2098,159 @@ object SparkEntry {
          |  FROM p)
          |SELECT id_a, id_b, cast(min(hamming) AS bigint) AS hamming FROM h
          |GROUP BY 1, 2 HAVING min(hamming) <= 3""".stripMargin),
+
+    // full fast-path replay: FnvMix per (shingle, permutation) — one FNV
+    // fold per shingle, then the splitmix finalizer per permutation —
+    // signature mins compared as SIGNED 64-bit like Spark's LongType
+    "q_minhash_lsh" -> (
+      s"""WITH $ShinglePostingSql,
+         |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
+         |hx AS (SELECT id, h, unnest(range(0, 32)) AS i FROM folded),
+         |z0 AS (SELECT id, i, CAST((CAST(h AS HUGEINT) +
+         |    CAST(${mulModSql("CAST(i AS UBIGINT)", GoldenB)} AS HUGEINT))
+         |    % 18446744073709551616 AS UBIGINT) AS z FROM hx),
+         |z1 AS (SELECT id, i, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT id, i, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT id, i, CAST(CAST(xor(z, z >> 31) AS HUGEINT) -
+         |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+         |      THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h FROM z2),
+         |hm AS (SELECT id, i, min(h) AS m FROM hv GROUP BY 1, 2),
+         |sigs AS (SELECT id, list(m ORDER BY i) AS sig FROM hm GROUP BY 1),
+         |banded AS (SELECT id, sig, u.b AS band,
+         |    array_to_string(list_transform(list_slice(sig, u.b * 4 + 1, u.b * 4 + 4),
+         |      v -> cast(v AS varchar)), ',') AS bucket
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |est AS (SELECT id_a, id_b,
+         |    cast(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS double) / 32
+         |      AS est_jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
+         |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin),
+
+    // FnvMix with seed 0 (the +seed·golden term vanishes), bits extracted
+    // from the unsigned value — identical raw bits to Spark's signed long
+    "q_simhash" -> (
+      s"""WITH $ShinglePostingSql,
+         |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
+         |z1 AS (SELECT id, ${mulModSql("xor(h, h >> 30)", Mix1B)} AS z FROM folded),
+         |z2 AS (SELECT id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT id, xor(z, z >> 31) AS z FROM z2),
+         |bits AS (SELECT id, unnest(range(0, 64)) AS b,
+         |    unnest(list_transform(range(0, 64), b -> CAST((z >> b) & 1 AS BIGINT))) AS bit
+         |  FROM hv),
+         |bs AS (SELECT id, b, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+         |-- SimHashAgg resolves a tied vote (sum == 0) to bit 1, so >= here
+         |chunks AS (SELECT id, b // 16 AS cidx,
+         |    cast(sum(CASE WHEN s >= 0 THEN 1 << (b % 16) ELSE 0 END) AS bigint) AS piece
+         |  FROM bs GROUP BY 1, 2),
+         |fp AS (SELECT id, list(piece ORDER BY cidx) AS cs FROM chunks GROUP BY 1),
+         |banded AS (SELECT id, cs, u.c AS cidx, cs[u.c + 1] AS piece
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS c) u),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.cs AS cs_a, b.cs AS cs_b
+         |  FROM banded a JOIN banded b
+         |    ON a.cidx = b.cidx AND a.piece = b.piece AND a.id < b.id),
+         |hm AS (SELECT id_a, id_b,
+         |    bit_count(xor(cs_a[1], cs_b[1])) + bit_count(xor(cs_a[2], cs_b[2])) +
+         |    bit_count(xor(cs_a[3], cs_b[3])) + bit_count(xor(cs_a[4], cs_b[4])) AS hamming
+         |  FROM p)
+         |SELECT id_a, id_b, cast(min(hamming) AS bigint) AS hamming FROM hm
+         |GROUP BY 1, 2 HAVING min(hamming) <= 3""".stripMargin),
+
+    // fast-path LSH ANN replay: portable integer-derived hyperplanes
+    // (seed 42 → 42·83492791 = 3506697222), multi-probe = the probe's
+    // bucket XOR each 1-bit flip
+    "q_knn_lsh" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> cast((p * 73856093 + d * 19349663 + 3506697222) % 1000003 AS double)
+        |      / 1000003.0 - 0.5) AS w
+        |  FROM (SELECT unnest(range(0, 6)) AS p)
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+        |  FROM emb e, pl
+        |), codes AS (
+        |  SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id
+        |), wemb AS (
+        |  SELECT e.vec_id, e.embedding, e.nv, k.bucket FROM emb e JOIN codes k USING (vec_id)
+        |), probes AS (
+        |  SELECT w.vec_id, w.embedding, w.nv, xor(w.bucket, f.f) AS bucket
+        |  FROM wemb w, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f) f
+        |  WHERE w.vec_id < 8
+        |), cand AS (
+        |  SELECT a.vec_id AS neighbor_id, b.vec_id AS probe_id,
+        |    a.embedding AS va, a.nv AS na, b.embedding AS vb, b.nv AS nb
+        |  FROM wemb a JOIN probes b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |), cos AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN na * nb > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(va) + 1),
+        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
+        |      / (na * nb)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS bigint) AS rank FROM cos
+        |)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // fast-path banded near-dup replay: 4 bands × 5 planes, portable
+    // hyperplanes (seed 7 → 7·83492791 = 584449537)
+    "q_embed_neardup" ->
+      """WITH pl AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> cast((p * 73856093 + d * 19349663 + 584449537) % 1000003 AS double)
+        |      / 1000003.0 - 0.5) AS w
+        |  FROM (SELECT unnest(range(0, 20)) AS p)
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+        |  FROM emb e, pl
+        |), codes AS (
+        |  SELECT vec_id, cast(p // 5 AS bigint) AS band,
+        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % 5) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots GROUP BY vec_id, p // 5
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM codes a JOIN codes b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN ea.nv * eb.nv > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(ea.embedding) + 1),
+        |          i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double))),
+        |        (acc, x) -> acc + x)
+        |      / (ea.nv * eb.nv)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand JOIN emb ea ON cand.id_a = ea.vec_id
+        |            JOIN emb eb ON cand.id_b = eb.vec_id
+        |)
+        |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.25""".stripMargin,
 
     // md5-hex folded to a 64-bit unsigned decimal via hugeint — matches
     // Spark's conv(substring(md5(x),1,16),16,10) digit-for-digit

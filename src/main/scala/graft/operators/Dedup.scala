@@ -107,7 +107,11 @@ object Dedup {
     val shingled = df.select(
       col(idCol).as("id"),
       explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))
-    val hashCols = (0 until numHashes).map(i => xxhash64(lit(i), col("shingle")).as(s"_h$i"))
+    // FnvMix (FNV-1a fold + splitmix64-seeded finalizer): same speed class
+    // as xxhash64 but replayable by the DuckDB oracle, so the whole banding
+    // pipeline is hash-checked, not rows-only (graft.plans.FnvMix)
+    val hashCols = (0 until numHashes).map(i =>
+      graft.plans.HashExpressions.fnvMix(col("shingle"), i).as(s"_h$i"))
     val hashed = shingled.select(col("id") +: hashCols: _*)
     val minAggs = (0 until numHashes).map(i => min(col(s"_h$i")).as(s"_m$i"))
     val sigs = hashed.groupBy(col("id"))
@@ -153,7 +157,9 @@ object Dedup {
     val hashed = df.select(
         col(idCol).as("id"),
         explode(Text.wordShingles(col(textCol), shingleLen)).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("_h"))
+      // portable hash family (see minhashLsh) → the fingerprint and the
+      // banded pairs are oracle-replayable
+      .select(col("id"), graft.plans.HashExpressions.fnvMix(col("shingle"), 0L).as("_h"))
     val sims = hashed.groupBy(col("id"))
       .agg(graft.plans.SimHashAgg.simhashAgg(col("_h")).as("simhash"))
     val chunked = sims.select(

@@ -49,13 +49,20 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: `planes` × `dim`, components
-    * from a seeded RNG (computed once on the driver, broadcast as a literal).
+  /** Deterministic ENGINE-PORTABLE pseudo-random hyperplanes: `planes` ×
+    * `dim`, components uniform in [-0.5, 0.5) from pure integer arithmetic
+    * (exact in 64-bit ints and in doubles), so an external engine can replay
+    * the exact planes — this is what lets the gate hash-check the LSH fast
+    * paths end-to-end instead of rows-only (a `scala.util.Random` gaussian
+    * is not replayable in SQL). For sign-LSH the uniform family is as valid
+    * as gaussian: only the sign of w·x matters and the distribution is
+    * symmetric around 0.
     */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(planes, dim)(rng.nextGaussian())
-  }
+  private[operators] def hyperplanes(
+      planes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, d) =>
+      ((p * 73856093L + d * 19349663L + seed * 83492791L) % 1000003L).toDouble
+        / 1000003.0 - 0.5)
 
   /** Lazy per-row dim guard. A dim mismatch would make `float_dot` return
     * null for every vector×hyperplane pair, so every row would silently hash
