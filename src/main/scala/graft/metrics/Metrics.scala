@@ -105,6 +105,11 @@ final case class SemanticModel(measures: Seq[Measure], metrics: Seq[Metric]) {
       if (dims.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(dims: _*).agg(aggCols.head, aggCols.tail: _*)
     val dimNames = aggregated.columns.dropRight(aggCols.size).toSeq
+    // a dim named like a measure would make the measure reference ambiguous
+    // in the projection below — fail with the actual clash, not an
+    // unresolved-column AnalysisException
+    val clash = dimNames.toSet.intersect(needed)
+    require(clash.isEmpty, s"dimension name(s) collide with measure name(s): $clash")
     aggregated.select(
       dimNames.map(col) ++ metricNames.map(n => metricValue(n).as(n)): _*)
   }

@@ -28,8 +28,13 @@ object Checks {
     * (dbt `unique` — its test query counts duplicated values, not rows).
     */
   final case class Unique(columns: Seq[String]) extends Check
-  /** Non-null rows whose value is outside `allowed` (dbt `accepted_values`). */
-  final case class AcceptedValues(column: String, allowed: Seq[Any]) extends Check
+  /** Non-null rows whose value is outside `allowed` (dbt `accepted_values`).
+    * `allowed` must be non-empty — an empty list would flag every row,
+    * which is always a mis-declared check, not an intent.
+    */
+  final case class AcceptedValues(column: String, allowed: Seq[Any]) extends Check {
+    require(allowed.nonEmpty, s"accepted_values($column): empty allowed list")
+  }
   /** Non-null child values with no matching parent row (dbt `relationships`:
     * referential integrity child→parent). `parentName` labels the report.
     */

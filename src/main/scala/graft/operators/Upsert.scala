@@ -61,7 +61,15 @@ object Upsert {
       uniqueKey: Seq[String],
       tsCol: String,
       tieBreakCols: Seq[String] = Nil): Unit = {
-    val dated = batch.withColumn(PartCol, to_date(col(tsCol)))
+    // a null ts would land in the null partition, which the affected-date
+    // read-back can never select (`isin(null)` matches nothing) — the
+    // overwrite would then REPLACE previously merged null-partition rows
+    // instead of merging them. Fail loudly instead of losing data.
+    val dated = batch
+      .withColumn(PartCol,
+        when(col(tsCol).isNotNull, to_date(col(tsCol)))
+          .otherwise(raise_error(lit(
+            s"Upsert.mergeByKey: null $tsCol in batch — merge keys need a timestamp"))))
     val merged =
       if (!targetExists(spark, targetDir)) {
         dedupe(dated.withColumn("_prio", lit(1)), uniqueKey, tsCol, tieBreakCols)

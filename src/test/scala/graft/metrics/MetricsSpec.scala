@@ -103,6 +103,15 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("a dimension named like a measure fails with the clash spelled out") {
+    val ex = intercept[IllegalArgumentException] {
+      model.query(
+        visits.withColumn("visits_count", pmod(col("user_id"), lit(2L))),
+        Seq(col("visits_count")), Seq("total_visits"))
+    }
+    assert(ex.getMessage.contains("visits_count"))
+  }
+
   test("unknown metric and unknown measure fail loudly") {
     intercept[IllegalArgumentException] {
       model.query(visits, Seq.empty, Seq("no_such_metric"))

@@ -44,6 +44,12 @@ class ChecksSpec extends SparkSpec {
     assert(r2.length == 5 && r2.forall(_._3 == 0L))
   }
 
+  test("an empty accepted_values list is rejected at declaration time") {
+    intercept[IllegalArgumentException] {
+      Checks.AcceptedValues("seg", Nil)
+    }
+  }
+
   test("scan-side checks share ONE aggregate pass over the frame") {
     val report = Checks.violations(child, Seq(
       Checks.NotNull("seg"), Checks.NotNull("id"),

@@ -80,6 +80,19 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.incrementalBatch(spark, source, "ts", fresh, 60).count() == source.count())
   }
 
+  test("a null merge timestamp fails loudly instead of silently replacing the null partition") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_null").toString
+    val bad = Seq(("k1", Option(ts("2024-01-01 10:00:00")), "ok", 1.0),
+        ("k2", Option.empty[Timestamp], "bad", 2.0))
+      .toDF("attempt_id", "ts", "status", "energy")
+    val ex = intercept[Exception] {
+      Upsert.mergeByKey(spark, dir, bad, Seq("attempt_id"), "ts")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null ts in batch")), ex.toString)
+  }
+
   test("duplicate keys inside one batch resolve deterministically (ts, then tie-break)") {
     val dir = java.nio.file.Files.createTempDirectory("upsert_tie").toString
     val dup = Seq(
