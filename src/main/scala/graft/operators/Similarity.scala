@@ -89,7 +89,12 @@ object Similarity {
   /** LSH-bucketed ANN: probes and corpus hashed into sign buckets over
     * `planes` random hyperplanes; candidates = bucket collisions (probe side
     * broadcast); exact cosine rerank to top-k within candidates.
-    * Fewer planes → bigger buckets → higher recall & cost.
+    * Fewer planes → bigger buckets → higher recall & cost. Like
+    * [[embeddingNearDup]]'s `bandBits`, `planes` should grow with the
+    * corpus (≈ log2(corpusSize / targetBucketSize), see [[bandBitsFor]]) so
+    * expected bucket size — and the per-bucket scan each probe pays — stays
+    * bounded as the corpus scales; multi-probe then recovers recall at
+    * (planes+1)× probe fan-out instead of bigger buckets.
     */
   def knnLsh(
       corpus: DataFrame,

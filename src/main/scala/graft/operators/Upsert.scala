@@ -53,6 +53,15 @@ object Upsert {
     * Batch rows replace materialized rows with the same key (dbt merge
     * semantics); replaying the same batch is a no-op. The batch must not
     * already contain a `part_date` column.
+    *
+    * CONTRACT: a key's `tsCol` DATE must be stable across versions of that
+    * key — the merge only reads back and rewrites the batch's own date
+    * partitions, so a key "moving" to a different date would leave its old
+    * row stranded in an untouched partition. The reference model satisfies
+    * this by construction: `charge_attempt_start_ts` is part of the unique
+    * key (fact_charge_attempts.sql:3-7), so a different date IS a different
+    * key. (The alternative — scanning the whole target for key matches like
+    * a generic MERGE — is exactly the full-table cost this sink avoids.)
     */
   def mergeByKey(
       spark: SparkSession,
