@@ -48,6 +48,22 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "metric") {
+      // decompose q_metric_layer: which part of the 4-5 s is the metric
+      // layer itself vs its two input pipelines?
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      time("uptime input frame") { noop(SparkEntry.queries("q_uptime")(spark, sfDir)) }
+      time("visit input frame (sessionRollup shape)") {
+        noop(SparkEntry.queries("q_session_metrics")(spark, sfDir))
+      }
+      time("full q_metric_layer") { noop(SparkEntry.queries("q_metric_layer")(spark, sfDir)) }
+      time("full q_metric_layer (2nd)") { noop(SparkEntry.queries("q_metric_layer")(spark, sfDir)) }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "variantab") {
       // interleaved A/B: q_nested_unnest's parse stage as from_json (Jackson
       // tree walk) vs parse_json→VARIANT cast — 3 rounds each, noop sink

@@ -52,6 +52,20 @@ final case class Measure(name: String, agg: MeasureAgg.Agg, expr: Column) {
   }).as(name)
 }
 
+object SemanticModel {
+  /** Time dimension at a declared granularity — yml `type: time` with
+    * `time_granularity: day|week|month|quarter|year` (the grain every
+    * reference model declares on its agg_time_dimension). Returns an
+    * aliased date column usable directly as a `query(..., dims, ...)` dim.
+    */
+  def timeDim(c: Column, granularity: String, name: String): Column = {
+    val g = granularity.toLowerCase(java.util.Locale.ROOT)
+    require(Set("day", "week", "month", "quarter", "year")(g),
+      s"unsupported time granularity '$granularity'")
+    date_trunc(g, c).cast("date").as(name)
+  }
+}
+
 sealed trait Metric { def name: String }
 /** yml `type: simple` — the value of one measure. */
 final case class SimpleMetric(name: String, measure: String) extends Metric

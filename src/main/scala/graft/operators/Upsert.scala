@@ -103,15 +103,19 @@ object Upsert {
   /** The reference's incremental window: process source rows with
     * ts >= max(materialized ts) − buffer (incremental_date_range.sql's
     * buffer_from_timestamp — the buffer re-processes late/updated rows near
-    * the cutoff; [[mergeByKey]] makes the overlap idempotent). On a fresh
-    * target the whole source is the batch.
+    * the cutoff; [[mergeByKey]] makes the overlap idempotent), optionally
+    * capped at from + `maxWindowHours` (the macro's `incremental_window`
+    * cap — it bounds a single run's work so a far-behind rebuild advances
+    * in fixed-size chunks instead of one unbounded catch-up batch). On a
+    * fresh target the whole source (up to the cap) is the batch.
     */
   def incrementalBatch(
       spark: SparkSession,
       source: DataFrame,
       tsCol: String,
       targetDir: String,
-      bufferMinutes: Int): DataFrame = {
+      bufferMinutes: Int,
+      maxWindowHours: Option[Int] = None): DataFrame = {
     if (!targetExists(spark, targetDir)) source
     else {
       // scalar high-water mark, read with a partition-pruned scan: the max
@@ -120,8 +124,13 @@ object Upsert {
       val maxDate = target.agg(max(col(PartCol))).head().getDate(0)
       val cutoff = target.filter(col(PartCol) === maxDate)
         .agg(max(col(tsCol))).head().getTimestamp(0)
-      source.filter(
+      val windowed = source.filter(
         col(tsCol) >= lit(cutoff) - expr(s"interval $bufferMinutes minutes"))
+      maxWindowHours match {
+        case Some(h) => windowed.filter(
+          col(tsCol) < lit(cutoff) + expr(s"interval $h hours"))
+        case None => windowed
+      }
     }
   }
 }

@@ -103,6 +103,21 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
+  test("timeDim slices a metric by a declared time granularity") {
+    val withTs = visits.withColumn("visit_end_ts",
+      to_timestamp(concat(lit("2024-01-0"), col("user_id"), lit(" 10:15:00"))))
+    val out = model.query(withTs,
+        Seq(SemanticModel.timeDim(col("visit_end_ts"), "day", "visit_day")),
+        Seq("total_visits"))
+      .select(col("visit_day").cast("string"), col("total_visits"))
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 1L), ("2024-01-04", 1L)))
+    intercept[IllegalArgumentException] {
+      SemanticModel.timeDim(col("visit_end_ts"), "fortnight", "x")
+    }
+  }
+
   test("a dimension named like a measure fails with the clash spelled out") {
     val ex = intercept[IllegalArgumentException] {
       model.query(

@@ -78,6 +78,14 @@ class UpsertSpec extends SparkSpec {
     // fresh target → the whole source is the batch
     val fresh = java.nio.file.Files.createTempDirectory("upsert_fresh").toString
     assert(Upsert.incrementalBatch(spark, source, "ts", fresh, 60).count() == source.count())
+    // forward cap (the macro's incremental_window): a far-behind rebuild
+    // advances in bounded chunks — 12 h past the 11:00 cutoff excludes the
+    // next-day row but keeps the near-cutoff ones
+    val capped = Upsert.incrementalBatch(spark, source, "ts", dir, 60, maxWindowHours = Some(12))
+      .select("attempt_id", "ts").collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    assert(capped == Set(
+      ("a3", ts("2024-01-02 11:00:00")),
+      ("a3", ts("2024-01-02 11:30:00"))))
   }
 
   test("a null merge timestamp fails loudly instead of silently replacing the null partition") {
