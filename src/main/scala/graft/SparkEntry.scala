@@ -813,6 +813,22 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
 
+    // §2#29b dedup DECISION: near-dup pairs → connected components →
+    // canonical survivor per duplicate cluster (min doc_id reachable).
+    // Every document is labeled with its cluster's keeper; is_canonical
+    // marks the row a training pipeline would retain.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp, docs("doc_id") === comp("id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .withColumn("is_canonical", col("canonical_id") === col("doc_id"))
+    }),
+
     // §2#30 MinHash+LSH near-dup. The signature hash family is FnvMix
     // (FNV-1a + splitmix64 — graft.plans.HashExpressions), which DuckDB
     // replays exactly (limb-split wraparound multiplication), so the FULL
@@ -2283,6 +2299,38 @@ object SparkEntry {
          |  FROM p)
          |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
          |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin),
+
+    // near-dup pairs → transitive closure (recursive CTE) → min reachable
+    // id per component — the oracle computes the same canonical keeper the
+    // label-propagation operator converges to
+    "q_dedup_canonical" -> (
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+         |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
+         |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
+         |cnt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
+         |    count(*) AS inter
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (SELECT id_a, id_b FROM cnt
+         |  WHERE cast(inter AS double) / (sa + sb - inter) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+         |),
+         |comp AS (SELECT id, min(r) AS canonical FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+         |  coalesce(c.canonical, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
 
     "q_ngram_jaccard" -> (
       s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),

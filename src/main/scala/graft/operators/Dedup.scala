@@ -78,6 +78,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair list: every id
+    * is labeled with the MINIMUM id reachable through the pair graph — the
+    * canonical survivor of its duplicate cluster. This is the step that
+    * turns pair-finding into an actual dedup decision (keep one doc per
+    * cluster, drop the rest).
+    *
+    * Algorithm: iterative min-label propagation — each round is one
+    * edges⋈labels join + a map-side-combined min aggregation (one shuffle),
+    * and `localCheckpoint` truncates the lineage so the plan does not grow
+    * with rounds. Converges in O(component diameter) rounds; near-dup
+    * clusters are dense (a duplicate pairs with most of its cluster), so
+    * diameters are small. If `maxIter` rounds do not converge the operator
+    * THROWS rather than returning silently-unmerged components — raise
+    * `maxIter` (or pre-partition the graph) for adversarially chain-shaped
+    * inputs.
+    *
+    * Output: (`id`, `component`) for every id that appears in `pairs`;
+    * singletons (ids with no pairs) are absent — coalesce on the consumer
+    * side (see q_dedup_canonical).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"), col("src").as("component"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // one shuffle per round: neighbor contributions and the node's own
+      // label fold through a single min-aggregation that ALSO carries the
+      // previous label (min over the self-tagged rows), so convergence is a
+      // cheap filter over the materialized checkpoint instead of an extra
+      // join against the old labels
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"), lit(false).as("_self"))
+        .unionAll(labels.withColumn("_self", lit(true)))
+        .groupBy(col("id"))
+        .agg(
+          min(col("component")).as("component"),
+          min(when(col("_self"), col("component"))).as("_old"))
+        .localCheckpoint(true)
+      val changed = propagated
+        .filter(col("component") < col("_old"))
+        .limit(1).count()
+      labels = propagated.select(col("id"), col("component"))
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — component " +
+          "diameter exceeds maxIter; raise it for chain-shaped inputs")
+    labels
+  }
+
   /** MinHash + LSH banding near-duplicate candidates.
     *
     * Signature of `numHashes` min-hashes split into `bands` bands; docs

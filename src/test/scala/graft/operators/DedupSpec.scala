@@ -64,6 +64,25 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels every node with the min reachable id") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
+    // + isolated 20 (absent from output, present only via consumer coalesce)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents refuses to return unconverged components") {
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
   test("simhashNearDup: exact dup has hamming 0, unrelated doc excluded") {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", shingleLen = 3, maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
