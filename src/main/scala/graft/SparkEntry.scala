@@ -1182,6 +1182,24 @@ object SparkEntry {
         Checks.Relationships("c_nationkey", parent, "n_nationkey", "nation20")))
     }),
 
+    // §2#42 sequence packing: documents → fixed token-budget chunks
+    // (concat-then-chunk pretraining layout), computed per shard so the
+    // running sum is one window per hash bucket — no global ordering.
+    // Reported at chunk grain: docs per chunk and chunk token totals.
+    "q_token_packing" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+          .getField("n_tokens").as("n_tokens"))
+      Packing.packChunks(docs, "doc_id", "n_tokens",
+          budgetTokens = 512L, shardCol = pmod(col("doc_id"), lit(8L)))
+        .groupBy(col("shard"), col("chunk_seq"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("chunk_offset")).as("chunk_start_offset"))
+    }),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1295,6 +1313,18 @@ object SparkEntry {
         |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
         |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
         |FROM injected""".stripMargin,
+
+    "q_token_packing" -> (
+      s"""WITH toks AS (SELECT doc_id, cast(len($TokSql) AS bigint) AS n_tokens FROM documents),
+         |sh AS (SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM toks),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM sh),
+         |b AS (SELECT shard, doc_id, n_tokens, cum - n_tokens AS chunk_offset,
+         |    (cum - n_tokens) // 512 AS chunk_seq FROM c)
+         |SELECT shard, chunk_seq, cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n_tokens) AS bigint) AS total_tokens,
+         |  min(chunk_offset) AS chunk_start_offset
+         |FROM b GROUP BY 1, 2""".stripMargin),
 
     "q_quality_checks" ->
       """WITH seeded AS (

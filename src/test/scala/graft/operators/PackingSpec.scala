@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packChunks cuts the concatenated stream every budget tokens, docs stay whole") {
+    // one shard, tokens 4,4,4,5,9,3 → offsets 0,4,8,12,17,26 → with budget
+    // 10 the chunks are {1,2,3} (12 tokens — overflow by one doc is the
+    // layout's contract), {4,5} (14), {6} (3)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 9L), (6L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Packing.packChunks(docs, "doc_id", "n_tokens", 10L, lit(0L))
+      .select($"doc_id", $"chunk_seq", $"chunk_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(packed == Seq(
+      (1L, 0L, 0L), (2L, 0L, 4L), (3L, 0L, 8L),
+      (4L, 1L, 12L), (5L, 1L, 17L), (6L, 2L, 26L)))
+  }
+
+  test("packing is independent per shard and deterministic") {
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 6L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.packChunks(docs, "doc_id", "n_tokens", 10L,
+        pmod(col("doc_id"), lit(2L)))
+      .select($"doc_id", $"shard", $"chunk_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    // shard 1: docs 1,3 (offsets 0,6 → chunks 0,0); shard 0: docs 2,4 (same)
+    assert(packed == Set((1L, 1L, 0L), (3L, 1L, 0L), (2L, 0L, 0L), (4L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Packing.packChunks(docs, "doc_id", "n_tokens", 0L, lit(0L))
+    }
+  }
+}
