@@ -1182,6 +1182,19 @@ object SparkEntry {
         Checks.Relationships("c_nationkey", parent, "n_nationkey", "nation20")))
     }),
 
+    // §2#43 benchmark decontamination: training docs sharing ≥ 3 distinct
+    // 3-gram shingles with any "benchmark" doc (here: every 25th document
+    // stands in as the eval set — the corpus's seeded near-dups guarantee
+    // real contamination hits). Benchmark postings broadcast: one pass over
+    // the corpus, no corpus shuffle.
+    "q_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Contamination.flagContaminated(
+        all.filter(col("doc_id") % 25 =!= 0), "doc_id", "text",
+        all.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        n = 3, minOverlap = 3L, maxShingleDocFreq = 1000L)
+    }),
+
     // §2#42 sequence packing: documents → fixed token-budget chunks
     // (concat-then-chunk pretraining layout), computed per shard so the
     // running sum is one window per hash bucket — no global ordering.
@@ -1313,6 +1326,23 @@ object SparkEntry {
         |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
         |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
         |FROM injected""".stripMargin,
+
+    "q_decontaminate" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |dp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 25 <> 0),
+         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh
+         |  WHERE doc_id % 25 = 0),
+         |hot AS (SELECT shingle FROM dp GROUP BY 1 HAVING count(*) > 1000),
+         |dpc AS (SELECT * FROM dp WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |bpc AS (SELECT * FROM bp WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |o AS (SELECT dpc.doc_id, bpc.bench_id, count(*) AS n_overlap
+         |  FROM dpc JOIN bpc USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_bench_hits,
+         |  cast(max(n_overlap) AS bigint) AS max_overlap
+         |FROM o GROUP BY 1""".stripMargin),
 
     "q_token_packing" -> (
       s"""WITH toks AS (SELECT doc_id, cast(len($TokSql) AS bigint) AS n_tokens FROM documents),
