@@ -1078,6 +1078,23 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.25, bands = 4, bandBits = 5)),
 
+    // §2#44 embedding int8 quantization: per-vector symmetric scale,
+    // round-clamp to [-127,127], and the reconstruction-error account a
+    // compression decision needs. All double arithmetic is deterministic
+    // IEEE ops and the error sum is a SEQUENTIAL fold, so every value
+    // hash-matches the oracle (the knn bit-exact-float discipline).
+    "q_embed_quantize" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("scale", Vectors.int8Scale(col("embedding")))
+        .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("scale")))
+      emb.select(
+        col("vec_id"),
+        col("scale"),
+        Vectors.int8SumAbsError(col("embedding"), col("q"), col("scale"))
+          .as("sum_abs_err"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("l1_q"))
+    }),
+
     // §2#35 multimodal binary plumbing (decode stubbed deterministically)
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -1326,6 +1343,31 @@ object SparkEntry {
         |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
         |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
         |FROM injected""".stripMargin,
+
+    // every step is order-deterministic double arithmetic (0-decimal round
+    // agrees between engines: shortest-repr vs binary rounding can only
+    // diverge mid-tie-chain, impossible at the integer boundary) and both
+    // folds run left-to-right — hash-exact like the knn float oracles
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(cast(x AS double)))) / 127.0 AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale > 0 THEN
+        |      greatest(-127, least(127, cast(round(cast(x AS double) / scale) AS bigint)))
+        |      ELSE 0 END) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> abs(cast(qv[i] AS double) * scale - cast(embedding[i] AS double)))),
+        |    (acc, e) -> acc + e) AS sum_abs_err,
+        |  list_reduce(list_prepend(cast(0 AS bigint),
+        |    list_transform(qv, x -> abs(x))), (acc, x) -> acc + x) AS l1_q
+        |FROM q""".stripMargin,
 
     "q_decontaminate" -> (
       s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),

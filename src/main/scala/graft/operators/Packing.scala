@@ -21,7 +21,9 @@ object Packing {
 
   /** Adds `chunk_seq` (the document's chunk within its shard) and
     * `chunk_offset` (the token offset where the document starts inside the
-    * concatenated shard stream). Deterministic given (`shardCol`, `idCol`).
+    * concatenated shard stream). Deterministic given (`shardCol`, `idCol`);
+    * `idCol` must be unique within a shard — it is the layout order, and a
+    * duplicate would make the running sum order-dependent.
     */
   def packChunks(
       df: DataFrame,
