@@ -1230,6 +1230,29 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#45 n-gram LM quality scoring (the CCNet/KenLM-style fluency
+    // filter): bigram model trained on the corpus itself, each doc scored
+    // by add-one-smoothed mean/min bigram probability. Probabilities are
+    // binary-quantized to 2^-40 multiples so per-doc sums are
+    // association-order-free → the whole score hash-matches DuckDB.
+    "q_ngram_lm" -> ((s, dir) =>
+      NgramLM.selfScoreBigram(Tables.documents(s, dir), "doc_id", "text")),
+
+    // §2#46 target-mixture downsampling (DoReMi-style static domain
+    // weights): per-class rate min(1, budget·w/n), keep decision from a
+    // deterministic engine-portable FnvMix uniform — rates broadcast, the
+    // corpus is never shuffled. Report: achieved per-domain counts plus an
+    // id checksum proving the exact row selection.
+    "q_mixture_sample" -> ((s, dir) =>
+      Sampling.toMixture(Tables.documents(s, dir), "doc_id", "source",
+          weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.15,
+            "src3" -> 0.1, "src4" -> 0.05),
+          budget = 150L, seed = 7L)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1397,6 +1420,61 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // counts are integers, each probability is one exact double division
+    // binary-quantized to a 2^-40 multiple (floor/×2^40/÷2^40 exact IEEE
+    // ops) → per-doc sums are association-order-free and the score is
+    // engine-exact; context totals derive from the bigram model, V from the
+    // distinct unigram stream — mirroring NgramLM exactly
+    "q_ngram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |big AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM toks),
+         |c12 AS (SELECT bigram, count(*) AS c12 FROM big GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM c12 GROUP BY 1),
+         |v AS (SELECT cast(count(DISTINCT t) AS bigint) AS v
+         |  FROM (SELECT unnest(tk) AS t FROM toks)),
+         |sc AS (SELECT doc_id,
+         |    floor(cast(c12.c12 + 1 AS double) / cast(c1.c1 + v.v AS double)
+         |      * 1099511627776) / 1099511627776 AS p
+         |  FROM big JOIN c12 USING (bigram)
+         |  JOIN c1 ON split_part(big.bigram, ' ', 1) = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+         |  sum(p) / count(*) AS avg_prob, min(p) AS min_prob
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    // full FnvMix replay on CAST(doc_id AS VARCHAR) (ASCII digits, so
+    // unicode(c) == UTF-8 byte); seed 7 enters as +7·golden mod 2^64; the
+    // uniform is the top 40 bits. Weights/budget forced to double so both
+    // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
+    // bare decimal literals would compute exact-decimal rates instead).
+    "q_mixture_sample" -> {
+      val seedGolden = (BigInt(7) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH w(source, wt) AS (VALUES
+         |  ('src0', CAST(0.4 AS double)), ('src1', CAST(0.3 AS double)),
+         |  ('src2', CAST(0.15 AS double)), ('src3', CAST(0.1 AS double)),
+         |  ('src4', CAST(0.05 AS double))),
+         |cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |r AS (SELECT w.source,
+         |    least(CAST(1 AS double), CAST(150 AS double) * wt / CAST(n AS double)) AS rate
+         |  FROM w JOIN cnt USING (source)),
+         |h0 AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS shingle FROM documents),
+         |folded AS (SELECT doc_id, source, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id, source,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM folded),
+         |z1 AS (SELECT doc_id, source, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, source, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, source, xor(z, z >> 31) AS z FROM z2),
+         |u AS (SELECT doc_id, source,
+         |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS u FROM hv)
+         |SELECT u.source, cast(count(*) AS bigint) AS n_kept,
+         |  cast(sum(doc_id) AS bigint) AS id_sum
+         |FROM u JOIN r ON u.source = r.source WHERE u.u < r.rate
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_quality_checks" ->
       """WITH seeded AS (

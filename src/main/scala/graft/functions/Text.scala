@@ -109,6 +109,12 @@ object Text {
   def wordShingles(text: Column, n: Int): Column =
     graft.plans.TextExpressions.wordShingles(text, n)
 
+  /** ALL word n-gram occurrences (multiplicities kept, document order) —
+    * the counting variant for n-gram language models.
+    */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.wordShinglesAll(text, n)
+
   /** Declarative HOF formulation of [[wordShingles]] — interpreted
     * (`transform`/`zip_with` have no codegen) and kept only as the
     * semantics reference for the spec that cross-checks the native kernel.

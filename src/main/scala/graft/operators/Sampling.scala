@@ -34,4 +34,45 @@ object Sampling {
     }
     df.filter(bucket < rate)
   }
+
+  /** Sample the corpus DOWN to a target domain mixture — the data-mixing
+    * step of a pretraining pipeline (DoReMi-style static weights): given
+    * target shares `weights` (per `classCol` value) and a total `budget` of
+    * documents, each class keeps `rate = min(1, budget·w / n_class)` of its
+    * rows. Classes without a weight are dropped; a class too small for its
+    * target share caps at rate 1 (can't oversample without replacement) and
+    * the achieved mixture under-shoots there — report, don't resample.
+    *
+    * Scale shape: class cardinalities are ONE map-side-combined
+    * `groupBy(classCol).count` over a column-pruned scan (the per-class
+    * table is domains-sized, tiny); rates join back as a BROADCAST, and the
+    * keep decision is a scan-side filter on a deterministic per-row hash —
+    * the corpus itself is never shuffled. Reproducible across runs, engines
+    * and partitionings: the uniform is the top 40 bits of
+    * `fnvMix(idCol, seed)` (engine-portable, DuckDB-replayable), not
+    * `rand()`.
+    */
+  def toMixture(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      seed: Long): DataFrame = {
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (cls, w)) =>
+      when(col(classCol) === cls, lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(classCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", weight)
+      .filter(col("_w") > 0)
+      .select(col(classCol),
+        least(lit(1.0),
+          lit(budget.toDouble) * col("_w") / col("_n").cast("double")).as("_rate"))
+    val u = shiftrightunsigned(
+        graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+      .cast("double") / lit(1099511627776.0) // top 40 bits → uniform [0, 1)
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(u < col("_rate"))
+      .drop("_rate")
+  }
 }

@@ -115,7 +115,8 @@ case class LangHits(child: Expression, langs: Seq[(String, Seq[String])])
   * re-evaluates slices per position — this kernel feeds every shingle-based
   * dedup operator (ngram Jaccard, MinHash, SimHash).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -127,11 +128,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in =>
-      s"${ev.value} = graft.plans.TextKernels.wordShingles($in, $n);")
+      s"${ev.value} = graft.plans.TextKernels.wordShingles($in, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -227,7 +228,8 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  def wordShingles(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+  def wordShingles(input: UTF8String, n: Int, distinct: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
     // Unicode lowercase on the UTF8String — bit-identical to Spark's lower()
     val s = input.toLowerCase.toString
     val tokens = new java.util.ArrayList[String](32)
@@ -245,7 +247,11 @@ object TextKernels {
     val m = tokens.size - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    // LinkedHashSet when deduping (first-occurrence order), ArrayList when
+    // multiplicities matter (n-gram LM counting needs every occurrence)
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](m * 2)
+      else new java.util.ArrayList[String](m)
     var j = 0
     while (j < m) {
       val shB = new java.lang.StringBuilder(32)
@@ -302,6 +308,10 @@ object TextExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** All n-gram occurrences (no dedup) — for counting, e.g. bigram LMs. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n, distinct = false))
 
   def bpeTokens(text: Column): Column =
     Bridge.column(RegexTokens(Bridge.expression(text)))

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class NgramLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Q = 1099511627776.0 // 2^40
+
+  test("wordShinglesAll keeps multiplicities in document order") {
+    val out = Seq("A b a B").toDF("text")
+      .select(Text.wordShinglesAll(col("text"), 2))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("a b", "b a", "a b"))
+    // distinct variant on the same text dedupes to first-occurrence order
+    val dist = Seq("A b a B").toDF("text")
+      .select(Text.wordShingles(col("text"), 2))
+      .as[Seq[String]].collect().head
+    assert(dist == Seq("a b", "b a"))
+  }
+
+  test("selfScoreBigram matches hand-computed add-one smoothing") {
+    // corpus: c12 = {a b: 2, b a: 1, a c: 1}; c1 = {a: 3, b: 1}; V = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = NgramLM.selfScoreBigram(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // doc 1: p(a b)=3/6, p(b a)=2/4, p(a b)=3/6 — all exactly 0.5
+    assert(out(0) == ((1L, 3L, 0.5, 0.5)))
+    // doc 2: p(a c)=2/6, quantized to a 2^-40 multiple
+    val pThird = math.floor(2.0 / 6.0 * Q) / Q
+    assert(out(1) == ((2L, 1L, pThird, pThird)))
+  }
+
+  test("scoreBigram backs off on unseen bigrams and contexts") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLM.bigramCounts(corpus, "text")
+    val vocab = corpus.select(explode(Text.tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    // "x y": bigram unseen AND context unseen → p = (0+1)/(0+V) = 1/3
+    // "a q": context a seen (c1=3), bigram unseen → p = 1/6
+    val probe = Seq((10L, "x y"), (11L, "a q")).toDF("doc_id", "text")
+    val out = NgramLM.scoreBigram(probe, "doc_id", "text", model, vocab)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0)._3 == math.floor(1.0 / 3.0 * Q) / Q)
+    assert(out(1)._3 == math.floor(1.0 / 6.0 * Q) / Q)
+  }
+
+  test("documents with fewer than two tokens are absent, not scored") {
+    val docs = Seq((1L, "a b"), (2L, "solo"), (3L, "   ")).toDF("doc_id", "text")
+    val ids = NgramLM.selfScoreBigram(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+}

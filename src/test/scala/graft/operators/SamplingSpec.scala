@@ -29,4 +29,38 @@ class SamplingSpec extends SparkSpec {
       Map("x" -> 10), 0).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  private def mixCorpus = spark.range(1000).select(
+    col("id"),
+    concat(lit("c"), pmod(col("id"), lit(4))).as("dom"))
+
+  test("toMixture keeps ≈ budget·w per class, deterministically, capped at 1") {
+    // c0 at target rate 0.5; c1 capped (rate would be 2.0); c2/c3 unweighted
+    val kept = Sampling.toMixture(mixCorpus, "id", "dom",
+      weights = Map("c0" -> 0.2, "c1" -> 0.8), budget = 625L, seed = 3L)
+    val counts = kept.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("c0", "c1"), "unweighted classes must be dropped")
+    assert(counts("c1") == 250L, "capped class keeps every row")
+    // c0: 250 rows at rate 0.5 — uniform hash keeps ~125; generous bounds
+    assert(counts("c0") > 85L && counts("c0") < 165L, s"got ${counts("c0")}")
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.toMixture(mixCorpus, "id", "dom",
+        Map("c0" -> 0.2, "c1" -> 0.8), 625L, 3L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same seed must select the identical row set")
+    // a different seed selects a different (same-sized ±) row set
+    val c = Sampling.toMixture(mixCorpus, "id", "dom",
+        Map("c0" -> 0.2, "c1" -> 0.8), 625L, 4L)
+      .select("id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("toMixture never shuffles the corpus: rates broadcast onto the scan") {
+    val df = Sampling.toMixture(mixCorpus, "id", "dom", Map("c0" -> 1.0), 100L, 1L)
+    df.collect() // finalize the AQE plan before asserting on it
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
 }
