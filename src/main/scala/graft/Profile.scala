@@ -152,6 +152,26 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "cc") {
+      // decompose q_dedup_canonical: candidate pairs vs label propagation
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val docs = Tables.documents(spark, sfDir)
+      docs.count()
+      val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      time("pairs: ngramJaccard") { noop(pairs) }
+      val cached = pairs.localCheckpoint(true)
+      time("cc rounds (pairs pre-materialized)") {
+        graft.operators.Dedup.connectedComponents(cached, "id_a", "id_b").count()
+      }
+      time("full q_dedup_canonical") {
+        noop(SparkEntry.queries("q_dedup_canonical")(spark, sfDir))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "recall") {
       // ANN quality harness: recall@k of the LSH and IVF variants vs the
       // exact brute-force baseline on the embeddings table

@@ -103,8 +103,14 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE pass of the pairs subtree: a unionAll
+    // of two projections would plan (and execute) the expensive candidate
+    // generation twice — ReuseExchange only dedupes identical exchanges
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"), col("src").as("component"))
