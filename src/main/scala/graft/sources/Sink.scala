@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Write-side helpers: partitioned and bucketed parquet layouts.
   *
@@ -38,4 +39,43 @@ object Sink {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Training-data shard layout: rows land in `shard=K` directories by a
+    * DETERMINISTIC hash of `idCol` — the same corpus always produces the
+    * same shard membership, so a resumed/rerun export is reproducible and
+    * downstream loaders can address shards stably (`shard = hash(id) mod n`,
+    * not task-dependent round-robin). `repartition` on the shard key
+    * co-locates each shard's rows so every shard directory gets O(1) files
+    * instead of one file per task; trainer-side readers stream shards
+    * independently. Returns a per-shard manifest (rows via a metadata-only
+    * parquet count, bytes/files from the file system) for the export's
+    * consumers.
+    */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      numShards: Int,
+      format: String = "parquet"): DataFrame = {
+    val spark = df.sparkSession
+    val sharded = df
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
+      .repartition(col("shard"))
+    sharded.write.mode(SaveMode.Overwrite).partitionBy("shard").format(format).save(path)
+    val manifest = spark.read.format(format).load(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+    // bytes and file counts come from the filesystem, not the data
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath).filter(_.isFile)
+        (dir.getPath.getName.stripPrefix("shard=").toLong,
+          files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq
+    import spark.implicits._
+    manifest.join(
+      stats.toDF("shard", "n_files", "bytes"), Seq("shard"), "left")
+  }
 }

@@ -41,4 +41,30 @@ class SinkSpec extends SparkSpec {
       assert(joined.count() == 100L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("writeShards: deterministic membership, complete manifest, pruned reads") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Sink.writeShards(docs, dir, "doc_id", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq == (0L to 7L), "every shard present")
+    assert(manifest.map(_._2).sum == 1000L, "row counts cover the corpus")
+    assert(manifest.forall(m => m._3 >= 1L && m._4 > 0L), "files and bytes reported")
+    // deterministic: a second export yields the identical shard membership
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Sink.writeShards(docs, dir2, "doc_id", 8)
+    val m1 = spark.read.parquet(dir).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toSet
+    val m2 = spark.read.parquet(dir2).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toSet
+    assert(m1 == m2)
+    // a shard predicate prunes to one directory (partition pruning)
+    val one = spark.read.parquet(dir).filter(col("shard") === 3L)
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(one.count() == m1.count(_._2 == 3L))
+    assert(scanned.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter must prune partitions:\n$scanned")
+  }
 }

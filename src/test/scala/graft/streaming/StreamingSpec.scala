@@ -147,4 +147,33 @@ class StreamingSpec extends SparkSpec {
         (1L, "Faulted", Some("Charging"))))
     } finally query.stop()
   }
+
+  test("StreamDedup drops re-deliveries within the watermark, state bounded by it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamDedup.exactDedup(df, "text", "ts", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, sqlTs("2024-01-01 10:00:00"), "alpha doc"),
+        (2L, sqlTs("2024-01-01 10:01:00"), "ALPHA   DOC"), // normalized dup
+        (3L, sqlTs("2024-01-01 10:02:00"), "beta doc"))
+      query.processAllAvailable()
+      // cross-batch re-delivery within the watermark window still drops
+      input.addData((4L, sqlTs("2024-01-01 10:03:00"), "alpha doc"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+      // watermark-bounded state: after event time advances far beyond the
+      // delay, the fingerprint key is evicted and the content re-admits
+      input.addData((5L, sqlTs("2024-01-01 12:00:00"), "gamma doc"))
+      query.processAllAvailable()
+      input.addData((6L, sqlTs("2024-01-01 12:01:00"), "alpha doc"))
+      query.processAllAvailable()
+      val ids2 = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(ids2 == Set(1L, 3L, 5L, 6L), s"got $ids2")
+    } finally query.stop()
+  }
 }
