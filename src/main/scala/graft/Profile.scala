@@ -34,7 +34,9 @@ object Profile {
         "q_bucket15", "q_knn_brute", "q_minhash_lsh", "q_visits",
         "q_faulted_outages", "q_interval_sweep", "q_ngram_jaccard",
         "q_asof_backward", "q_offline_gaps", "q_span_enrich",
-        "q_nested_unnest", "q_metric_layer", "q_quality_checks").foreach { name =>
+        "q_nested_unnest", "q_metric_layer", "q_quality_checks",
+        "q_ngram_lm", "q_mixture_sample", "q_dedup_canonical",
+        "q_embed_quantize", "q_token_packing", "q_decontaminate").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))

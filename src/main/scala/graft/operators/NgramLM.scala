@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB corpus): training is one corpus scan into a
   * map-side-combined `groupBy(bigram).count` — hot bigrams ("of the")
   * collapse to partial aggregates before the shuffle, so the model build has
-  * no skew by construction. Context totals and the vocabulary are derived
-  * from the MODEL table (distinct bigrams ≪ corpus), not by re-counting the
-  * token stream. Scoring is one more corpus scan joined to the model on the
+  * no skew by construction. Context totals derive from the MODEL table
+  * (distinct bigrams ≪ corpus), not by re-counting the token stream; the
+  * vocabulary size is one map-side-combined distinct-count pass over the
+  * tokens. Scoring is one more corpus scan joined to the model on the
   * bigram key: the context table is vocabulary-sized and BROADCAST; the
   * bigram join shuffles, and a hot probe bigram lands in one partition —
   * exactly the shape AQE skew-join splits (spec-exercised in SkewSpec), and
