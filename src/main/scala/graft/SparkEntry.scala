@@ -1230,6 +1230,35 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#48 composite quality-filter decision (Gopher-rules style): text
+    // signals → auditable keep/drop with violated-rule names. Pure
+    // scan-side projection; the per-doc verdicts AND the per-reason report
+    // are both oracle-checked (report via the deterministic reasons array).
+    "q_quality_filter" -> ((s, dir) => {
+      val stats = graft.plans.TextExpressions.tokenStats(col("text"), Text.EnStopwords)
+      val signals = Tables.documents(s, dir)
+        .select(col("doc_id"), stats.as("_st"),
+          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
+        .select(col("doc_id"),
+          col("_st.n_tokens").as("n_tokens"),
+          col("_st.stopword_cnt").as("stopword_cnt"),
+          col("n_distinct"))
+      // ratio thresholds multiplied out (x/n > t ⇔ x > t·n): no division,
+      // so the empty-document edge can't hit NaN-comparison divergence
+      // between engines (DuckDB orders NaN greatest, Spark compares false)
+      QualityFilter.decide(signals, Seq(
+          "too_short" -> (col("n_tokens") < 32),
+          "too_repetitive" ->
+            ((col("n_tokens") - col("n_distinct")).cast("double")
+              > lit(0.6) * col("n_tokens").cast("double")),
+          "low_stopword" ->
+            (col("stopword_cnt").cast("double")
+              < lit(0.03) * col("n_tokens").cast("double"))))
+        // array serialized for the hash gate (same convention as q_span_enrich)
+        .select(col("doc_id"), col("keep"),
+          array_join(col("reasons"), ",").as("reasons"))
+    }),
+
     // §2#45 n-gram LM quality scoring (the CCNet/KenLM-style fluency
     // filter): bigram model trained on the corpus itself, each doc scored
     // by add-one-smoothed mean/min bigram probability. Probabilities are
@@ -1420,6 +1449,27 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // same signals as q_text_stats, thresholds multiplied out so no
+    // division can produce NaN; reasons array order = rule order
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |x AS (SELECT doc_id,
+         |    cast(len(tk) AS bigint) AS n,
+         |    cast(len(list_distinct(tk)) AS bigint) AS nd,
+         |    cast(len(list_filter(tk, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) AS bigint) AS st
+         |  FROM t),
+         |d AS (SELECT doc_id,
+         |    list_filter([
+         |      CASE WHEN n < 32 THEN 'too_short' END,
+         |      CASE WHEN cast(n - nd AS double) > 0.6 * cast(n AS double)
+         |        THEN 'too_repetitive' END,
+         |      CASE WHEN cast(st AS double) < 0.03 * cast(n AS double)
+         |        THEN 'low_stopword' END], r -> r IS NOT NULL) AS reasons
+         |  FROM x)
+         |-- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+         |SELECT doc_id, len(reasons) = 0 AS keep,
+         |  coalesce(array_to_string(reasons, ','), '') AS reasons FROM d""".stripMargin,
 
     // counts are integers, each probability is one exact double division
     // binary-quantized to a 2^-40 multiple (floor/×2^40/÷2^40 exact IEEE
