@@ -1230,6 +1230,26 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#49 dataset-card corpus statistics: the per-(source, lang) rollup a
+    // curated corpus publishes — doc/token/char totals, distinct-token-mass
+    // ratio bounds. One map-side-combined pass over scan-side signals.
+    "q_corpus_stats" -> ((s, dir) => {
+      val stats = graft.plans.TextExpressions.tokenStats(col("text"), Text.EnStopwords)
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          stats.getField("n_tokens").as("n_tokens"),
+          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_distinct")).as("total_distinct"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+    }),
+
     // §2#48 composite quality-filter decision (Gopher-rules style): text
     // signals → auditable keep/drop with violated-rule names. Pure
     // scan-side projection; the per-doc verdicts AND the per-reason report
@@ -1449,6 +1469,19 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    "q_corpus_stats" ->
+      s"""WITH t AS (SELECT source, lang,
+         |    cast(length(text) AS bigint) AS n_chars,
+         |    cast(len($TokSql) AS bigint) AS n_tokens,
+         |    cast(len(list_distinct($TokSql)) AS bigint) AS n_distinct
+         |  FROM documents)
+         |SELECT source, lang, cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n_tokens) AS bigint) AS total_tokens,
+         |  cast(sum(n_chars) AS bigint) AS total_chars,
+         |  cast(sum(n_distinct) AS bigint) AS total_distinct,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM t GROUP BY 1, 2""".stripMargin,
 
     // same signals as q_text_stats, thresholds multiplied out so no
     // division can produce NaN; reasons array order = rule order
