@@ -47,6 +47,18 @@ class NgramLMSpec extends SparkSpec {
     assert(out(1)._3 == math.floor(1.0 / 6.0 * Q) / Q)
   }
 
+  test("model build partial-aggregates map-side (hot bigrams collapse pre-shuffle)") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, "of the of the common bigram"))
+      .toDF("doc_id", "text")
+    val model = NgramLM.bigramCounts(docs, "text")
+    model.collect() // finalize the AQE plan before asserting on it
+    val plan = model.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregation, got:\n$plan")
+    assert(exchanges == 1, s"model build must be ONE shuffle, got $exchanges:\n$plan")
+  }
+
   test("documents with fewer than two tokens are absent, not scored") {
     val docs = Seq((1L, "a b"), (2L, "solo"), (3L, "   ")).toDF("doc_id", "text")
     val ids = NgramLM.selfScoreBigram(docs, "doc_id", "text")
