@@ -1230,6 +1230,19 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#50 per-cluster embedding centroids (SemDeDup-style curation /
+    // IVF cell refresh): posexplode → ONE map-side-combined aggregation;
+    // components quantized to 2^-40 so sums are association-order-free —
+    // centroids hash-match the oracle bit-for-bit. Flat (label, pos) grain
+    // for the gate; Pooling.meanPool assembles the vectors.
+    "q_mean_pool" -> ((s, dir) =>
+      Pooling.meanComponents(
+          Tables.embeddings(s, dir).select(
+            col("label").cast("long").as("label"), col("embedding")),
+          Seq("label"), "embedding")
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("n_vecs"), col("centroid_val"))),
+
     // §2#49 dataset-card corpus statistics: the per-(source, lang) rollup a
     // curated corpus publishes — doc/token/char totals, distinct-token-mass
     // ratio bounds. One map-side-combined pass over scan-side signals.
@@ -1469,6 +1482,19 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // components quantized to k/2^40 (exact rationals that sum exactly in
+    // doubles) → the sum is association-order-free; one exact division
+    "q_mean_pool" ->
+      """WITH x AS (SELECT cast(label AS bigint) AS label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(p := i - 1,
+        |        q := floor(cast(embedding[i] AS double) * 1099511627776) / 1099511627776))) AS u
+        |  FROM embeddings)
+        |SELECT label, cast(u.p AS bigint) AS pos,
+        |  cast(count(*) AS bigint) AS n_vecs,
+        |  sum(u.q) / count(*) AS centroid_val
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_corpus_stats" ->
       s"""WITH t AS (SELECT source, lang,
