@@ -1243,6 +1243,16 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"),
           col("n_vecs"), col("centroid_val"))),
 
+    // §2#51 distance-to-centroid outlier signal (the SemDeDup prune
+    // decision): centroids broadcast, distance = SEQUENTIAL zip_with fold
+    // scan-side — zero corpus shuffle, bit-exact across engines.
+    "q_embed_outliers" -> ((s, dir) =>
+      Pooling.distanceToCentroid(
+          Tables.embeddings(s, dir).select(
+            col("vec_id"), col("label").cast("long").as("label"), col("embedding")),
+          Seq("label"), "embedding")
+        .select(col("vec_id"), col("label"), col("dist_to_centroid"))),
+
     // §2#49 dataset-card corpus statistics: the per-(source, lang) rollup a
     // curated corpus publishes — doc/token/char totals, distinct-token-mass
     // ratio bounds. One map-side-combined pass over scan-side signals.
@@ -1482,6 +1492,25 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // centroid = the q_mean_pool math (order-free quantized sums); the
+    // per-vector distance is a left-to-right fold — bit-exact like the
+    // brute-kNN cosines
+    "q_embed_outliers" ->
+      """WITH x AS (SELECT cast(label AS bigint) AS label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> struct_pack(p := i - 1,
+        |        q := floor(cast(embedding[i] AS double) * 1099511627776) / 1099511627776))) AS u
+        |  FROM embeddings),
+        |c AS (SELECT label, u.p AS pos, sum(u.q) / count(*) AS cv FROM x GROUP BY 1, 2),
+        |cl AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM c GROUP BY 1)
+        |SELECT e.vec_id, cast(e.label AS bigint) AS label,
+        |  sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(range(1, len(e.embedding) + 1),
+        |      i -> (cast(e.embedding[i] AS double) - cl.centroid[i])
+        |        * (cast(e.embedding[i] AS double) - cl.centroid[i]))),
+        |    (acc, d) -> acc + d)) AS dist_to_centroid
+        |FROM embeddings e JOIN cl ON cast(e.label AS bigint) = cl.label""".stripMargin,
 
     // components quantized to k/2^40 (exact rationals that sum exactly in
     // doubles) → the sum is association-order-free; one exact division

@@ -46,4 +46,28 @@ object Pooling {
         transform(
           array_sort(collect_list(struct(col("pos"), col("centroid_val")))),
           s => s.getField("centroid_val")).as("centroid"))
+
+  /** Euclidean distance of every vector to its group's centroid — the
+    * SemDeDup-style prune signal (far-from-centroid ⇒ outlier/noise,
+    * near-duplicates cluster tightly around it). The centroid table is
+    * groups×D (tiny) and BROADCAST; the distance is a SEQUENTIAL
+    * `zip_with` + `aggregate` fold evaluated scan-side — the corpus is
+    * never shuffled, and the ordered fold makes the value bit-exact across
+    * engines and partitionings (same discipline as the brute-kNN cosines).
+    */
+  def distanceToCentroid(
+      df: DataFrame,
+      groupCols: Seq[String],
+      vecCol: String): DataFrame = {
+    val centroids = meanPool(df, groupCols, vecCol)
+      .select((groupCols.map(col) :+ col("centroid")): _*)
+    df.join(broadcast(centroids), groupCols)
+      .withColumn("dist_to_centroid",
+        sqrt(aggregate(
+          zip_with(col(vecCol), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0),
+          (acc, d) => acc + d)))
+      .drop("centroid")
+  }
 }

@@ -32,6 +32,25 @@ class PoolingSpec extends SparkSpec {
     assert(centroid(7) == expected, "must be bit-identical under repartitioning")
   }
 
+  test("distanceToCentroid broadcasts centroids; distance exact") {
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(0.0f, 1.0f)),
+      (3L, "b", Array(3.0f, 4.0f))
+    ).toDF("id", "grp", "vec")
+    val out = Pooling.distanceToCentroid(df, Seq("grp"), "vec")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the join:\n$plan")
+    val d = out.select($"id", $"dist_to_centroid").as[(Long, Double)]
+      .collect().toMap
+    // group a centroid (0.5, 0.5): both vectors at distance sqrt(0.5)
+    assert(math.abs(d(1L) - math.sqrt(0.5)) < 1e-12 && d(1L) == d(2L))
+    assert(d(3L) == 0.0, "singleton group sits on its own centroid")
+  }
+
   test("component aggregation partial-aggregates before one shuffle") {
     val df = Seq.tabulate(100)(i => ("g" + (i % 4), Array.fill(8)(i.toFloat)))
       .toDF("grp", "vec")
