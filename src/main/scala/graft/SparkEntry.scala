@@ -1114,6 +1114,24 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))),
 
+    // §2#37b engine-portable mergeable cardinality sketch: same distinct-
+    // count surface as q_hll_sketch but with row-shaped FnvMix registers and
+    // an exact-arithmetic raw-HLL estimator, so the WHOLE sketch pipeline
+    // (hash -> bucket -> rank -> max-register -> estimate) hash-matches the
+    // DuckDB oracle bit-for-bit. The estimate rides next to the exact count.
+    "q_card_sketch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = Sketch.estimate(
+        Sketch.registers(ev, Seq("event_type"), col("user_id"), seed = 11L),
+        Seq("event_type"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+      est.withColumnRenamed("approx_distinct", "approx_users")
+        .join(exact, "event_type")
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -1612,6 +1630,47 @@ object SparkEntry {
          |  cast(sum(doc_id) AS bigint) AS id_sum
          |FROM u JOIN r ON u.source = r.source WHERE u.u < r.rate
          |GROUP BY 1""".stripMargin
+    },
+
+    // Full FnvMix replay -> bucket/rank via exact integer CASE thresholds
+    // (no floating log2) -> max registers -> scaled-integer harmonic sum in
+    // HUGEINT -> one exact power-of-two division + one IEEE division. The
+    // estimator constants are the SAME Scala doubles Spark embeds
+    // (shortest-round-trip literals parse back to identical bits).
+    "q_card_sketch" -> {
+      val seedGolden = (BigInt(11) * GoldenB).mod(BigInt(2).pow(64))
+      val rhoCase = (1 to 56)
+        .map(r => s"WHEN rem >= ${BigInt(2).pow(64 - r)} THEN $r")
+        .mkString(" ")
+      s"""WITH h0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS shingle
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+         |folded AS (SELECT event_type, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT event_type,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT event_type, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT event_type, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT event_type, xor(z, z >> 31) AS z FROM z2),
+         |br AS (SELECT event_type, z >> 56 AS bucket,
+         |    CAST((CAST(z AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS rem
+         |  FROM hv),
+         |rho AS (SELECT event_type, bucket, CASE $rhoCase ELSE 57 END AS rho FROM br),
+         |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+         |est AS (SELECT event_type,
+         |    sum(CAST(power(2.0, 57 - reg) AS HUGEINT)) AS s_present,
+         |    count(*) AS nb
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type,
+         |    cast(count(DISTINCT user_id) AS bigint) AS exact_users,
+         |    cast(count(*) AS bigint) AS n_events
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  CAST(${Sketch.Numer} AS double) /
+         |    (CAST(s_present + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+         |       AS double) / CAST(144115188075855872 AS double)) AS approx_users,
+         |  cast(nb AS bigint) AS n_buckets_used,
+         |  ex.exact_users, ex.n_events
+         |FROM est e JOIN ex ON e.event_type = ex.event_type""".stripMargin
     },
 
     "q_quality_checks" ->

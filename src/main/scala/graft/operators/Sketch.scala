@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.plans.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable mergeable cardinality sketch (HyperLogLog registers over
+  * the [[graft.plans.FnvMix]] hash family).
+  *
+  * Why next to Spark's built-in `hll_sketch_agg`: the built-in sketch's
+  * binary format and estimator are engine-specific, so a query using it can
+  * only ever get a rows-only correctness check. This sketch keeps the
+  * registers as plain rows — `(group..., bucket, reg)` — and the estimator as
+  * exact integer + IEEE-double arithmetic, so the whole pipeline (hash →
+  * bucket → rank → max-register → estimate) is replayable digit-for-digit by
+  * the DuckDB oracle. Same scale shape as any production HLL:
+  *
+  *  - one map-side-combined `max` aggregation builds the registers (the
+  *    exchange carries at most groups×256 rows, never the corpus);
+  *  - register tables merge with `max` ([[mergeRegisters]]) — the
+  *    incremental/cross-day path: sketch each day, merge, estimate;
+  *  - the estimator is a tiny second aggregation over groups×256 rows.
+  *
+  * Estimator maths, exact cross-engine: with register values M_b the raw HLL
+  * harmonic sum Σ 2^(−M_b) is computed scaled by 2^57 so every term
+  * 2^(57−M_b) is an exact integer (M_b ∈ [0, 57]); the sum runs in
+  * decimal(38,0) (no double rounding, association-order-free), and the final
+  * `α·m² / (S/2^57)` does one exact power-of-two division and one IEEE
+  * division — bit-identical in any IEEE engine. No small/large-range
+  * correction terms: those need `ln`, which is NOT bit-portable across libm
+  * implementations, so this estimator is the pure raw-HLL form (std error
+  * ≈ 1.04/√256 ≈ 6.5 % — the spec asserts the achieved accuracy).
+  *
+  * Reference anchor: distinct-count measures in the semantic layer
+  * (/root/reference/models/semantic/semantic_models.yml count_distinct
+  * measures) — at 100 TB those become sketches.
+  */
+object Sketch {
+
+  /** Precision bits: m = 2^P = 256 buckets, rank width W = 64 − P. */
+  val P = 8
+  val M: Int = 1 << P
+  val W: Int = 64 - P
+
+  /** HLL bias constant for m ≥ 128 (Flajolet et al. 2007). Computed once
+    * here and embedded as a double literal in BOTH engines' plans, so
+    * nobody re-derives it with possibly different operation order.
+    */
+  val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
+
+  /** `α·m²` — the estimator numerator, one shared literal. */
+  val Numer: Double = Alpha * M * M
+
+  /** `2^(W+1)` as an exact double (power of two). */
+  val Scale: Double = math.pow(2.0, (W + 1).toDouble)
+
+  private val ScaleLong: Long = 1L << (W + 1) // 2^57 fits a signed long
+
+  /** HLL registers for `value` per `groupCols`: one row per (group, bucket)
+    * with `reg` = max rank observed. Bucket = top P hash bits; rank ρ = 1 +
+    * leading zeros of the remaining W bits (W+1 when they are all zero).
+    * Absent buckets mean register 0 — the estimator accounts for them, so
+    * the table stays sparse (at most groups×256 rows).
+    */
+  def registers(df: DataFrame, groupCols: Seq[String], value: Column,
+      seed: Long): DataFrame = {
+    val h = HashExpressions.fnvMix(value.cast("string"), seed)
+    val rem = shiftleft(h, P) // low W bits moved to the top; 0 iff all zero
+    val rho = when(rem === 0L, lit(W + 1))
+      .otherwise(HashExpressions.clz64(rem) + lit(1))
+    df.select(
+        groupCols.map(col) :+
+          shiftrightunsigned(h, W).as("bucket") :+
+          rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("reg"))
+  }
+
+  /** Merge two register tables (same groupCols): max per (group, bucket).
+    * Associative + commutative + idempotent — the mergeability that makes
+    * sketches the 100 TB distinct-count path (per-day sketches roll up to
+    * any date range without touching raw data).
+    */
+  def mergeRegisters(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("reg").as("reg"))
+
+  /** Raw-HLL estimate per group from a register table. */
+  def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sTotal = col("_s_present") +
+      (lit(M.toLong) - col("_n_buckets")).cast("decimal(20,0)") *
+        lit(ScaleLong).cast("decimal(20,0)")
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), cast(${W + 1} - reg as int))")
+          .cast("decimal(20,0)")).as("_s_present"),
+        count(lit(1)).as("_n_buckets"))
+      .select(
+        groupCols.map(col) :+
+          (lit(Numer) / (sTotal.cast("double") / lit(Scale)))
+            .as("approx_distinct") :+
+          col("_n_buckets").as("n_buckets_used"): _*)
+  }
+}

@@ -72,8 +72,39 @@ object HashKernels {
   }
 }
 
+/** Number of leading zero bits of a 64-bit value (0..64). Codegen'd to the
+  * JDK intrinsic; the DuckDB oracle replays it with an exact integer CASE
+  * chain over power-of-two thresholds (no floating log2, whose floor can be
+  * off by one ulp near powers of two).
+  */
+case class Clz64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"clz64 requires a bigint input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "clz64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = java.lang.Long.numberOfLeadingZeros($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API for [[FnvMix]]. */
   def fnvMix(text: Column, seed: Long): Column =
     Bridge.column(FnvMix(Bridge.expression(text), seed))
+
+  /** Column API for [[Clz64]]. */
+  def clz64(bits: Column): Column =
+    Bridge.column(Clz64(Bridge.expression(bits)))
 }
