@@ -1248,6 +1248,17 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#42b overlapping sliding-window chunking (RAG/embedding layout —
+    // the other chunking discipline next to q_token_packing's concat-then-
+    // chunk): zero-shuffle scan-side generator; bounded to a 5 % doc slice
+    // so the gate output stays row-comparable at every SF.
+    "q_chunk_overlap" -> ((s, dir) =>
+      Packing.chunkSliding(
+        Tables.documents(s, dir)
+          .where(pmod(col("doc_id"), lit(20L)) === 0L)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", window = 6, stride = 3)),
+
     // §2#50 per-cluster embedding centroids (SemDeDup-style curation /
     // IVF cell refresh): posexplode → ONE map-side-combined aggregation;
     // components quantized to 2^-40 so sums are association-order-free —
@@ -1510,6 +1521,24 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    "q_chunk_overlap" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+         |st AS (SELECT doc_id, tk, n,
+         |    list_filter(range(0, greatest(n, 1), 3),
+         |      i -> (i = 0 AND n > 0) OR (i > 0 AND i + 3 < n)) AS ss
+         |  FROM c),
+         |ex AS (SELECT doc_id, tk, n,
+         |    unnest(list_transform(range(1, len(ss) + 1),
+         |      j -> struct_pack(j := j, s := ss[j]))) AS u
+         |  FROM st)
+         |SELECT doc_id, cast(u.j - 1 AS bigint) AS chunk_idx,
+         |  cast(u.s AS bigint) AS start_tok,
+         |  cast(least(6, n - u.s) AS bigint) AS n_tokens,
+         |  array_to_string(list_slice(tk, u.s + 1, u.s + 6), ' ') AS chunk_text
+         |FROM ex""".stripMargin),
 
     // centroid = the q_mean_pool math (order-free quantized sums); the
     // per-vector distance is a left-to-right fold — bit-exact like the

@@ -42,4 +42,45 @@ object Packing {
       .withColumn("chunk_seq", expr(s"chunk_offset div $budgetTokens"))
       .drop("_cum")
   }
+
+  /** Overlapping sliding-window chunking (the RAG/embedding layout, vs
+    * [[packChunks]]' concat-then-chunk pretraining layout): each document is
+    * cut into chunks of up to `window` tokens starting every `stride` tokens,
+    * so consecutive chunks share `window - stride` tokens of context. A
+    * trailing start whose chunk would add no token beyond the previous chunk
+    * is dropped (`start + window - stride >= ntok`), matching the usual
+    * text-splitter rule; documents with zero tokens produce zero chunks.
+    *
+    * Scale shape: pure scan-side projection + generator — the chunk array is
+    * built per row with `sequence`/`filter`/`slice` and exploded in place,
+    * so there is NO shuffle and no state; output size is corpus ×
+    * ~(ntok/stride), produced streaming through the scan. The spec asserts
+    * the plan has no Exchange.
+    */
+  def chunkSliding(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val starts = filter(
+      sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(stride)),
+      i => (i === 0 && col("_n") > 0) ||
+        (i > 0 && i + lit(window - stride) < col("_n")))
+    df.withColumn("_toks", graft.functions.Text.tokens(col(textCol)))
+      .withColumn("_n", size(col("_toks")))
+      .select(
+        col(idCol), col("_toks"), col("_n"),
+        posexplode(starts).as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(window), col("_n") - col("start_tok")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("_toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }
