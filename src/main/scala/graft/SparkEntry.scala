@@ -1248,6 +1248,14 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#29c segment-level boilerplate removal (C4-style line dedup):
+    // hot segments (doc frequency > max(3, N/100), threshold computed
+    // in-plan) removed from every doc, text reassembled in order
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", segWords = 3)),
+
     // §2#42b overlapping sliding-window chunking (RAG/embedding layout —
     // the other chunking discipline next to q_token_packing's concat-then-
     // chunk): zero-shuffle scan-side generator; bounded to a 5 % doc slice
@@ -1521,6 +1529,31 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // hot set derived on the segment STRING here (Spark groups by an
+    // internal xxhash64 of it — same set, the hash never leaves the plan);
+    // string_agg skips the CASE's nulls exactly like Spark's array_join
+    "q_segment_dedup" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+         |st AS (SELECT doc_id, tk, n,
+         |    list_filter(range(0, greatest(n, 1), 3), i -> i < n) AS ss FROM c),
+         |segs AS (SELECT doc_id, u.j - 1 AS seg_idx,
+         |    array_to_string(list_slice(tk, u.s + 1, u.s + 3), ' ') AS seg
+         |  FROM (SELECT doc_id, tk,
+         |      unnest(list_transform(range(1, len(ss) + 1),
+         |        j -> struct_pack(j := j, s := ss[j]))) AS u
+         |    FROM st)),
+         |th AS (SELECT greatest(3, count(*) // 100) AS t FROM c),
+         |dfc AS (SELECT seg, count(*) AS dc
+         |  FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY 1),
+         |hot AS (SELECT seg FROM dfc, th WHERE dc > t)
+         |SELECT s.doc_id, cast(count(*) AS bigint) AS n_segs,
+         |  cast(count(h.seg) AS bigint) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+         |    ' ' ORDER BY s.seg_idx), '') AS clean_text
+         |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+         |GROUP BY 1""".stripMargin),
 
     "q_chunk_overlap" -> (
       s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents

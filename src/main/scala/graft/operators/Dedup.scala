@@ -246,4 +246,71 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Segment-level boilerplate removal (C4/RefinedWeb line-dedup style):
+    * documents are cut into consecutive `segWords`-token segments, segments
+    * whose document frequency exceeds a corpus-relative threshold are
+    * removed from every document, and the remaining segments are reassembled
+    * in order. This is dedup WITHIN documents — headers/footers/navigation
+    * boilerplate repeated across many docs disappears while each document
+    * survives — complementing [[exact]]/[[ngramJaccard]], which drop whole
+    * documents.
+    *
+    * The hot threshold is `max(minHotDf, nDocs / hotDocShare)` computed
+    * in-plan from a one-row count broadcast (no driver action), so the same
+    * pipeline definition is correct at any corpus size — at 100 TB "appears
+    * in more than 1 % of documents" is boilerplate, not a fixed df=3.
+    *
+    * Scale shape: segment doc-frequency comes from a distinct + map-side-
+    * combined count (hot segments collapse before the shuffle — same
+    * discipline as [[ngramJaccard]]'s hot-shingle cap), the hot set is tiny
+    * by definition (≤ totalSegments/threshold) and BROADCAST back, and
+    * reassembly is one groupBy on the document id — three bounded shuffles,
+    * none keyed on a hot segment. Documents with zero tokens are dropped
+    * (they have no segments; callers keep them with an anti-join if needed).
+    */
+  def segmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int,
+      minHotDf: Long = 3L,
+      hotDocShare: Long = 100L): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    require(minHotDf > 0 && hotDocShare > 0,
+      "minHotDf and hotDocShare must be positive")
+    val starts = filter(
+      sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(segWords)),
+      i => i < col("_n"))
+    val segs = df
+      .withColumn("_toks", Text.tokens(col(textCol)))
+      .withColumn("_n", size(col("_toks")))
+      .select(
+        col(idCol),
+        posexplode(transform(starts,
+          i => array_join(slice(col("_toks"), i + 1, lit(segWords)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      // 8-byte join/group key instead of the segment string (see ngramJaccard)
+      .withColumn("_seg_hash", xxhash64(col("seg")))
+    val thresh = df.agg(
+      expr(s"greatest($minHotDf, count(1) div $hotDocShare)").as("_hot_thresh"))
+    val hot = segs.select(col(idCol), col("_seg_hash")).distinct()
+      .groupBy(col("_seg_hash")).agg(count(lit(1)).as("_df_cnt"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("_df_cnt") > col("_hot_thresh"))
+      .select(col("_seg_hash"), lit(true).as("_hot"))
+    segs.join(broadcast(hot), Seq("_seg_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_hot"), 1L).otherwise(0L)).as("n_removed"),
+        // removed segments ride as nulls so every doc keeps its row;
+        // array_join drops nulls after the order-restoring sort
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"),
+              when(col("_hot").isNull, col("seg")).as("seg")))),
+            x => x.getField("seg")),
+          " ").as("clean_text"))
+  }
 }

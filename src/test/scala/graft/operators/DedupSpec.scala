@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.sum
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -89,5 +90,60 @@ class DedupSpec extends SparkSpec {
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m((1L, 4L)) == 0)
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("segmentDedup removes hot segments and reassembles text in order") {
+    // "h1 h2 h3" opens 4 of 5 docs (df=4 > minHotDf=3) — boilerplate;
+    // every other 3-token segment is unique to its doc
+    val boiler = "h1 h2 h3"
+    val ds = Seq(
+      (1L, s"$boiler a1 a2 a3 a4 a5 a6"),
+      (2L, s"$boiler b1 b2 b3"),
+      (3L, s"$boiler c1 c2 c3"),
+      (4L, s"$boiler d1 d2 d3"),
+      (5L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(ds, "doc_id", "text", segWords = 3)
+      .select($"doc_id", $"n_segs", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, "a1 a2 a3 a4 a5 a6"),
+      (2L, 2L, 1L, "b1 b2 b3"),
+      (3L, 2L, 1L, "c1 c2 c3"),
+      (4L, 2L, 1L, "d1 d2 d3"),
+      (5L, 2L, 0L, "e1 e2 e3 e4 e5 e6")))
+  }
+
+  test("segmentDedup: all-boilerplate doc survives with empty text") {
+    val b = "h1 h2 h3"
+    val ds = (1L to 4L).map(i => (i, b)).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(ds, "doc_id", "text", segWords = 3)
+      .select($"doc_id", $"n_removed", $"clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == (1L to 4L).map(i => (i, 1L, "")))
+  }
+
+  test("segmentDedup hot threshold scales with corpus size") {
+    // 600 docs sharing a segment with df=5: threshold max(3, 600/100)=6,
+    // so df=5 is NOT hot at this corpus size (would be at 400 docs)
+    val shared = (1L to 5L).map(i => (i, "s1 s2 s3"))
+    val filler = (6L to 600L).map(i => (i, s"u${i}a u${i}b u${i}c"))
+    val ds = (shared ++ filler).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(ds, "doc_id", "text", segWords = 3)
+    assert(out.agg(sum($"n_removed")).head().getLong(0) == 0L)
+    // at 400 docs the same df=5 segment IS hot (threshold max(3, 4)=4)
+    val ds2 = (shared ++ filler.take(395)).toDF("doc_id", "text")
+    val out2 = Dedup.segmentDedup(ds2, "doc_id", "text", segWords = 3)
+    assert(out2.agg(sum($"n_removed")).head().getLong(0) == 5L)
+  }
+
+  test("segmentDedup marks hot segments via a broadcast join, no seg shuffle join") {
+    val ds = (1L to 20L).map(i => (i, s"h1 h2 h3 w${i}a w${i}b w${i}c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(ds, "doc_id", "text", segWords = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast mark join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 }
