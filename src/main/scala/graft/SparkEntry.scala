@@ -1248,6 +1248,13 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#26b TF-IDF top terms per doc (rational idf — bit-portable scores;
+    // top-k through the custom TopKPerKey bounded-heap operator)
+    "q_tfidf_terms" -> ((s, dir) =>
+      TfIdf.topTerms(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5)),
+
     // §2#29c segment-level boilerplate removal (C4-style line dedup):
     // hot segments (doc frequency > max(3, N/100), threshold computed
     // in-plan) removed from every doc, text reassembled in order
@@ -1529,6 +1536,24 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // same rational-idf arithmetic in the same operation order; ties in
+    // score break on the token, so the top-5 set is deterministic
+    "q_tfidf_terms" -> (
+      s"""WITH tok AS (SELECT doc_id, unnest($TokSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df_cnt FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |sc AS (SELECT doc_id, tf.token AS token, tf, df_cnt,
+         |    CAST(tf AS double) * (CAST(nd + 1 AS double) /
+         |      CAST(df_cnt + 1 AS double)) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf AS double) * (CAST(nd + 1 AS double) /
+         |        CAST(df_cnt + 1 AS double)) DESC, tf.token) AS rn
+         |  FROM tf JOIN dfc USING (token), n)
+         |SELECT doc_id, token, cast(tf AS bigint) AS tf,
+         |  cast(df_cnt AS bigint) AS df_cnt, score
+         |FROM sc WHERE rn <= 5""".stripMargin),
 
     // hot set derived on the segment STRING here (Spark groups by an
     // internal xxhash64 of it — same set, the hash never leaves the plan);
