@@ -1369,6 +1369,16 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#38b deterministic FIXED-SIZE per-stratum sample (exactly k rows
+    // per event_type, identical across reruns/partitionings): k smallest
+    // portable-hash uniforms via the TopKPerKey bounded-heap operator —
+    // not a full per-stratum sort
+    "q_sample_fixedk" -> ((s, dir) =>
+      Sampling.fixedPerStratum(
+          Tables.events(s, dir).select(col("event_id"), col("event_type")),
+          Seq("event_type"), "event_id", k = 20, seed = 5L)
+        .select(col("event_type"), col("event_id"), col("sample_u"))),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1693,6 +1703,28 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // same FnvMix-uniform replay as q_mixture_sample; the fixed-k draw is
+    // a row_number here vs the bounded-heap TopKPerKey in Spark — identical
+    // selection, different physical operator
+    "q_sample_fixedk" -> {
+      val seedGolden = (BigInt(5) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH h0 AS (SELECT event_id, event_type,
+         |    CAST(event_id AS VARCHAR) AS shingle FROM events),
+         |folded AS (SELECT event_id, event_type, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT event_id, event_type,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT event_id, event_type, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT event_id, event_type, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT event_id, event_type, xor(z, z >> 31) AS z FROM z2),
+         |u AS (SELECT event_id, event_type,
+         |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS sample_u
+         |  FROM hv),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY sample_u, event_id) AS rn FROM u)
+         |SELECT event_type, event_id, sample_u FROM r WHERE rn <= 20""".stripMargin
+    },
+
     "q_mixture_sample" -> {
       val seedGolden = (BigInt(7) * GoldenB).mod(BigInt(2).pow(64))
       s"""WITH w(source, wt) AS (VALUES

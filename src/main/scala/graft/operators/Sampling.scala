@@ -75,4 +75,38 @@ object Sampling {
       .filter(u < col("_rate"))
       .drop("_rate")
   }
+
+  /** Deterministic FIXED-SIZE sample per stratum: exactly `min(k, |stratum|)`
+    * rows from each stratum, chosen as the k smallest portable-hash uniforms
+    * — the eval-set / human-review draw ("500 docs per language, same 500
+    * every run"), where [[stratified]]/[[toMixture]]'s rate-based keeps give
+    * only an EXPECTED size. Selection is a pure function of (id, seed):
+    * reruns, retries, and re-partitions return the identical sample, and a
+    * grown corpus changes the draw only where new ids hash below a kept
+    * one.
+    *
+    * Scale shape: the naive form — `row_number() over (partition by stratum
+    * order by u)` — sorts the ENTIRE corpus through as many tasks as there
+    * are strata (a handful of languages ⇒ a handful of tasks at 100 TB).
+    * This routes through [[graft.plans.TopKPerKey]] instead: bounded
+    * k-element heaps after the stratum repartition, O(n) scan per task, and
+    * the retained set is min(strata·k, spill threshold) rows — the heap
+    * discards above-k rows on sight instead of sorting them.
+    */
+  def fixedPerStratum(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = shiftrightunsigned(
+        graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+      .cast("double") / lit(1099511627776.0)
+    graft.plans.TopK.perKey(
+      df.withColumn("sample_u", u),
+      strataCols,
+      Seq(col("sample_u").asc, col(idCol).asc),
+      k)
+  }
 }

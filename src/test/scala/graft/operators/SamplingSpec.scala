@@ -63,4 +63,45 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle for the join:\n$plan")
   }
+
+  test("fixedPerStratum draws exactly min(k, stratum size) rows per stratum") {
+    val ds = ((1L to 100L).map(i => (i, "big")) ++ (101L to 103L).map(i => (i, "small")))
+      .toDF("id", "cls")
+    val out = Sampling.fixedPerStratum(ds, Seq("cls"), "id", k = 10, seed = 5L)
+    val sizes = out.groupBy($"cls").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 10L, "small" -> 3L))
+  }
+
+  test("fixedPerStratum is deterministic across reruns and partitionings") {
+    val ds = (1L to 500L).map(i => (i, s"c${i % 4}")).toDF("id", "cls")
+    val a = Sampling.fixedPerStratum(ds, Seq("cls"), "id", 7, 5L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val b = Sampling.fixedPerStratum(ds.repartition(13), Seq("cls"), "id", 7, 5L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 28)
+    // a different seed draws a different sample
+    val c = Sampling.fixedPerStratum(ds, Seq("cls"), "id", 7, 6L)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(a != c)
+  }
+
+  test("fixedPerStratum grows stably: adding rows only swaps in new winners") {
+    val small = (1L to 300L).map(i => (i, "c")).toDF("id", "cls")
+    val grown = (1L to 400L).map(i => (i, "c")).toDF("id", "cls")
+    val a = Sampling.fixedPerStratum(small, Seq("cls"), "id", 10, 5L)
+      .select($"id").as[Long].collect().toSet
+    val b = Sampling.fixedPerStratum(grown, Seq("cls"), "id", 10, 5L)
+      .select($"id").as[Long].collect().toSet
+    // every survivor of the grown draw that existed before was already kept
+    assert(b.filter(_ <= 300L).subsetOf(a))
+  }
+
+  test("fixedPerStratum plans through TopKPerKey heaps, not a window sort") {
+    val ds = (1L to 100L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
+    val out = Sampling.fixedPerStratum(ds, Seq("cls"), "id", 5, 5L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort in:\n$plan")
+  }
 }
