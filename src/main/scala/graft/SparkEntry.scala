@@ -1248,6 +1248,20 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#49b exact quantile curriculum phases WITHOUT a global sort:
+    // thresholds from a bounded cell-table CDF (integer rank arithmetic),
+    // assignment = scan-side count vs a broadcast threshold array
+    "q_quantile_phase" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+          .getField("n_tokens").cast("long").as("n_tokens"))
+      val thr = Stats.quantileThresholds(docs, "n_tokens",
+        Seq((1, 4), (1, 2), (3, 4)))
+      Stats.assignQuantileBucket(docs, "n_tokens", thr, "phase")
+        .select(col("doc_id"), col("n_tokens"), col("phase"))
+    }),
+
     // §2#26b TF-IDF top terms per doc (rational idf — bit-portable scores;
     // top-k through the custom TopKPerKey bounded-heap operator)
     "q_tfidf_terms" -> ((s, dir) =>
@@ -1546,6 +1560,25 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // type-1 quantile: rank = ceil(p*n) in integer arithmetic, threshold =
+    // rank-th smallest counting duplicates; phase = thresholds strictly
+    // below the value (one row per prob, so equal thresholds still count)
+    "q_quantile_phase" -> (
+      s"""WITH t AS (SELECT doc_id, cast(len($TokSql) AS bigint) AS n_tokens
+         |  FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |ranks AS (SELECT q_num, q_den, (n * q_num + q_den - 1) // q_den AS rk
+         |  FROM (VALUES (1, 4), (1, 2), (3, 4)) AS q(q_num, q_den), n),
+         |cells AS (SELECT n_tokens AS v, count(*) AS cnt FROM t GROUP BY 1),
+         |cdf AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM cells),
+         |thr AS (SELECT q_num, q_den, min(v) AS threshold
+         |  FROM cdf JOIN ranks ON cum >= rk GROUP BY 1, 2)
+         |SELECT doc_id, n_tokens,
+         |  cast((SELECT count(*) FROM thr WHERE t.n_tokens > thr.threshold)
+         |    AS bigint) AS phase
+         |FROM t""".stripMargin),
 
     // same rational-idf arithmetic in the same operation order; ties in
     // score break on the token, so the top-5 set is deterministic
