@@ -1248,6 +1248,14 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#36b inverted index with capped postings: exact df per token, the
+    // 50 smallest doc ids kept through bounded heaps (hot tokens never
+    // sort their corpus-sized postings), truncation flagged
+    "q_inverted_index" -> ((s, dir) =>
+      Index.invertedIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", maxPostings = 50)),
+
     // §2#49b exact quantile curriculum phases WITHOUT a global sort:
     // thresholds from a bounded cell-table CDF (integer rank arithmetic),
     // assignment = scan-side count vs a broadcast threshold array
@@ -1560,6 +1568,16 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    "q_inverted_index" -> (
+      s"""WITH p AS (SELECT DISTINCT doc_id, token FROM
+         |    (SELECT doc_id, unnest($TokSql) AS token FROM documents)),
+         |agg AS (SELECT token, count(*) AS df_cnt,
+         |    list_sort(list(doc_id)) AS post FROM p GROUP BY 1)
+         |SELECT token, cast(df_cnt AS bigint) AS df_cnt,
+         |  array_to_string(list_slice(post, 1, 50), ',') AS postings_csv,
+         |  cast(CASE WHEN df_cnt > 50 THEN 1 ELSE 0 END AS bigint) AS truncated
+         |FROM agg""".stripMargin),
 
     // type-1 quantile: rank = ceil(p*n) in integer arithmetic, threshold =
     // rank-th smallest counting duplicates; phase = thresholds strictly
