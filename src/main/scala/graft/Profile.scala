@@ -17,6 +17,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +37,9 @@ object Profile {
         "q_asof_backward", "q_offline_gaps", "q_span_enrich",
         "q_nested_unnest", "q_metric_layer", "q_quality_checks",
         "q_ngram_lm", "q_mixture_sample", "q_dedup_canonical",
-        "q_embed_quantize", "q_token_packing", "q_decontaminate").foreach { name =>
+        "q_embed_quantize", "q_token_packing", "q_decontaminate",
+        "q_card_sketch", "q_tfidf_terms", "q_segment_dedup", "q_chunk_overlap",
+        "q_sample_fixedk", "q_quantile_phase", "q_inverted_index").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
