@@ -1391,6 +1391,15 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#46b deterministic train/val/test split assignment: disjoint +
+    // exhaustive by construction (cumulative-fraction ladder on a portable
+    // uniform; last split is the catch-all), scan-side, zero shuffle
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id", seed = 13L,
+          splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))),
+
     // §2#38b deterministic FIXED-SIZE per-stratum sample (exactly k rows
     // per event_type, identical across reruns/partitionings): k smallest
     // portable-hash uniforms via the TopKPerKey bounded-heap operator —
@@ -1754,6 +1763,34 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // the ladder thresholds are the SAME Scala-computed doubles the Spark
+    // side embeds (0.9 + 0.05 = 0.9500000000000001 — both engines compare
+    // against that exact value)
+    "q_split_assign" -> {
+      val seedGolden = (BigInt(13) * GoldenB).mod(BigInt(2).pow(64))
+      val cums = Sampling.cumFractions(
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      s"""WITH h0 AS (SELECT doc_id, source,
+         |    CAST(doc_id AS VARCHAR) AS shingle FROM documents),
+         |folded AS (SELECT doc_id, source, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id, source,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, source, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, source, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, source, xor(z, z >> 31) AS z FROM z2),
+         |u AS (SELECT doc_id, source,
+         |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS u FROM hv),
+         |a AS (SELECT doc_id, source,
+         |    CASE WHEN u < CAST(${cums(0)} AS double) THEN 'train'
+         |         WHEN u < CAST(${cums(1)} AS double) THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM u)
+         |SELECT source, split, cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(doc_id) AS bigint) AS id_sum
+         |FROM a GROUP BY 1, 2""".stripMargin
+    },
+
     // same FnvMix-uniform replay as q_mixture_sample; the fixed-k draw is
     // a row_number here vs the bounded-heap TopKPerKey in Spark — identical
     // selection, different physical operator

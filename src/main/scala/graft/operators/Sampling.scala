@@ -93,6 +93,45 @@ object Sampling {
     * the retained set is min(strata·k, spill threshold) rows — the heap
     * discards above-k rows on sight instead of sorting them.
     */
+  /** Cumulative split boundaries for [[splitAssign]] — public so the oracle
+    * and the operator embed the IDENTICAL doubles (0.9 + 0.05 is
+    * 0.9500000000000001 in IEEE; both engines must compare against that
+    * exact value, not a re-derived one).
+    */
+  def cumFractions(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+
+  /** Deterministic train/val/test split assignment: every row gets exactly
+    * one split label from its portable-hash uniform vs the cumulative
+    * fraction ladder — disjoint and exhaustive by construction (the last
+    * split is the catch-all, so float edges cannot drop a row). Assignment
+    * is a pure function of (id, seed): stable across reruns, partitionings,
+    * and engines, and a new row never moves existing rows between splits —
+    * the leakage-safety property a random() split does not have.
+    *
+    * Scale shape: one scan-side projection, zero shuffle.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = shiftrightunsigned(
+        graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+      .cast("double") / lit(1099511627776.0)
+    val cums = cumFractions(splits)
+    val ladder = splits.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), c)) => Some(when(u < lit(c), lit(name)))
+      case (Some(e), ((name, _), c)) => Some(e.when(u < lit(c), lit(name)))
+    }
+    df.withColumn(splitCol, ladder.get.otherwise(lit(splits.last._1)))
+  }
+
   def fixedPerStratum(
       df: DataFrame,
       strataCols: Seq[String],

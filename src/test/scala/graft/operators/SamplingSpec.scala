@@ -96,6 +96,41 @@ class SamplingSpec extends SparkSpec {
     assert(b.filter(_ <= 300L).subsetOf(a))
   }
 
+  test("splitAssign is disjoint, exhaustive, and ~proportional") {
+    val ds = (1L to 10000L).toDF("id")
+    val out = Sampling.splitAssign(ds, "id", 13L,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val sizes = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.sum == 10000L) // every row exactly one split
+    assert(math.abs(sizes("train") - 9000L) < 200)
+    assert(math.abs(sizes("val") - 500L) < 100)
+    assert(math.abs(sizes("test") - 500L) < 100)
+  }
+
+  test("splitAssign: growing the corpus never moves an existing row") {
+    val small = (1L to 1000L).toDF("id")
+    val grown = (1L to 2000L).toDF("id")
+    val f = (d: org.apache.spark.sql.DataFrame) =>
+      Sampling.splitAssign(d, "id", 13L,
+        Seq("train" -> 0.8, "val" -> 0.2))
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+    val a = f(small)
+    val b = f(grown)
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
+
+  test("splitAssign plans as a pure projection (no shuffle)") {
+    val ds = (1L to 100L).toDF("id")
+    val out = Sampling.splitAssign(ds, "id", 13L,
+      Seq("train" -> 0.9, "val" -> 0.1))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ds, "id", 13L, Seq("train" -> 0.9, "val" -> 0.2))
+    }
+  }
+
   test("fixedPerStratum plans through TopKPerKey heaps, not a window sort") {
     val ds = (1L to 100L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
     val out = Sampling.fixedPerStratum(ds, Seq("cls"), "id", 5, 5L)
