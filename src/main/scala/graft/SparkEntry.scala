@@ -1850,7 +1850,8 @@ object SparkEntry {
         .map(r => s"WHEN rem >= ${BigInt(2).pow(64 - r)} THEN $r")
         .mkString(" ")
       s"""WITH h0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS shingle
-         |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events
+         |        WHERE user_id IS NOT NULL)),
          |folded AS (SELECT event_type, $FnvFoldSql AS h FROM h0),
          |z0 AS (SELECT event_type,
          |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616

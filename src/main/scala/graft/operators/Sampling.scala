@@ -92,6 +92,9 @@ object Sampling {
     * k-element heaps after the stratum repartition, O(n) scan per task, and
     * the retained set is min(strata·k, spill threshold) rows — the heap
     * discards above-k rows on sight instead of sorting them.
+    *
+    * `idCol` must be non-null and unique: a null id yields a null uniform,
+    * and NULLS FIRST ordering would hand it a permanent heap slot.
     */
   /** Cumulative split boundaries for [[splitAssign]] — public so the oracle
     * and the operator embed the IDENTICAL doubles (0.9 + 0.05 is
@@ -108,6 +111,10 @@ object Sampling {
     * is a pure function of (id, seed): stable across reruns, partitionings,
     * and engines, and a new row never moves existing rows between splits —
     * the leakage-safety property a random() split does not have.
+    *
+    * A null id hashes to a null uniform, which falls through every ladder
+    * rung into the LAST split (exhaustiveness is preserved); filter or fix
+    * null ids upstream if that is not wanted.
     *
     * Scale shape: one scan-side projection, zero shuffle.
     */

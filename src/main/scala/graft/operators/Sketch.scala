@@ -68,7 +68,8 @@ object Sketch {
     val rem = shiftleft(h, P) // low W bits moved to the top; 0 iff all zero
     val rho = when(rem === 0L, lit(W + 1))
       .otherwise(HashExpressions.clz64(rem) + lit(1))
-    df.select(
+    // null values do not count toward cardinality (count_distinct semantics)
+    df.where(value.isNotNull).select(
         groupCols.map(col) :+
           shiftrightunsigned(h, W).as("bucket") :+
           rho.as("rho"): _*)

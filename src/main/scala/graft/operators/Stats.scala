@@ -43,13 +43,16 @@ object Stats {
       s"probabilities must be rationals in (0, 1], got $probs")
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+    // null values are outside the distribution: excluded from cells AND n,
+    // so ranks stay consistent with the CDF
+    val clean = df.where(col(valueCol).isNotNull)
+    val cells = clean.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
     // bounded-cardinality cell table: the unpartitioned window is a
     // constant-size step regardless of corpus size (see scaladoc)
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cdf = cells.withColumn("cum", sum(col("cnt")).over(w))
-    val total = df.agg(count(lit(1)).as("_n"))
+    val total = clean.agg(count(lit(1)).as("_n"))
     val ranks = probs.toDF("q_num", "q_den")
       .crossJoin(broadcast(total))
       .select(col("q_num"), col("q_den"),

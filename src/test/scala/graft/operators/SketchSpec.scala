@@ -69,6 +69,16 @@ class SketchSpec extends SparkSpec {
       s"expected a partial max aggregate in:\n$finalPlan")
   }
 
+  test("null values do not count toward cardinality") {
+    val withNulls = spark.range(100).select(
+      lit("g").as("grp"),
+      when(col("id") % 2 === 0, concat(lit("v"), col("id"))).as("v"))
+    val regs = Sketch.registers(withNulls, Seq("grp"), col("v"), seed = 3L)
+    val clean = Sketch.registers(
+      withNulls.where(col("v").isNotNull), Seq("grp"), col("v"), seed = 3L)
+    assert(regs.exceptAll(clean).isEmpty && clean.exceptAll(regs).isEmpty)
+  }
+
   test("rank uses the full 56-bit suffix (bucket 0 values rank correctly)") {
     // Construct the rho column directly: clz64(h << 8) + 1, capped at 57
     val one = spark.range(1).select(
