@@ -1391,6 +1391,21 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#47b corpus snapshot diff (dataset versioning): old = corpus minus
+    // every 10th doc, with every 7th doc's text edited; new = the corpus.
+    // Fingerprints computed scan-side, the join ships (id, fp) not text.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val old = docs
+        .where(pmod(col("doc_id"), lit(10L)) =!= 0L)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 0L,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")).as("text"))
+      Diff.snapshotDiff(old, docs, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // §2#46b deterministic train/val/test split assignment: disjoint +
     // exhaustive by construction (cumulative-fraction ladder on a portable
     // uniform; last split is the catch-all), scan-side, zero shuffle
@@ -1763,6 +1778,25 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // the oracle diffs CONTENT equality directly — Spark's internal
+    // xxhash64 fingerprint never leaves the plan
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), d AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id
+        |)
+        |SELECT status, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(doc_id) AS bigint) AS id_sum
+        |FROM d GROUP BY 1""".stripMargin,
+
     // the ladder thresholds are the SAME Scala-computed doubles the Spark
     // side embeds (0.9 + 0.05 = 0.9500000000000001 — both engines compare
     // against that exact value)
