@@ -279,17 +279,14 @@ object Dedup {
     require(segWords > 0, s"segWords must be positive, got $segWords")
     require(minHotDf > 0 && hotDocShare > 0,
       "minHotDf and hotDocShare must be positive")
-    val starts = filter(
-      sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(segWords)),
-      i => i < col("_n"))
+    // native single-pass segmenter (WordSegments kernel) — equivalent to
+    // tokens -> sequence/slice/array_join HOFs (spec cross-checked), one
+    // scan instead of an interpreted HOF chain over a token array column
     val segs = df
-      .withColumn("_toks", Text.tokens(col(textCol)))
-      .withColumn("_n", size(col("_toks")))
       .select(
         col(idCol),
-        posexplode(transform(starts,
-          i => array_join(slice(col("_toks"), i + 1, lit(segWords)), " ")))
-          .as(Seq("seg_idx", "seg")))
+        posexplode(graft.plans.TextExpressions.wordSegments(
+          col(textCol), segWords)).as(Seq("seg_idx", "seg")))
       // 8-byte join/group key instead of the segment string (see ngramJaccard)
       .withColumn("_seg_hash", xxhash64(col("seg")))
     val thresh = df.agg(

@@ -138,6 +138,36 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Consecutive (non-overlapping) `n`-token segments of the lowercased
+  * whitespace tokenization, INCLUDING the partial tail segment — the
+  * segment grain of C4-style boilerplate removal. Same single-pass scanner
+  * as [[WordShingles]] but strided by `n`; exactly equivalent to the
+  * declarative `transform(sequence(...), i -> array_join(slice(tokens,
+  * i+1, n), ' '))` formulation (spec cross-checked), several times cheaper
+  * (one scan, no HOF interpretation, no intermediate token array column).
+  */
+case class WordSegments(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_segments requires a string input and n >= 1, got ${child.dataType.simpleString}, n=$n")
+
+  override def prettyName: String = "word_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordSegments(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.wordSegments($in, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE-ish token stream (`[a-z]+(?:'[a-z]+)?|[0-9]+` over the lowercased
   * text) as a native single-pass scanner — the pattern is regular enough
   * that a hand scanner reproduces the regex's greedy-maximal matches
@@ -271,6 +301,43 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  def wordSegments(input: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String](32)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val atEnd = i == len
+      val c = if (atEnd) ' ' else s.charAt(i)
+      if (atEnd || isSpace(c)) {
+        if (sb.length() > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    val nTok = tokens.size
+    if (nTok == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val nSeg = (nTok + n - 1) / n
+    val out = new Array[Any](nSeg)
+    var j = 0
+    while (j < nSeg) {
+      val from = j * n
+      val until = math.min(from + n, nTok)
+      val segB = new java.lang.StringBuilder(32)
+      var k = from
+      while (k < until) {
+        if (k > from) segB.append(' ')
+        segB.append(tokens.get(k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(segB.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def langHits(input: UTF8String, sets: Array[java.util.HashSet[String]]): InternalRow = {
     val s = input.toString
     val hits = new Array[Long](sets.length)
@@ -312,6 +379,10 @@ object TextExpressions {
   /** All n-gram occurrences (no dedup) — for counting, e.g. bigram LMs. */
   def wordShinglesAll(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n, distinct = false))
+
+  /** Consecutive n-token segments incl. the partial tail — see [[WordSegments]]. */
+  def wordSegments(text: Column, n: Int): Column =
+    Bridge.column(WordSegments(Bridge.expression(text), n))
 
   def bpeTokens(text: Column): Column =
     Bridge.column(RegexTokens(Bridge.expression(text)))

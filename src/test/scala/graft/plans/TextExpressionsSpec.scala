@@ -35,4 +35,27 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
     assert(out(1).getStruct(0).getLong(0) == 2L)
   }
+
+  test("WordSegments kernel == declarative sequence/slice formulation") {
+    val docs = Seq(
+      "one two three four five six seven",   // partial tail (7 = 2×3 + 1)
+      "one two three",                        // exact multiple
+      "single",                               // shorter than a segment
+      "  Mixed   CASE  spacing\there ",       // lowercasing + whitespace runs
+      "").toDF("text")
+    for (n <- Seq(1, 3, 5)) {
+      val declarative = docs.select(
+        transform(
+          filter(
+            sequence(lit(0),
+              greatest(size(Text.tokens($"text")) - 1, lit(0)), lit(n)),
+            i => i < size(Text.tokens($"text"))),
+          i => array_join(slice(Text.tokens($"text"), i + 1, lit(n)), " "))
+          .as("segs"))
+      val native = docs.select(
+        TextExpressions.wordSegments($"text", n).as("segs"))
+      assert(native.collect().toSeq == declarative.collect().toSeq,
+        s"kernel/declarative divergence at n=$n")
+    }
+  }
 }
