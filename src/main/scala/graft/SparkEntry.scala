@@ -1391,6 +1391,14 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#44b deterministic random projection 64→8 (JL-style embedding
+    // compression before ANN/clustering): engine-portable hyperplanes,
+    // bit-exact projected values, pure scan-side (zero shuffle)
+    "q_rand_project" -> ((s, dir) =>
+      Similarity.randomProject(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dimIn = 64, dimOut = 8, seed = 21L)),
+
     // §2#47b corpus snapshot diff (dataset versioning): old = corpus minus
     // every 10th doc, with every 7th doc's text edited; new = the corpus.
     // Fingerprints computed scan-side, the join ships (id, fp) not text.
@@ -1778,6 +1786,20 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // plane components recomputed from the integer formula (exact in both
+    // engines), dot = the same left-to-right fold as the brute-kNN oracle
+    "q_rand_project" ->
+      """WITH j AS (SELECT unnest(range(0, 8)) AS pos),
+        |p AS (SELECT e.vec_id, j.pos,
+        |    list_reduce(list_prepend(CAST(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS double) *
+        |          (CAST((pos * 73856093 + (i - 1) * 19349663 + 21 * 83492791)
+        |             % 1000003 AS double) / 1000003.0 - 0.5))),
+        |      (acc, x) -> acc + x) AS val
+        |  FROM embeddings e, j)
+        |SELECT vec_id, cast(pos AS bigint) AS pos, val FROM p""".stripMargin,
+
     // the oracle diffs CONTENT equality directly — Spark's internal
     // xxhash64 fingerprint never leaves the plan
     "q_snapshot_diff" ->

@@ -326,4 +326,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Deterministic random projection D → d (Johnson–Lindenstrauss style):
+    * out[j] = vec · plane_j over the same engine-portable integer-derived
+    * hyperplane family the LSH operators use, so the projected values — not
+    * just their signs — replay bit-for-bit in any IEEE engine (each dot is
+    * the [[graft.plans.FloatDot]] sequential fold). The embedding
+    * preprocessing step before cheaper ANN / clustering: distances are
+    * approximately preserved while vectors shrink D/d ×.
+    *
+    * Scale shape: pure scan-side projection — d native dots per row, one
+    * explode to (id, pos, val) grain, zero shuffle (spec-asserted).
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dimIn: Int,
+      dimOut: Int,
+      seed: Long): DataFrame = {
+    require(dimIn >= 1 && dimOut >= 1 && dimOut <= dimIn,
+      s"need 1 <= dimOut <= dimIn, got dimIn=$dimIn dimOut=$dimOut")
+    val hp = hyperplanes(dimOut, dimIn, seed)
+    val comps = array(hp.zipWithIndex.map { case (plane, j) =>
+      struct(lit(j).as("pos"),
+        Vectors.dot(col("_v"), array(plane.map(lit): _*)).as("val"))
+    }: _*)
+    df.select(col(idCol), checkedDim(col(vecCol), dimIn).as("_v"))
+      .withColumn("_c", explode(comps))
+      .select(col(idCol), col("_c.pos").cast("long").as("pos"),
+        col("_c.val").as("val"))
+  }
 }

@@ -74,4 +74,46 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bandBitsFor(100L, 1024L) == 1)        // floor at 1 bit
     assert(Similarity.bandBitsFor(1L << 40, 1024L) == 20)   // capped
   }
+
+  test("randomProject: linearity, determinism, and zero-shuffle plan") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(16)(1.0f)),
+      (2L, Array.fill(16)(2.0f)),                 // 2 × vec 1
+      (3L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, "vec_id", "embedding",
+      dimIn = 16, dimOut = 4, seed = 21L)
+    val m = out.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(m(1L).size == 4)
+    // projection is linear: P(2v) = 2 P(v); P(0) = 0
+    assert(m(2L).zip(m(1L)).forall { case (a, b) => a == 2.0 * b })
+    assert(m(3L).forall(_ == 0.0))
+    // deterministic across runs/partitionings
+    val again = Similarity.randomProject(vecs.repartition(3), "vec_id",
+        "embedding", 16, 4, 21L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == out.as[(Long, Long, Double)].collect().toSet)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("randomProject approximately preserves relative distances (JL)") {
+    import spark.implicits._
+    // three well-separated cluster centers in 32-d; projected distances
+    // must keep far pairs farther than near pairs
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32)(rnd.nextFloat())
+    val near = base.map(x => x + 0.01f)
+    val far = Array.fill(32)(rnd.nextFloat() * 10f)
+    val vecs = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(vecs, "vec_id", "embedding", 32, 8, 21L)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(dist(proj(1L), proj(2L)) < dist(proj(1L), proj(3L)))
+  }
 }
