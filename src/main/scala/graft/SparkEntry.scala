@@ -1391,6 +1391,13 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#45b top-k collocations by rational PMI lift (multiword-expression
+    // mining for tokenizer vocab / entity phrases); global top-k plans as
+    // TakeOrdered, never a global sort
+    "q_collocations" -> ((s, dir) =>
+      NgramLM.collocations(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 20)),
+
     // §2#44b deterministic random projection 64→8 (JL-style embedding
     // compression before ANN/clustering): engine-portable hyperplanes,
     // bit-exact projected values, pure scan-side (zero shuffle)
@@ -1786,6 +1793,30 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // identical lift operation order (doubles before any multiply); the
+    // LIMIT is deterministic because (lift DESC, w1, w2) is a total order
+    "q_collocations" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |big AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+         |  FROM toks WHERE len(tk) >= 2),
+         |bi AS (SELECT bigram, count(*) AS c12 FROM big GROUP BY 1),
+         |nb AS (SELECT sum(c12) AS nb FROM bi),
+         |tok AS (SELECT unnest(tk) AS w FROM toks),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |nu AS (SELECT sum(c) AS nu FROM uni),
+         |sc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2, c12,
+         |    (CAST(c12 AS double) * (CAST(nu AS double) / CAST(nb AS double))) *
+         |      (CAST(nu AS double) /
+         |        (CAST(u1.c AS double) * CAST(u2.c AS double))) AS lift
+         |  FROM bi
+         |  JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.w
+         |  JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.w, nb, nu
+         |  WHERE c12 >= 5)
+         |SELECT w1, w2, cast(c12 AS bigint) AS c12, lift FROM sc
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin),
+
     // plane components recomputed from the integer formula (exact in both
     // engines), dot = the same left-to-right fold as the brute-kNN oracle
     "q_rand_project" ->

@@ -90,4 +90,52 @@ object NgramLM {
       .agg(count_distinct(col("_tok")).as("v"))
     scoreBigram(docs, idCol, textCol, bigramCounts(docs, textCol), vocab)
   }
+
+  /** Top-k collocations by RATIONAL pointwise mutual information — the
+    * multiword-expression miner (tokenizer vocab candidates, entity
+    * phrases). PMI's `log` is monotone, so ranking by the lift itself,
+    *
+    *   lift(w1, w2) = (c12/Nb) / ((c1/Nu)·(c2/Nu))
+    *                = (c12·Nu/Nb) · (Nu/(c1·c2)),
+    *
+    * gives the identical top-k with pure IEEE arithmetic — bit-portable
+    * scores, like TfIdf's rational idf. `minCount` is the classic PMI
+    * guard: without it, hapax pairs (c12 = c1 = c2 = 1) dominate.
+    *
+    * Scale shape: bigram and unigram counts are both map-side-combined
+    * single scans (hot pairs collapse before their shuffles); the unigram
+    * table is vocabulary-sized and BROADCAST twice onto the (already
+    * aggregated, minCount-pruned) bigram table; the global top-k plans as
+    * TakeOrdered (per-partition bounded top-k, then one merge at the
+    * driver of k rows per partition — never a global sort).
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount, k >= 1")
+    val bi = bigramCounts(docs, textCol)
+    val nb = bi.agg(sum(col("c12")).as("_nb")) // total occurrences, pre-prune
+    val uni = docs
+      .select(explode(Text.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+    val nu = uni.agg(sum(col("_c")).as("_nu"))
+    // doubles BEFORE any multiply: c1·c2 in int64 would overflow at corpus
+    // scale (each can approach Nu); the operation ORDER is part of the
+    // operator contract so external engines reproduce scores bitwise
+    val lift = (col("c12").cast("double") *
+        (col("_nu").cast("double") / col("_nb").cast("double"))) *
+      (col("_nu").cast("double") /
+        (col("c1").cast("double") * col("c2").cast("double")))
+    bi.filter(col("c12") >= minCount)
+      .select(
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"),
+        col("c12"))
+      .join(broadcast(uni.toDF("w1", "c1")), Seq("w1"))
+      .join(broadcast(uni.toDF("w2", "c2")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c12"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -65,4 +65,34 @@ class NgramLMSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
   }
+
+  test("collocations ranks glued pairs above chance pairs, minCount guards hapax") {
+    // "san francisco" always co-occurs (5×); "the" pairs with everything;
+    // "rare gem" occurs once (hapax — excluded by minCount)
+    val docs = Seq(
+      (1L, "san francisco the city the bay"),
+      (2L, "san francisco the fog the hills"),
+      (3L, "san francisco the bridge rare gem"),
+      (4L, "san francisco the mission the park"),
+      (5L, "san francisco the beach the cliff")).toDF("doc_id", "text")
+    val top = NgramLM.collocations(docs, "text", minCount = 2L, k = 3)
+      .select($"w1", $"w2", $"c12", $"lift")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(top.head._1 == "san" && top.head._2 == "francisco" && top.head._3 == 5L)
+    assert(!top.exists(t => t._1 == "rare"), "hapax pair must be pruned")
+    // lift of the glued pair: c12=5, c(san)=c(francisco)=5 → maximal
+    assert(top.head._4 > top(1)._4)
+  }
+
+  test("collocations plans as TakeOrdered with broadcast unigram joins") {
+    val docs = (1L to 50L).map(i => (i, "a b c d e f")).toDF("doc_id", "text")
+    val out = NgramLM.collocations(docs, "text", minCount = 2L, k = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not a sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"unigrams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
 }
