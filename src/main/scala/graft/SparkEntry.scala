@@ -1391,6 +1391,19 @@ object SparkEntry {
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
 
+    // §2#49c rolling z-score anomaly detection per entity (telemetry
+    // monitoring): trailing-window mean/σ from exact quantized sums —
+    // engine-exact variance in one window pass
+    "q_rolling_anomaly" -> ((s, dir) =>
+      Stats.rollingAnomaly(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("z_score"), col("is_anomaly"))),
+
     // §2#45b top-k collocations by rational PMI lift (multiword-expression
     // mining for tokenizer vocab / entity phrases); global top-k plans as
     // TakeOrdered, never a global sort
@@ -1793,6 +1806,30 @@ object SparkEntry {
     // uniform is the top 40 bits. Weights/budget forced to double so both
     // engines run the identical (150.0 · w) / n IEEE op sequence (DuckDB
     // bare decimal literals would compute exact-decimal rates instead).
+    // quantized frame sums are exact in ANY accumulation order, so only
+    // the final mean/variance/z ops need matching order; the frame is the
+    // same ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING per (user, ts, event)
+    "q_rolling_anomaly" ->
+      """WITH q AS (SELECT event_id, user_id, ts, value,
+        |    floor(CAST(value AS double) * 1024) / 1024 AS q FROM events),
+        |w AS (SELECT event_id, user_id, ts, value, q,
+        |    count(q) OVER fr AS cnt,
+        |    sum(q) OVER fr AS sx,
+        |    sum(q * q) OVER fr AS sxx
+        |  FROM q WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id, ts, value, q, cnt,
+        |    sx / CAST(cnt AS double) AS mean,
+        |    sxx / CAST(cnt AS double)
+        |      - (sx / CAST(cnt AS double)) * (sx / CAST(cnt AS double)) AS var
+        |  FROM w)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  CASE WHEN cnt = 6 AND var > 0 THEN (q - mean) / sqrt(var) END AS z_score,
+        |  cast(CASE WHEN cnt = 6 AND var > 0
+        |        AND abs((q - mean) / sqrt(var)) > CAST(3.0 AS double)
+        |    THEN 1 ELSE 0 END AS bigint) AS is_anomaly
+        |FROM z""".stripMargin,
+
     // identical lift operation order (doubles before any multiply); the
     // LIMIT is deterministic because (lift DESC, w1, w2) is a total order
     "q_collocations" -> (

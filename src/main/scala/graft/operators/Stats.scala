@@ -76,4 +76,51 @@ object Stats {
         size(filter(col("_thr"), t => col(valueCol) > t)).cast("long"))
       .drop("_thr")
   }
+
+  /** Rolling z-score anomaly detection per entity — telemetry monitoring
+    * ("this meter reading is 3σ off this charger's recent behavior").
+    * Each row is scored against the trailing `lookback` observations of its
+    * own entity (the current row excluded): z = (x − μ)/σ, flagged past
+    * `zThreshold`. Rows without a full lookback window get a null score —
+    * an entity's first readings are never judged against noise.
+    *
+    * Engine-exact variance without a second pass: values are quantized to
+    * the 2^-10 binary grid, so the frame's Σx and Σx² are sums of ≤
+    * lookback exact doubles (k/2^10 and k²/2^20 — integers scaled by powers
+    * of two, exact for |x| < ~2^21) — NO rounding in any accumulation
+    * order; μ, σ², z then take the same three IEEE ops in both engines.
+    * `σ² = Σx²/n − μ²` can round to a tiny negative near zero variance —
+    * guarded to null (constant signals have no z-score).
+    *
+    * Scale shape: one window shuffle on the high-cardinality entity key;
+    * the frame is O(lookback) per row. (`orderCols` must totally order each
+    * entity's rows — include a tiebreaker.)
+    */
+  def rollingAnomaly(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String,
+      lookback: Int = 6,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(zThreshold > 0, s"zThreshold must be positive, got $zThreshold")
+    val Q = 1024.0 // 2^10
+    val q = floor(col(valueCol).cast("double") * lit(Q)) / lit(Q)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-lookback, -1)
+    val cnt = count(col("_q")).over(w)
+    val mean = sum(col("_q")).over(w) / cnt.cast("double")
+    val variance = sum(col("_q") * col("_q")).over(w) / cnt.cast("double") -
+      mean * mean
+    df.withColumn("_q", q)
+      .withColumn("_z",
+        when(cnt === lookback && variance > 0,
+          (col("_q") - mean) / sqrt(variance)))
+      .withColumn("z_score", col("_z"))
+      .withColumn("is_anomaly",
+        when(col("_z").isNotNull && abs(col("_z")) > zThreshold, 1L)
+          .otherwise(0L))
+      .drop("_q", "_z")
+  }
 }

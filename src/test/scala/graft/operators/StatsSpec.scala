@@ -57,6 +57,29 @@ class StatsSpec extends SparkSpec {
       s"expected broadcast threshold array:\n$plan")
   }
 
+  test("rollingAnomaly flags a spike against the entity's own trailing window") {
+    import spark.implicits._
+    // entity 1: steady 10.0 with jitter, then a spike; entity 2: constant
+    val rows =
+      (1 to 10).map(i => (i.toLong, 1L, sqlTs(f"2024-01-01 10:${i}%02d:00"),
+        10.0 + (i % 3) * 0.5)) ++
+      Seq((11L, 1L, sqlTs("2024-01-01 10:11:00"), 50.0)) ++   // spike
+      (1 to 8).map(i => (100L + i, 2L, sqlTs(f"2024-01-01 10:${i}%02d:00"), 7.0))
+    val out = Stats.rollingAnomaly(
+        rows.toDF("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "value")
+      .select($"event_id", $"z_score", $"is_anomaly")
+      .as[(Long, Option[Double], Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(11L)._2 == 1L, s"spike must flag: ${out(11L)}")
+    // first 6 rows of each entity have no full window -> null score
+    (1L to 6L).foreach(i => assert(out(i)._1.isEmpty))
+    // steady jitter is not anomalous
+    (7L to 10L).foreach(i => assert(out(i)._2 == 0L))
+    // constant entity: zero variance -> null score, never flagged
+    (101L to 108L).foreach(i => assert(out(i)._1.isEmpty && out(i)._2 == 0L))
+  }
+
   test("bucket sizes match the quantile split on a uniform distribution") {
     val vals = (1L to 1000L).toDF("v")
     val thr = Stats.quantileThresholds(vals, "v", Seq((1, 4), (1, 2), (3, 4)))
