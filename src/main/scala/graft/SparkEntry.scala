@@ -1404,6 +1404,38 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           col("value"), col("z_score"), col("is_anomaly"))),
 
+    // §2#50 ordered funnel (view → click → purchase within 24 h): earliest
+    // qualifying event per stage, one row per user, ONE exchange for all
+    // stage windows
+    "q_funnel" -> ((s, dir) =>
+      Behavioral.funnel(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"),
+          maxGapSeconds = Some(86400L), tieBreakCols = Seq("event_id"))
+        .select(
+          col("user_id"),
+          unix_micros(col("stage_1_ts")).as("stage1_ts_us"),
+          unix_micros(col("stage_2_ts")).as("stage2_ts_us"),
+          unix_micros(col("stage_3_ts")).as("stage3_ts_us"),
+          col("stages_completed"))),
+
+    // §2#50b cohort retention matrix: first-seen week × weeks-since, active
+    // user counts; weeks are pure integer µs arithmetic (engine-portable)
+    "q_cohort_retention" -> ((s, dir) =>
+      Behavioral.cohortRetention(
+        Tables.events(s, dir).select(col("user_id"), col("ts")),
+        "user_id", "ts")),
+
+    // §2#50c first-order event-type transition matrix with row-conditional
+    // probabilities (one lag shuffle, map-side-combined counts)
+    "q_transitions" -> ((s, dir) =>
+      Behavioral.transitions(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        "user_id", "ts", "event_type", tieBreakCols = Seq("event_id"))),
+
     // §2#45b top-k collocations by rational PMI lift (multiword-expression
     // mining for tokenizer vocab / entity phrases); global top-k plans as
     // TakeOrdered, never a global sort
@@ -1829,6 +1861,57 @@ object SparkEntry {
         |        AND abs((q - mean) / sqrt(var)) > CAST(3.0 AS double)
         |    THEN 1 ELSE 0 END AS bigint) AS is_anomaly
         |FROM z""".stripMargin,
+
+    // earliest-qualifying-event funnel semantics are tie-independent (min ts
+    // is a total choice); gap compared in integer µs. The rn=1 trick picks
+    // one row per user; stage cols are constant within the user partition.
+    "q_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1 FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |      AND epoch_us(ts) >= epoch_us(t1)
+        |      AND epoch_us(ts) <= epoch_us(t1) + 86400000000
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t2
+        |  FROM (SELECT user_id, ts, event_id, event_type, t1 FROM w1
+        |        JOIN events USING (user_id, ts, event_id))),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) >= epoch_us(t2)
+        |      AND epoch_us(ts) <= epoch_us(t2) + 86400000000
+        |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM w3)
+        |SELECT user_id, epoch_us(t1) AS stage1_ts_us,
+        |  epoch_us(t2) AS stage2_ts_us, epoch_us(t3) AS stage3_ts_us,
+        |  cast(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS bigint)
+        |    AS stages_completed
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // integer-µs week ids (div 604800000000) — no calendar semantics to
+    // diverge on; DISTINCT (user, week) then count per (cohort, offset)
+    "q_cohort_retention" ->
+      """WITH wk AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w
+        |    FROM events),
+        |u AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, w FROM wk)
+        |SELECT u.cohort_week, a.w - u.cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN u USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // p is ONE IEEE division of two exact bigints — identical both engines
+    "q_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS double) / CAST(sum(n) OVER (PARTITION BY prev_type)
+        |    AS double) AS p
+        |FROM c""".stripMargin,
 
     // identical lift operation order (doubles before any multiply); the
     // LIMIT is deterministic because (lift DESC, w1, w2) is a total order
