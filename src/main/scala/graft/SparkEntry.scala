@@ -1404,6 +1404,15 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           col("value"), col("z_score"), col("is_anomaly"))),
 
+    // §2#52 regular-grid resampling with linear interpolation (6-hour grid
+    // per entity): union readings ∪ span-bounded grid, carry both
+    // directions in one window pass — no self-join, bit-portable doubles
+    "q_resample" -> ((s, dir) =>
+      TimeSeries.resampleLinear(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", 21600L, Seq("event_id"))),
+
     // §2#50 ordered funnel (view → click → purchase within 24 h): earliest
     // qualifying event per stage, one row per user, ONE exchange for all
     // stage windows
@@ -1861,6 +1870,45 @@ object SparkEntry {
         |        AND abs((q - mean) / sqrt(var)) > CAST(3.0 AS double)
         |    THEN 1 ELSE 0 END AS bigint) AS is_anomaly
         |FROM z""".stripMargin,
+
+    // identical union-and-carry formulation: grid instants from integer
+    // ceil/floor of the per-user span, readings ordered before coincident
+    // grid rows (is_grid asc), duplicates resolved by event_id. The
+    // interpolation is the same IEEE op sequence as the Spark side (time
+    // deltas are exact integers < 2^53, casts exact) — bit-portable.
+    "q_resample" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(value AS double) AS v, 0 AS is_grid, event_id AS tb
+        |  FROM events),
+        |b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM r GROUP BY 1
+        |  HAVING ((min(t) + 21599999999) // 21600000000)
+        |      <= (max(t) // 21600000000)),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(
+        |      ((t0 + 21599999999) // 21600000000) * 21600000000,
+        |      (t1 // 21600000000) * 21600000000, 21600000000)) AS t,
+        |    CAST(NULL AS double) AS v, 1 AS is_grid, CAST(0 AS bigint) AS tb
+        |  FROM b),
+        |u AS (SELECT * FROM r UNION ALL SELECT * FROM g),
+        |w AS (SELECT user_id, t, is_grid,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+        |      OVER wp AS pv,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER wn AS nt,
+        |    last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+        |      OVER wn AS nv
+        |  FROM u WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY t ASC, is_grid ASC, tb ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY t DESC, is_grid ASC, tb ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t AS grid_ts_us,
+        |  CASE WHEN nt = pt THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(t - pt AS double) / CAST(nt - pt AS double)) END AS value
+        |FROM w WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL""".stripMargin,
 
     // earliest-qualifying-event funnel semantics are tie-independent (min ts
     // is a total choice); gap compared in integer µs. The rn=1 trick picks
