@@ -813,6 +813,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
 
+    // §2#29d containment/overlap-coefficient pairs |∩|/min(|A|,|B|):
+    // catches quote/partial-copy inclusions whose jaccard is diluted by the
+    // larger doc; same bounded inverted-index core as q_ngram_jaccard
+    "q_containment" -> ((s, dir) =>
+      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
+
     // §2#29b dedup DECISION: near-dup pairs → connected components →
     // canonical survivor per duplicate cluster (min doc_id reachable).
     // Every document is labeled with its cluster's keeper; is_canonical
@@ -3188,6 +3194,27 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT id_a, id_b, cast(inter AS double) / (sa + sb - inter) AS jaccard
          |FROM pairs WHERE cast(inter AS double) / (sa + sb - inter) >= 0.8""".stripMargin),
+
+    // identical pair core as q_ngram_jaccard; only the scorer differs
+    // (min-size denominator), so the two oracles share the CTE chain
+    "q_containment" -> (
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+         |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
+         |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
+         |    count(*) AS inter
+         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, cast(sa AS bigint) AS size_a, cast(sb AS bigint) AS size_b,
+         |  cast(inter AS double) / cast(least(sa, sb) AS double) AS overlap
+         |FROM pairs
+         |WHERE cast(inter AS double) / cast(least(sa, sb) AS double) >= 0.8""".stripMargin),
 
     "q_multimodal_meta" ->
       """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,

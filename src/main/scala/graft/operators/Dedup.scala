@@ -34,7 +34,47 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDocFreq: Long = 1000L): DataFrame = {
+      maxShingleDocFreq: Long = 1000L): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** N-gram OVERLAP-COEFFICIENT pairs: |A∩B| / min(|A|,|B|) — the
+    * containment score. Jaccard misses subset relations (a paragraph quoted
+    * inside a 100× longer doc has |∩|/|∪| ≈ 1 %); the overlap coefficient
+    * is ~1.0 whenever the smaller document is contained in the larger,
+    * which is exactly the quote/partial-copy/boilerplate-inclusion case a
+    * curation pipeline must catch SEPARATELY from whole-doc near-dups.
+    * Same bounded candidate generation as [[ngramJaccard]] (shared core).
+    * Output: id_a < id_b, sizes, overlap.
+    */
+  def overlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Long = 1000L): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq)
+      .withColumn("overlap",
+        col("inter").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "size_a", "size_b", "overlap")
+
+  /** Shared inverted-index pair core: distinct word `n`-shingles → hot-
+    * shingle suppression → per-pair intersection counts with both set
+    * sizes. Returns (id_a < id_b, size_a, size_b, inter); scorers divide.
+    */
+  private def shinglePairStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long): DataFrame = {
     // shingles are joined/grouped only by identity, so hash them to 8-byte
     // longs before the downstream shuffles (~4× less shuffle volume than
     // ~30-byte strings; collision odds at 2^64 are negligible and a
@@ -71,11 +111,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Connected components over an undirected near-dup pair list: every id

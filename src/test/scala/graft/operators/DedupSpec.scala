@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 4L)) == 1.0)
   }
 
+  test("overlapPairs catches a quote inclusion that jaccard misses") {
+    // doc 6 embeds doc 5 verbatim inside much longer unrelated text: the
+    // overlap coefficient is 1.0 while jaccard stays far below threshold
+    val quote = "to be or not to be that is the question"
+    val host = quote + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val d = Seq((5L, quote), (6L, host), (7L, docC)).toDF("doc_id", "text")
+    val over = Dedup.overlapPairs(d, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b", "overlap").as[(Long, Long, Double)].collect().toSeq
+    assert(over == Seq((5L, 6L, 1.0)), s"expected containment pair, got $over")
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((5L, 6L)), "jaccard should miss the quote inclusion")
+  }
+
+  test("overlapPairs equals jaccard score shape on exact duplicates") {
+    val over = Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.99)
+      .select("id_a", "id_b", "overlap").as[(Long, Long, Double)].collect().toSet
+    assert(over.contains((1L, 4L, 1.0))) // exact dup pair
+  }
+
   test("minhashLsh surfaces near-dups and exact dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)
