@@ -21,7 +21,10 @@ object Bench {
     catch { case _: Throwable => () }
     // a failed query records -1 (never its elapsed time) so a regression
     // that breaks a query cannot masquerade as a speedup
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted key order: Map iteration order reshuffles whenever a query is
+    // added, which made round-over-round per-query deltas pure noise (cold
+    // cache lands on whichever query happens to run first)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,7 +36,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

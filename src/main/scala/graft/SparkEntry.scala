@@ -1661,8 +1661,9 @@ object SparkEntry {
          |sh AS (SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM toks),
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM sh),
-         |b AS (SELECT shard, doc_id, n_tokens, cum - n_tokens AS chunk_offset,
-         |    (cum - n_tokens) // 512 AS chunk_seq FROM c)
+         |b AS (SELECT shard, doc_id, n_tokens,
+         |    cast(cum - n_tokens AS bigint) AS chunk_offset,
+         |    cast((cum - n_tokens) // 512 AS bigint) AS chunk_seq FROM c)
          |SELECT shard, chunk_seq, cast(count(*) AS bigint) AS n_docs,
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
@@ -1885,7 +1886,7 @@ object SparkEntry {
     "q_resample" ->
       """WITH r AS (SELECT user_id, epoch_us(ts) AS t,
         |    CAST(value AS double) AS v, 0 AS is_grid, event_id AS tb
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM r GROUP BY 1
         |  HAVING ((min(t) + 21599999999) // 21600000000)
         |      <= (max(t) // 21600000000)),

@@ -45,6 +45,12 @@ object TimeSeries {
     *
     * Output: one row per (entity, grid instant): keys, `grid_ts_us`
     * (epoch microseconds), `value` (interpolated double).
+    *
+    * Null semantics: a reading whose `valueCol` is NULL is treated as
+    * absent — it contributes neither a neighbour timestamp nor a value.
+    * (Carrying its timestamp while skipping its value would pair a null
+    * reading's time with an older reading's value and silently skew the
+    * interpolation weight.)
     */
   def resampleLinear(
       df: DataFrame,
@@ -57,13 +63,19 @@ object TimeSeries {
     val stepUs = stepSeconds * 1000000L
     val k = keys.map(col)
 
-    val readings = df.select(
-      k :+ unix_micros(col(tsCol)).as("_t") :+
-        col(valueCol).cast("double").as("_v") :+
-        lit(0L).as("_is_grid") :+
-        // tiebreak collapses to ONE deterministic bigint so the union'd
-        // grid rows need only a constant in this slot
-        tieBreak(tieBreakCols).as("_tb"): _*)
+    val readings = df
+      // null-valued readings are absent observations: dropping them HERE
+      // keeps (_t, _v) a pair from one physical reading — the window carry
+      // below could otherwise pair a null reading's timestamp with an older
+      // reading's value
+      .where(col(valueCol).isNotNull)
+      .select(
+        k :+ unix_micros(col(tsCol)).as("_t") :+
+          col(valueCol).cast("double").as("_v") :+
+          lit(0L).as("_is_grid") :+
+          // tiebreak collapses to ONE deterministic bigint so the union'd
+          // grid rows need only a constant in this slot
+          tieBreak(df, tieBreakCols).as("_tb"): _*)
 
     // per-entity span -> grid instants; the agg is map-side combined and
     // its output is one row per entity, so the explode is span-bounded
@@ -71,12 +83,16 @@ object TimeSeries {
       .groupBy(k: _*)
       .agg(min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
       // sequence() errors on start > stop — drop entities whose span
-      // contains no grid instant (integer ceil/floor arithmetic)
-      .where(expr(s"((_t0 + ${stepUs - 1}) div $stepUs) <= (_t1 div $stepUs)"))
+      // contains no grid instant. pmod (always non-negative) makes this
+      // FLOOR alignment: `div` truncates toward zero, which for pre-1970
+      // (negative-epoch) timestamps would shift the grid a step late and
+      // drop valid instants; `t0 + pmod(-t0, step)` / `t1 - pmod(t1, step)`
+      // are the smallest/largest step multiples ≥ t0 / ≤ t1 for any sign
+      .where(expr(s"_t0 + pmod(-_t0, $stepUs) <= _t1 - pmod(_t1, $stepUs)"))
       .select(
         k :+ explode(sequence(
-          expr(s"((_t0 + ${stepUs - 1}) div $stepUs) * $stepUs"),
-          expr(s"(_t1 div $stepUs) * $stepUs"),
+          expr(s"_t0 + pmod(-_t0, $stepUs)"),
+          expr(s"_t1 - pmod(_t1, $stepUs)"),
           lit(stepUs))).as("_t") :+
           lit(null).cast("double").as("_v") :+
           lit(1L).as("_is_grid") :+
@@ -112,13 +128,23 @@ object TimeSeries {
   }
 
   /** One deterministic bigint from the tiebreak columns. The common case (a
-    * single bigint id) is the id itself — a true total order; multiple
-    * columns fold through xxhash64 (deterministic; total up to hash
-    * collisions); none means the caller asserts timestamps are unique.
+    * single INTEGRAL id) is the id itself — a true total order; anything
+    * else (string UUID, timestamp id, multiple columns) folds through
+    * xxhash64 (deterministic; total up to hash collisions) — a blind
+    * `cast("long")` on a string UUID would yield NULL and make
+    * duplicate-timestamp resolution silently nondeterministic; none means
+    * the caller asserts timestamps are unique.
     */
-  private def tieBreak(tieBreakCols: Seq[String]) = tieBreakCols match {
-    case Nil      => lit(0L)
-    case Seq(one) => col(one).cast("long")
-    case many     => xxhash64(many.map(col): _*)
+  private def tieBreak(df: DataFrame, tieBreakCols: Seq[String]) = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    def integral(name: String) = df.schema(name).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    tieBreakCols match {
+      case Nil                           => lit(0L)
+      case Seq(one) if integral(one)     => col(one).cast("long")
+      case many                          => xxhash64(many.map(col): _*)
+    }
   }
 }
