@@ -1419,7 +1419,7 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "value", 21600L, Seq("event_id"))),
 
-    // §2#50 ordered funnel (view → click → purchase within 24 h): earliest
+    // §2#53 ordered funnel (view → click → purchase within 24 h): earliest
     // qualifying event per stage, one row per user, ONE exchange for all
     // stage windows
     "q_funnel" -> ((s, dir) =>
@@ -1436,14 +1436,14 @@ object SparkEntry {
           unix_micros(col("stage_3_ts")).as("stage3_ts_us"),
           col("stages_completed"))),
 
-    // §2#50b cohort retention matrix: first-seen week × weeks-since, active
+    // §2#53b cohort retention matrix: first-seen week × weeks-since, active
     // user counts; weeks are pure integer µs arithmetic (engine-portable)
     "q_cohort_retention" -> ((s, dir) =>
       Behavioral.cohortRetention(
         Tables.events(s, dir).select(col("user_id"), col("ts")),
         "user_id", "ts")),
 
-    // §2#50c first-order event-type transition matrix with row-conditional
+    // §2#53c first-order event-type transition matrix with row-conditional
     // probabilities (one lag shuffle, map-side-combined counts)
     "q_transitions" -> ((s, dir) =>
       Behavioral.transitions(
