@@ -119,15 +119,21 @@ object Dedup {
     * turns pair-finding into an actual dedup decision (keep one doc per
     * cluster, drop the rest).
     *
-    * Algorithm: iterative min-label propagation — each round is one
-    * edges⋈labels join + a map-side-combined min aggregation (one shuffle),
-    * and `localCheckpoint` truncates the lineage so the plan does not grow
-    * with rounds. Converges in O(component diameter) rounds; near-dup
-    * clusters are dense (a duplicate pairs with most of its cluster), so
-    * diameters are small. If `maxIter` rounds do not converge the operator
-    * THROWS rather than returning silently-unmerged components — raise
-    * `maxIter` (or pre-partition the graph) for adversarially chain-shaped
-    * inputs.
+    * Algorithm: min-label propagation with POINTER JUMPING — labels are
+    * seeded with `min(id, min(neighbor))` (round 1 for the price of one
+    * aggregation, no join), then each round folds three label sources
+    * through one map-side-combined min aggregation: neighbour labels
+    * (edges⋈labels), the node's own label, and `label(label(id))` (a
+    * labels⋈labels hop). The jump makes label values themselves conduct —
+    * a chain that plain propagation crosses one hop per round collapses in
+    * O(log diameter) rounds (hash-to-min); dense near-dup clusters converge
+    * in one or two. `localCheckpoint` truncates the lineage so the plan
+    * does not grow with rounds. The fixpoint — every edge and every
+    * label-pointer agrees — is the same min-reachable-id labeling as plain
+    * propagation (a jump target is always an id reachable through the pair
+    * graph), so results are byte-identical. If `maxIter` rounds do not
+    * converge the operator THROWS rather than returning silently-unmerged
+    * components — raise `maxIter` for adversarially chain-shaped inputs.
     *
     * Output: (`id`, `component`) for every id that appears in `pairs`;
     * singletons (ids with no pairs) are absent — coalesce on the consumer
@@ -148,20 +154,31 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"), col("src").as("component"))
-      .distinct()
+    // seed = min(id, min(neighbor)): the effect of a full propagation round
+    // from identity labels, for the cost of one map-side-combined agg over
+    // the already-checkpointed edge set (no join, no convergence probe)
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("id"), least(col("src"), col("_mn")).as("component"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // one shuffle per round: neighbor contributions and the node's own
-      // label fold through a single min-aggregation that ALSO carries the
-      // previous label (min over the self-tagged rows), so convergence is a
-      // cheap filter over the materialized checkpoint instead of an extra
-      // join against the old labels
+      // one aggregation shuffle per round folds three label sources: the
+      // neighbour hop, the pointer jump label(label(id)) (label values are
+      // ids with label rows of their own, so the inner-join hop is total),
+      // and the node's own label — which ALSO rides along self-tagged so
+      // convergence is a cheap filter over the materialized checkpoint
+      // instead of an extra join against the old labels
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.component") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.component").as("component"),
+          lit(false).as("_self"))
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"), lit(false).as("_self"))
+        .unionAll(jump)
         .unionAll(labels.withColumn("_self", lit(true)))
         .groupBy(col("id"))
         .agg(
