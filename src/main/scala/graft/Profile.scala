@@ -179,28 +179,58 @@ object Profile {
 
     if (args.length > 1 && args(1) == "recall") {
       // ANN quality harness: recall@k of the LSH and IVF variants vs the
-      // exact brute-force baseline on the embeddings table
+      // exact brute-force baseline, on TWO corpora — the driver's uniform
+      // embeddings table (the adversarial floor: no cluster structure, so a
+      // coarse quantizer can't beat ~2× random scan) and a synthetic
+      // mixture-of-Gaussians corpus (the case users actually have, where
+      // cell routing carries real signal)
       import graft.operators.Similarity
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val probes = emb.filter(col("vec_id") < 50)
-      val k = 10
-      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = pairs(Similarity.knnBruteForce(
-        emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
-      Seq(
-        "lsh(multiProbe=false)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
-          "vec_id", "embedding", k, planes = 8, multiProbe = false),
-        "lsh(multiProbe=true)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
-          "vec_id", "embedding", k, planes = 8, multiProbe = true),
-        "ivf(nlist=16,nprobe=4)" -> Similarity.knnIvf(emb, probes, "vec_id", "embedding",
-          "vec_id", "embedding", k, nlist = 16, nprobe = 4)
-      ).foreach { case (name, df) =>
-        val got = pairs(df)
-        val recall = (exact & got).size.toDouble / exact.size
-        println(f"[recall] $name%-24s recall@$k = $recall%.3f (candidates returned: ${got.size})")
+      def runRecall(corpus: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+        val probes = emb.filter(col("vec_id") < 50)
+        val k = 10
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(Similarity.knnBruteForce(
+          emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
+        Seq(
+          "lsh(multiProbe=false)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
+            "vec_id", "embedding", k, planes = 8, multiProbe = false),
+          "lsh(multiProbe=true)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
+            "vec_id", "embedding", k, planes = 8, multiProbe = true),
+          "ivf(nlist=16,nprobe=4)" -> Similarity.knnIvf(emb, probes, "vec_id", "embedding",
+            "vec_id", "embedding", k, nlist = 16, nprobe = 4)
+        ).foreach { case (name, df) =>
+          val got = pairs(df)
+          val recall = (exact & got).size.toDouble / exact.size
+          println(f"[recall] $corpus%-10s $name%-24s recall@$k = $recall%.3f (candidates returned: ${got.size})")
+        }
       }
+      val uniform = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = uniform.count()
+      // clustered corpus, same size: 20 unit-sphere centers, vectors =
+      // normalize(center + 0.35·gaussian noise) — in-cluster cosine ≈ 0.9.
+      // All hash-seeded (same discipline as GenData): reproducible anywhere.
+      def u01(salt: Int, cols: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(cols :+ lit(salt): _*), lit(1L << 40)).cast("double")
+          / lit((1L << 40).toDouble))
+      def gauss(salt: Int, keyCol: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), lit(64)), i =>
+          sqrt(-lit(2.0) * log(lit(1.0) - u01(salt, keyCol, i)))
+            * cos(lit(2.0 * math.Pi) * u01(salt + 1, keyCol, i)))
+      val clustered = spark.range(n)
+        .select(col("id"), (col("id") % 20).as("_c"))
+        .select(col("id"),
+          zip_with(gauss(50, col("_c")), gauss(60, col("id")),
+            (c, g) => c + lit(0.35) * g).as("_v"))
+        .select(col("id"),
+          aggregate(col("_v"), lit(0.0), (acc, x) => acc + x * x).as("_n2"),
+          col("_v"))
+        .select(col("id").as("vec_id"),
+          transform(col("_v"), x => (x / sqrt(col("_n2"))).cast("float"))
+            .as("embedding"))
+      runRecall("uniform", uniform)
+      runRecall("clustered", clustered)
       spark.stop()
       return
     }

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Keys, Text, Vectors}
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Sink, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1505,7 +1505,50 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(explode(Text.regexTokens("text")).as("token"))
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // §2#20c key-based incremental UPSERT through the REAL write path:
+    // initial load (days 1-15) then an overlapping batch (days 10-30) merge
+    // into a fresh partitioned parquet target; read back the final table.
+    // Batch rows win per (user, type, day) key, ties broken (ts, event_id)
+    // desc — dbt merge semantics, replay-idempotent. The oracle replays the
+    // two-step merge as one prioritized dedupe (provably equivalent: the
+    // second merge's winner per key is the same row either way).
+    "q_upsert_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+      val initial = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      val batch = ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+      val key = Seq("user_id", "event_type", Upsert.PartCol)
+      Upsert.mergeByKey(s, tmp, initial, key, "ts", Seq("event_id"))
+      Upsert.mergeByKey(s, tmp, batch, key, "ts", Seq("event_id"))
+      s.read.parquet(tmp).select(
+        col("user_id"), col("event_type"),
+        datediff(col(Upsert.PartCol), lit("1970-01-01").cast("date"))
+          .cast("long").as("part_day"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    }),
+
+    // §2#47 sharded training-data export through the REAL write path:
+    // deterministic fnv_mix(id) mod 8 membership (engine-portable — the
+    // oracle recomputes every doc's shard), one directory per shard, rows
+    // read BACK from the written files so the gate checks what landed on
+    // disk, manifest row counts cross-checked against the read-back
+    "q_shard_export" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val manifest = Sink.writeShards(docs, tmp, "doc_id", 8)
+        .select(col("shard"), col("n_rows"))
+      s.read.parquet(tmp)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows_read"), sum(col("doc_id")).as("id_sum"))
+        .join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_rows_read"), col("n_rows").as("n_rows_manifest"),
+          col("id_sum"))
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -3228,6 +3271,47 @@ object SparkEntry {
     "q_token_hist" ->
       """SELECT token, cast(count(*) AS bigint) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+(?:''[a-z]+)?|[0-9]+', 0)) AS token
-        |  FROM documents) GROUP BY 1""".stripMargin
+        |  FROM documents) GROUP BY 1""".stripMargin,
+
+    // the two-step merge (initial days 1-15, then overlapping batch days
+    // 10-30) collapses to ONE prioritized dedupe: for a key in both, the
+    // second merge keeps the top batch row (prio 1 > 0) — exactly the row
+    // the one-shot (prio DESC, ts DESC, event_id DESC) order selects; for a
+    // key in one batch, both paths keep its internal winner
+    "q_upsert_merge" ->
+      """WITH b1 AS (SELECT event_id, ts, user_id, event_type, value, 0 AS prio
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |b2 AS (SELECT event_id, ts, user_id, event_type, value, 1 AS prio
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-10'),
+        |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type, cast(ts AS date)
+        |    ORDER BY prio DESC, ts DESC, event_id DESC) AS rn FROM u)
+        |SELECT user_id, event_type,
+        |  cast(date_diff('day', DATE '1970-01-01', cast(ts AS date)) AS bigint)
+        |    AS part_day,
+        |  epoch_us(ts) AS ts_us, event_id, value
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // full FnvMix replay on CAST(doc_id AS VARCHAR), seed 13; shard =
+    // unsigned z mod 8 (power-of-two count, so it equals Spark's pmod of
+    // the signed value). The Spark side reads the written files back, so a
+    // match here proves the on-disk layout, not just the plan.
+    "q_shard_export" -> {
+      val seedGolden = (BigInt(13) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH h0 AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS shingle FROM documents),
+         |folded AS (SELECT doc_id, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, xor(z, z >> 31) AS z FROM z2)
+         |SELECT cast(z % 8 AS bigint) AS shard,
+         |  cast(count(*) AS bigint) AS n_rows_read,
+         |  cast(count(*) AS bigint) AS n_rows_manifest,
+         |  cast(sum(doc_id) AS bigint) AS id_sum
+         |FROM hv GROUP BY 1""".stripMargin
+    }
   )
 }

@@ -43,8 +43,10 @@ object Sink {
   /** Training-data shard layout: rows land in `shard=K` directories by a
     * DETERMINISTIC hash of `idCol` — the same corpus always produces the
     * same shard membership, so a resumed/rerun export is reproducible and
-    * downstream loaders can address shards stably (`shard = hash(id) mod n`,
-    * not task-dependent round-robin). `repartition` on the shard key
+    * downstream loaders can address shards stably (`shard = fnv_mix(id)
+    * mod n`, not task-dependent round-robin; the engine-portable FnvMix
+    * family means any engine — including the gate's DuckDB oracle — can
+    * recompute membership to audit an export). `repartition` on the shard key
     * co-locates each shard's rows so every shard directory gets O(1) files
     * instead of one file per task; trainer-side readers stream shards
     * independently. Returns a per-shard manifest (rows via a metadata-only
@@ -59,7 +61,14 @@ object Sink {
       format: String = "parquet"): DataFrame = {
     val spark = df.sparkSession
     val sharded = df
-      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
+      // cross-engine note: pmod of the SIGNED hash equals the UNSIGNED
+      // value's modulus only when numShards divides 2^64 (signed value =
+      // unsigned − 2^64, and 2^64 ≡ 0 mod n only for power-of-two n) —
+      // use a power-of-two shard count when membership must be replayed
+      // from the unsigned-arithmetic side (the gate query uses n = 8)
+      .withColumn("shard",
+        pmod(graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), 13L),
+          lit(numShards.toLong)))
       .repartition(col("shard"))
     sharded.write.mode(SaveMode.Overwrite).partitionBy("shard").format(format).save(path)
     val manifest = spark.read.format(format).load(path)
