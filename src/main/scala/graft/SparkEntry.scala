@@ -90,6 +90,15 @@ object SparkEntry {
       "% 18446744073709551616 AS UBIGINT)"
   }
 
+  /** Integer CASE ladder replaying `min(15, Similarity.bandBitsFor(n, 64))`
+    * — smallest b with 64·2^b ≥ n, capped at 15. Exact integer thresholds
+    * on both engines; a float ceil(log2(...)) could land one off at exact
+    * power-of-two boundaries.
+    */
+  private val BandBitsLadderSql =
+    (1 to 14).map(b => s"WHEN n <= ${64L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 15 END")
+
   private val FnvPrimeB = BigInt("1099511628211")          // 0x100000001b3
   private val GoldenB = BigInt("11400714819323198485")     // 0x9E3779B97F4A7C15
   private val Mix1B = BigInt("13787848793156543929")       // 0xBF58476D1CE4E5B9
@@ -1065,24 +1074,35 @@ object SparkEntry {
     }),
 
     // §2#34b embedding near-dup with deterministic hyperplanes (see 33c) —
-    // banded: 2 tables × 3 sign bits, same integer hyperplane family, so the
+    // SAME corpus-derived band geometry as q_embed_neardup (the fixed 2×3
+    // geometry it shipped with had 8 buckets per band: quadratic-within-
+    // bucket, measured 85 s at sf1), same integer hyperplane family, so the
     // band slicing AND the cosines hash-match the oracle
     "q_embed_neardup_det" -> ((s, dir) => {
-      val planes = Array.tabulate(6, 64)((p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
+      val emb = Tables.embeddings(s, dir)
+      val bits = math.min(15, Similarity.bandBitsFor(emb.count(), 64L))
+      val planes = Array.tabulate(4 * bits, 64)(
+        (p, d) => ((p * 31 + d * 17) % 7 - 3).toDouble)
       Similarity.embeddingNearDup(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25, bands = 2, bandBits = 3, hyperplanesOverride = Some(planes))
+        emb, "vec_id", "embedding",
+        threshold = 0.25, bands = 4, bandBits = bits,
+        hyperplanesOverride = Some(planes))
     }),
 
-    // §2#34 embedding-cosine near-dup. 4 tables × 5 bits: 32 buckets per
-    // table ≈ the sf0.1 corpus / 64 — at production scale bandBits comes
-    // from Similarity.bandBitsFor(corpusSize) instead, which keeps expected
-    // bucket size (and the Σ|bucket|² join cost) bounded. Hash-exact
+    // §2#34 embedding-cosine near-dup. 4 tables × bandBitsFor(N, 64) bits:
+    // expected bucket size stays ≈ 64 as the corpus grows, so the
+    // Σ|bucket|² candidate volume stays ≈ 64·N per band — LINEAR (the fixed
+    // 5-bit geometry was right for sf0.1 but 16× over-coarse at sf1). The
+    // corpus count is one cheap metadata-backed job; the oracle derives the
+    // identical bits from count(*) via an integer CASE ladder. Hash-exact
     // oracle via the portable hyperplane family (see q_knn_lsh).
-    "q_embed_neardup" -> ((s, dir) =>
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = math.min(15, Similarity.bandBitsFor(emb.count(), 64L))
       Similarity.embeddingNearDup(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25, bands = 4, bandBits = 5)),
+        emb, "vec_id", "embedding",
+        threshold = 0.25, bands = 4, bandBits = bits)
+    }),
 
     // §2#44 embedding int8 quantization: per-vector symmetric scale,
     // round-clamp to [-127,127], and the reconstruction-error account a
@@ -2437,10 +2457,13 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_embed_neardup_det" ->
-      """WITH pl AS (
+      s"""WITH geo AS (
+        |  SELECT $BandBitsLadderSql AS bits
+        |  FROM (SELECT count(*) AS n FROM embeddings)
+        |), pl AS (
         |  SELECT p, list_transform(range(0, 64),
         |    d -> cast((p * 31 + d * 17) % 7 - 3 AS double)) AS w
-        |  FROM (SELECT unnest(range(0, 6)) AS p)
+        |  FROM (SELECT unnest(range(0, 4 * bits)) AS p FROM geo)
         |), emb AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
@@ -2455,9 +2478,9 @@ object SparkEntry {
         |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
         |  FROM emb e, pl
         |), codes AS (
-        |  SELECT vec_id, cast(p // 3 AS bigint) AS band,
-        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % 3) ELSE 0 END) AS bigint) AS bucket
-        |  FROM dots GROUP BY vec_id, p // 3
+        |  SELECT vec_id, cast(p // bits AS bigint) AS band,
+        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % bits) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots CROSS JOIN geo GROUP BY vec_id, p // bits, bits
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM codes a JOIN codes b
@@ -3118,11 +3141,14 @@ object SparkEntry {
     // fast-path banded near-dup replay: 4 bands × 5 planes, portable
     // hyperplanes (seed 7 → 7·83492791 = 584449537)
     "q_embed_neardup" ->
-      """WITH pl AS (
+      s"""WITH geo AS (
+        |  SELECT $BandBitsLadderSql AS bits
+        |  FROM (SELECT count(*) AS n FROM embeddings)
+        |), pl AS (
         |  SELECT p, list_transform(range(0, 64),
         |    d -> cast((p * 73856093 + d * 19349663 + 584449537) % 1000003 AS double)
         |      / 1000003.0 - 0.5) AS w
-        |  FROM (SELECT unnest(range(0, 20)) AS p)
+        |  FROM (SELECT unnest(range(0, 4 * bits)) AS p FROM geo)
         |), emb AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
@@ -3137,9 +3163,9 @@ object SparkEntry {
         |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
         |  FROM emb e, pl
         |), codes AS (
-        |  SELECT vec_id, cast(p // 5 AS bigint) AS band,
-        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % 5) ELSE 0 END) AS bigint) AS bucket
-        |  FROM dots GROUP BY vec_id, p // 5
+        |  SELECT vec_id, cast(p // bits AS bigint) AS band,
+        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % bits) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots CROSS JOIN geo GROUP BY vec_id, p // bits, bits
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM codes a JOIN codes b

@@ -35,7 +35,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 1000L): DataFrame =
-    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq)
+    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq, threshold,
+        containment = false)
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
@@ -58,23 +59,56 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDocFreq: Long = 1000L): DataFrame =
-    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq)
+    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq, threshold,
+        containment = true)
       .withColumn("overlap",
         col("inter").cast("double") /
           least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("overlap") >= threshold)
       .select("id_a", "id_b", "size_a", "size_b", "overlap")
 
-  /** Shared inverted-index pair core: distinct word `n`-shingles → hot-
-    * shingle suppression → per-pair intersection counts with both set
-    * sizes. Returns (id_a < id_b, size_a, size_b, inter); scorers divide.
+  /** Shared PREFIX-FILTERED pair core (AllPairs/PPJoin family — Bayardo et
+    * al. 2007, Xiao et al. 2008): distinct word `n`-shingles → hot-shingle
+    * suppression → prefix-filtered candidate generation → exact
+    * verification on the per-doc shingle arrays. Returns
+    * (id_a < id_b, size_a, size_b, inter); scorers divide.
+    *
+    * Prefix principle: fix ANY global total order on shingles; if
+    * |A∩B| ≥ α, the first |A|−α+1 shingles of A and first |B|−α+1 of B
+    * must share an element. For Jaccard ≥ t, α = ⌈t·max(|A|,|B|)⌉ works
+    * (J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max), so each doc indexes only its first
+    * |S|−⌈t·|S|⌉+1 shingles and candidates come from a PREFIX×PREFIX join
+    * — candidate volume drops by (1−t)² (25× at t=0.8) versus the full
+    * inverted-index self-join, which is what made the exact pair scan
+    * super-linear on shingle-dense corpora (measured 174 s at sf1; the
+    * per-shingle join fan-out is Σ df², and df grows with corpus size).
+    * For the overlap coefficient ≥ t, α = ⌈t·min⌉ depends on the SMALLER
+    * side only, so the smaller doc's prefix joins the larger doc's FULL
+    * posting list (one-sided (1−t) reduction).
+    *
+    * The global order is the shingle's 64-bit hash VALUE itself — order-by-
+    * hash needs no doc-frequency join (df-ascending order à la PPJoin would
+    * put rarer shingles in prefixes, but costs a full posting⋈df shuffle
+    * join; the hot-shingle cap already bounds the df skew that ordering
+    * would exploit, so the shuffle-free order wins at scale).
+    *
+    * Verification is exact: candidates (deduplicated) join the per-doc
+    * SORTED shingle arrays and count `array_intersect` — arrays are
+    * document-bounded, never corpus-bounded. Lossless end to end: every
+    * pair at-or-above threshold shares a prefix shingle by the principle
+    * above (prefix lengths use an ε-guard so float rounding can only
+    * LENGTHEN a prefix, never drop a qualifying pair).
     */
   private def shinglePairStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      maxShingleDocFreq: Long): DataFrame = {
+      maxShingleDocFreq: Long,
+      threshold: Double,
+      containment: Boolean): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs a threshold in (0, 1], got $threshold")
     // shingles are joined/grouped only by identity, so hash them to 8-byte
     // longs before the downstream shuffles (~4× less shuffle volume than
     // ~30-byte strings; collision odds at 2^64 are negligible and a
@@ -100,17 +134,81 @@ object Dedup {
     // Per-doc set sizes are counted over the SAME filtered shingle space as
     // the intersection — otherwise a doc containing one hot (suppressed)
     // shingle could never reach jaccard 1.0 even for an exact duplicate.
-    // The doc-id window is fine at scale: high-cardinality partition key.
-    val wDoc = Window.partitionBy(col("id"))
-    val sized = posting
+    // One shuffle on the doc id builds the sorted array (= the global-order
+    // prefix), the size, and the verification set in a single aggregation.
+    val docsets = posting
       .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
-      .withColumn("set_size", count(lit(1)).over(wDoc))
-    val a = sized.select(col("shingle"), col("id").as("id_a"), col("set_size").as("size_a"))
-    val b = sized.select(col("shingle"), col("id").as("id_b"), col("set_size").as("size_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("size_a"), col("size_b"))
-      .agg(count(lit(1)).as("inter"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+      .withColumn("set_size", size(col("shingles")))
+    // prefix length |S| − ⌈t·|S|⌉ + 1; the 1e-9 slack keeps an fp product
+    // that lands a hair ABOVE an exact integer (0.8·55 = 44.000…004) from
+    // ceiling one too high and shortening the prefix below the safe bound
+    val pLen = (col("set_size")
+      - ceil(col("set_size").cast("double") * lit(threshold) - lit(1e-9)).cast("int")
+      + 1)
+    // 1-based position rides along for the POSITIONAL filter (PPJoin): a
+    // shingle matched at position p leaves only |S| − p + 1 shingles at or
+    // after it, and the FIRST common shingle of a qualifying pair has no
+    // common shingles before it in either doc — so
+    // min(suffix_a, suffix_b) upper-bounds the overlap, and a pair whose
+    // every prefix match fails the bound cannot reach the threshold
+    val prefixes = docsets.select(
+      col("id"), col("set_size"),
+      posexplode(slice(col("shingles"), lit(1), pLen)).as(Seq("_p0", "shingle")))
+      .select(col("id"), col("set_size"), (col("_p0") + 1).as("pos"), col("shingle"))
+    val candidates =
+      if (!containment) {
+        // Jaccard: prefix × prefix; size-ratio bound (J ≥ t ⇒ min/max ≥ t)
+        // and positional bound vs the overlap requirement
+        // α = ⌈t/(1+t)·(|A|+|B|)⌉ — both with the ε slack on fp products
+        val a = prefixes.select(col("shingle"), col("id").as("id_a"),
+          col("set_size").as("size_a"), col("pos").as("_pa"))
+        val b = prefixes.select(col("shingle"), col("id").as("id_b"),
+          col("set_size").as("size_b"), col("pos").as("_pb"))
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(least(col("size_a"), col("size_b")).cast("double")
+            >= greatest(col("size_a"), col("size_b")).cast("double")
+              * lit(threshold) - lit(1e-9))
+          .filter(least(col("size_a") - col("_pa"), col("size_b") - col("_pb"))
+            .cast("double") + 1.0
+            >= (col("size_a") + col("size_b")).cast("double")
+              * lit(threshold / (1.0 + threshold)) - lit(1e-9))
+          .select(col("id_a"), col("id_b"))
+          .distinct()
+      } else {
+        // overlap coefficient: α = ⌈t·min⌉ constrains only the smaller
+        // side, so its prefix joins the larger side's full postings (with
+        // positions for the same suffix bound); equal sizes generate in
+        // both directions and dedupe below
+        val full = docsets.select(
+          col("id").as("id_f"), col("set_size").as("size_f"),
+          posexplode(col("shingles")).as(Seq("_pf0", "shingle")))
+          .select(col("id_f"), col("size_f"), (col("_pf0") + 1).as("_pf"),
+            col("shingle"))
+        prefixes
+          .select(col("shingle"), col("id").as("id_s"),
+            col("set_size").as("size_s"), col("pos").as("_ps"))
+          .join(full, Seq("shingle"))
+          .filter(col("size_s") < col("size_f")
+            || (col("size_s") === col("size_f") && col("id_s") =!= col("id_f")))
+          .filter(least(col("size_s") - col("_ps"), col("size_f") - col("_pf"))
+            .cast("double") + 1.0
+            >= col("size_s").cast("double") * lit(threshold) - lit(1e-9))
+          .select(least(col("id_s"), col("id_f")).as("id_a"),
+            greatest(col("id_s"), col("id_f")).as("id_b"))
+          .distinct()
+      }
+    // exact verification on the bounded per-doc arrays — candidate volume
+    // is prefix-filtered, array sizes are document-bounded
+    candidates
+      .join(docsets.select(col("id").as("id_a"), col("set_size").as("size_a"),
+        col("shingles").as("_sha")), Seq("id_a"))
+      .join(docsets.select(col("id").as("id_b"), col("set_size").as("size_b"),
+        col("shingles").as("_shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
+        size(array_intersect(col("_sha"), col("_shb"))).cast("long").as("inter"))
   }
 
   /** Connected components over an undirected near-dup pair list: every id

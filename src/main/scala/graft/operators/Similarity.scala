@@ -254,11 +254,17 @@ object Similarity {
     * 2^bandBits ≈ corpusSize / targetBucketSize, so the candidate join cost
     * Σ_bucket |bucket|² ≈ bands · corpusSize · targetBucketSize stays LINEAR
     * in corpus size instead of quadratic-within-few-buckets.
+    *
+    * Pure integer arithmetic (smallest b with target·2^b ≥ corpus) — a
+    * float `ceil(log2(...))` can land one off across engines at exact
+    * power-of-two boundaries (ln(32)/ln(2) rounds above 5.0 in IEEE), and
+    * the DuckDB oracles replay this ladder with integer CASE thresholds.
     */
   def bandBitsFor(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
     require(corpusSize > 0 && targetBucketSize > 0)
-    val bits = math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
-    math.min(20, math.max(1, bits))
+    var b = 1
+    while (b < 20 && (targetBucketSize << b) < corpusSize) b += 1
+    b
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.
