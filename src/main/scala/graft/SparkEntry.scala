@@ -719,28 +719,36 @@ object SparkEntry {
           countDistinct(col("token")).as("n_distinct_tokens"),
           (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"))),
 
-    // §2#22 wide mart aggregation (decimal-exact) — TPC-H Q1 shape
-    "q1_pricing" -> ((s, dir) =>
+    // §2#22 wide mart aggregation (decimal-exact) — TPC-H Q1 shape.
+    // Decimal sums leave as SCALED EXACT INTEGERS cast through bigint, then
+    // ONE IEEE division: a direct decimal→double cast diverges by 1 ulp
+    // across engines once the scaled value crosses 2^53 (DuckDB converts
+    // int128→double then divides by 10^scale — two roundings; Spark's
+    // BigDecimal rounds once), which sf1's scale-6 charge sums hit
+    "q1_pricing" -> ((s, dir) => {
+      def scaled(c: Column, scale: Long, name: String) =
+        ((c * lit(scale)).cast("long").cast("double") / lit(scale.toDouble)).as(name)
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-            .cast("double").as("sum_disc_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
+          scaled(sum(col("l_quantity").cast("decimal(12,2)")), 100L, "sum_qty"),
+          scaled(sum(col("l_extendedprice").cast("decimal(12,2)")), 100L, "sum_base_price"),
+          scaled(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))),
+            10000L, "sum_disc_price"),
+          scaled(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) *
-            (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")))
-            .cast("double").as("sum_charge"),
+            (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)"))),
+            1000000L, "sum_charge"),
           (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1)))
             .as("avg_qty"),
           (sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / count(lit(1)))
             .as("avg_price"),
           (sum(col("l_discount").cast("decimal(3,2)")).cast("double") / count(lit(1)))
             .as("avg_disc"),
-          count(lit(1)).as("count_order"))),
+          count(lit(1)).as("count_order"))
+    }),
 
     // §2#23 top-N per group — dbt "qualify rn" pattern
     "q_topn_group" -> ((s, dir) => {
@@ -2868,15 +2876,22 @@ object SparkEntry {
          |  cast(sum(length(token)) AS double) / count(*) AS avg_token_len
          |FROM toks GROUP BY 1""".stripMargin),
 
+    // decimal sums leave as scaled bigints + ONE IEEE division (see the
+    // Spark side: direct decimal→double casts diverge by 1 ulp between
+    // engines once the scaled integer crosses 2^53)
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice AS decimal(12,2)) *
-        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2)))) AS double) AS sum_disc_price,
-        |  cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        |  cast(cast(sum(cast(l_quantity AS decimal(12,2))) * 100 AS bigint) AS double)
+        |    / 100.0 AS sum_qty,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(12,2))) * 100 AS bigint) AS double)
+        |    / 100.0 AS sum_base_price,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(12,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2)))) * 10000
+        |    AS bigint) AS double) / 10000.0 AS sum_disc_price,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(12,2)) *
         |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(3,2))) *
-        |    (cast(1 AS decimal(3,2)) + cast(l_tax AS decimal(3,2)))) AS double) AS sum_charge,
+        |    (cast(1 AS decimal(3,2)) + cast(l_tax AS decimal(3,2)))) * 1000000
+        |    AS bigint) AS double) / 1000000.0 AS sum_charge,
         |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) / count(*) AS avg_qty,
         |  cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) / count(*) AS avg_price,
         |  cast(sum(cast(l_discount AS decimal(3,2))) AS double) / count(*) AS avg_disc,
