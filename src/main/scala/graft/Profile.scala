@@ -157,6 +157,32 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "pairs") {
+      // decompose the prefix-filtered pair core: docsets vs candidates vs
+      // verification, for jaccard and containment
+      val docs = Tables.documents(spark, sfDir)
+      docs.count()
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      time("jaccard full") {
+        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L))
+      }
+      time("containment full") {
+        noop(graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8, 1000L))
+      }
+      time("containment candidate count") {
+        graft.operators.Dedup.pairStatsForProfile(
+          docs, "doc_id", "text", 3, 0.8, 1000L, containment = true).count()
+      }
+      time("jaccard candidate count") {
+        graft.operators.Dedup.pairStatsForProfile(
+          docs, "doc_id", "text", 3, 0.8, 1000L, containment = false).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "cc") {
       // decompose q_dedup_canonical: candidate pairs vs label propagation
       def noop(df: org.apache.spark.sql.DataFrame): Long = {

@@ -99,6 +99,14 @@ object Dedup {
     * above (prefix lengths use an ε-guard so float rounding can only
     * LENGTHEN a prefix, never drop a qualifying pair).
     */
+  /** Profiling hook: the pre-threshold candidate stats (cardinality = the
+    * cost driver of the prefix-filtered core). */
+  private[graft] def pairStatsForProfile(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxShingleDocFreq: Long,
+      containment: Boolean): DataFrame =
+    shinglePairStats(df, idCol, textCol, n, maxShingleDocFreq, threshold, containment)
+
   private def shinglePairStats(
       df: DataFrame,
       idCol: String,
@@ -201,14 +209,18 @@ object Dedup {
           .distinct()
       }
     // exact verification on the bounded per-doc arrays — candidate volume
-    // is prefix-filtered, array sizes are document-bounded
+    // is prefix-filtered, array sizes are document-bounded. The intersect
+    // count is the codegen'd two-pointer merge walk over the SORTED arrays:
+    // size(array_intersect(...)) hash-builds per row and was measured as
+    // the dominant cost at millions of candidates
     candidates
       .join(docsets.select(col("id").as("id_a"), col("set_size").as("size_a"),
         col("shingles").as("_sha")), Seq("id_a"))
       .join(docsets.select(col("id").as("id_b"), col("set_size").as("size_b"),
         col("shingles").as("_shb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("size_a"), col("size_b"),
-        size(array_intersect(col("_sha"), col("_shb"))).cast("long").as("inter"))
+        graft.plans.SetExpressions.sortedIntersectCount(col("_sha"), col("_shb"))
+          .as("inter"))
   }
 
   /** Connected components over an undirected near-dup pair list: every id

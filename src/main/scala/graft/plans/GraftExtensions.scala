@@ -22,5 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "float_dot takes exactly 2 arguments")
         FloatDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
   }
 }
