@@ -94,12 +94,24 @@ object Profile {
         from_json(col("payload"), org.apache.spark.sql.types.DataType.fromDDL(ddl)))
       val viaVariant = downstream(
         expr(s"variant_get(parse_json(payload), '$$', '$ddl')"))
+      // the kernel emits flattened rows — same downstream aggregate, one explode
+      val viaKernel = base
+        .select(col("event_type"),
+          explode(graft.plans.JsonExpressions.meterFrames(col("payload"))).as("r"))
+        .select(col("event_type"), col("r.grp").as("grp"), col("r.m").as("m"),
+          col("r.v").as("v"))
+        .groupBy(col("event_type"), col("grp"), col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("total_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
       base.write.format("noop").mode("overwrite").save() // warm the scan
       (1 to 3).foreach { i =>
         time(s"from_json round $i") {
           viaFromJson.write.format("noop").mode("overwrite").save(); 0L }
         time(s"variant   round $i") {
           viaVariant.write.format("noop").mode("overwrite").save(); 0L }
+        time(s"kernel    round $i") {
+          viaKernel.write.format("noop").mode("overwrite").save(); 0L }
       }
       spark.stop()
       return

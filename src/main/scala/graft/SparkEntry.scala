@@ -991,11 +991,14 @@ object SparkEntry {
     // §2#21c TWO-level nested JSON array unnest — int_meter_values.sql:92:
     // meterValue[] × sampledValue[] (outer group × inner measurand), double
     // lateral explode then keyed rollup. Parsing goes through Spark 4
-    // VARIANT (`parse_json` → binary variant → one cast to the nested
-    // type). An interleaved A/B (`runMain graft.Profile <sf> variantab`)
-    // measured VARIANT ≈ from_json at sf0.1 (1.2–1.9 s/round each — the
-    // parse is no longer this query's bottleneck); VARIANT is kept so the
-    // gate exercises the variant path, with the hash unchanged.
+    // the NATIVE MeterFrames kernel: one scan of the payload bytes emits
+    // the flattened (grp, m, v) rows — one explode replaces parse → nested
+    // cast → two explodes. The generic routes (from_json / parse_json →
+    // VARIANT, both measured 1.2–1.9 s/round at sf0.1 in
+    // `runMain graft.Profile <sf> variantab`, which still exercises them)
+    // build a JSON tree per row in an interpreted projection; the kernel
+    // stays inside whole-stage codegen and its Double.parseDouble is the
+    // same correctly-rounded conversion, so the hash is unchanged.
     "q_nested_unnest" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_type"), col("value"),
@@ -1007,11 +1010,9 @@ object SparkEntry {
         lit("}]}]"))
       ev.withColumn("payload", payload)
         .select(col("event_type"),
-          explode(expr(
-            "variant_get(parse_json(payload), '$', " +
-              "'array<struct<grp:string,sv:array<struct<m:string,v:double>>>>')")).as("mv"))
-        .select(col("event_type"), col("mv.grp").as("grp"), explode(col("mv.sv")).as("s"))
-        .select(col("event_type"), col("grp"), col("s.m").as("m"), col("s.v").as("v"))
+          explode(graft.plans.JsonExpressions.meterFrames(col("payload"))).as("r"))
+        .select(col("event_type"), col("r.grp").as("grp"), col("r.m").as("m"),
+          col("r.v").as("v"))
         .groupBy(col("event_type"), col("grp"), col("m"))
         .agg(
           count(lit(1)).as("n"),

@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDot(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("meter_frames"),
+      new ExpressionInfo(classOf[MeterFrames].getName, "meter_frames"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "meter_frames takes exactly 1 argument")
+        MeterFrames(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
