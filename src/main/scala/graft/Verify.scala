@@ -22,7 +22,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates up to the last
+      // shuffle boundary, so a query whose final operator is a join/filter
+      // (no aggregate) would run its whole heavy stage in ONE task
+      // (measured 204 s vs 8.5 s for q_containment at sf2); repartition
+      // inserts an exchange and keeps upstream parallelism. The gate sorts
+      // rows before hashing, so the changed row order is irrelevant.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
