@@ -191,6 +191,17 @@ object Profile {
         graft.operators.Dedup.pairStatsForProfile(
           docs, "doc_id", "text", 3, 0.8, 1000L, containment = false).count()
       }
+      // runtime plan shape: is the docsets subtree recomputed per consumer,
+      // or does AQE's exchange reuse collapse it?
+      val jac = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      jac.write.format("noop").mode("overwrite").save()
+      val p = jac.queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(p).length
+      println(s"[profile] jaccard runtime plan: Exchange=${n("Exchange")} " +
+        s"ReusedExchange=${n("ReusedExchange")} scans=${n("Scan parquet")} " +
+        s"aqeReads=${n("AQEShuffleRead")} shuffleStages=${n("ShuffleQueryStage")} " +
+        s"tableCache=${n("InMemoryTableScan")}")
+      sys.env.get("GRAFT_FULL_PLAN").foreach(_ => println(p))
       spark.stop()
       return
     }

@@ -144,6 +144,16 @@ object Dedup {
     // shingle could never reach jaccard 1.0 even for an exact duplicate.
     // One shuffle on the doc id builds the sorted array (= the global-order
     // prefix), the size, and the verification set in a single aggregation.
+    // NOTE: three consumers branch from docsets (prefix generation + both
+    // verification joins; four with the containment full side) and Catalyst
+    // plans each branch as a fresh subtree — ~8 corpus scans in the runtime
+    // plan. Persisting here was MEASURED WORSE (containment 12 s → 114 s at
+    // sf1): the cached relation's size statistics push the planner into
+    // broadcasting the exploded full-posting side of the candidate join.
+    // The recompute is shingling + a broadcast anti-join per branch —
+    // scan-bound and OS-cache-friendly — so recompute wins; callers that
+    // reuse pair mining across MANY queries should checkpoint docsets-like
+    // intermediates themselves with an explicit caching policy.
     val docsets = posting
       .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .groupBy(col("id"))
