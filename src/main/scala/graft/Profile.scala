@@ -169,6 +169,53 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "zipf") {
+      // pair mining on a REALISTIC corpus: open 20k-word Zipf vocabulary
+      // (real text), same doc count/length as the sfDir documents table.
+      // The driver's 30-word synthetic vocabulary is the adversarial
+      // density ceiling (every shingle shared by ~N/27000 docs); Zipf is
+      // what production corpora look like, and candidate volume there
+      // should collapse to ≈ true near-dup pairs
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      def u01(salt: Int, cols: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(cols :+ lit(salt): _*), lit(1L << 40)).cast("double")
+          / lit((1L << 40).toDouble))
+      // inverse-CDF Zipf(s=1.1) over ranks 1..20000: rank ≈ u^(-1/(s-1))
+      // capped — heavy head, long tail, like word frequencies
+      val word = (u: org.apache.spark.sql.Column) => concat(lit("w"),
+        // clamp in DOUBLE space: u^-10 overflows bigint for small u
+        least(pow(u + lit(1e-12), lit(-1.0 / 0.1)), lit(19999.0)).cast("long"))
+      val zipfDocs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        array_join(transform(
+          sequence(lit(1), (u01(70, col("id")) * 91).cast("int") + 10),
+          i => word(u01(71, col("id"), i))), " ").as("text"))
+        // plant exact dups at the same ~8/5000 rate as the driver corpus
+        .withColumn("text",
+          when(u01(72, col("doc_id")) < 8.0 / 5000,
+            concat(lit("planted duplicate body shared verbatim "),
+              (col("doc_id") % 40).cast("string"))).otherwise(col("text")))
+      zipfDocs.write.format("noop").mode("overwrite").save()
+      time("zipf jaccard candidates") {
+        graft.operators.Dedup.pairStatsForProfile(
+          zipfDocs, "doc_id", "text", 3, 0.8, 1000L, containment = false).count()
+      }
+      time("zipf containment candidates") {
+        graft.operators.Dedup.pairStatsForProfile(
+          zipfDocs, "doc_id", "text", 3, 0.8, 1000L, containment = true).count()
+      }
+      time("zipf jaccard full") {
+        graft.operators.Dedup.ngramJaccard(zipfDocs, "doc_id", "text", 3, 0.8, 1000L)
+          .count()
+      }
+      time("zipf containment full") {
+        graft.operators.Dedup.overlapPairs(zipfDocs, "doc_id", "text", 3, 0.8, 1000L)
+          .count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "pairs") {
       // decompose the prefix-filtered pair core: docsets vs candidates vs
       // verification, for jaccard and containment
