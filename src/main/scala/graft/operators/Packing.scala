@@ -23,7 +23,9 @@ object Packing {
     * `chunk_offset` (the token offset where the document starts inside the
     * concatenated shard stream). Deterministic given (`shardCol`, `idCol`);
     * `idCol` must be unique within a shard — it is the layout order, and a
-    * duplicate would make the running sum order-dependent.
+    * duplicate would make the running sum order-dependent. A null
+    * `tokenCol` row gets null chunk columns (sum skips it, so it occupies
+    * no budget) — count tokens with a non-null expression upstream.
     */
   def packChunks(
       df: DataFrame,

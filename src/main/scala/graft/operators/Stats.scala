@@ -72,8 +72,13 @@ object Stats {
     val thrArr = thresholds
       .agg(sort_array(collect_list(col("threshold"))).as("_thr"))
     df.crossJoin(broadcast(thrArr))
+      // null-guarded: `filter` drops elements whose comparison is null, so
+      // a null signal would otherwise land silently in bucket 0 — a null
+      // value is OUTSIDE the distribution (quantileThresholds excludes it
+      // from the CDF) and gets a null bucket
       .withColumn(bucketCol,
-        size(filter(col("_thr"), t => col(valueCol) > t)).cast("long"))
+        when(col(valueCol).isNotNull,
+          size(filter(col("_thr"), t => col(valueCol) > t)).cast("long")))
       .drop("_thr")
   }
 
@@ -95,6 +100,13 @@ object Stats {
     * Scale shape: one window shuffle on the high-cardinality entity key;
     * the frame is O(lookback) per row. (`orderCols` must totally order each
     * entity's rows — include a tiebreaker.)
+    *
+    * Null semantics: a null reading contributes nothing to any window
+    * (count/sum skip nulls) but still OCCUPIES a positional frame slot, so
+    * its `lookback` successors see a short window and score null — the
+    * conservative outcome (never a value computed from a shifted window);
+    * the null row itself scores null. Drop null readings upstream if
+    * position-exact windows over sparse signals are required.
     */
   def rollingAnomaly(
       df: DataFrame,
