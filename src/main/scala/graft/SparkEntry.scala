@@ -113,15 +113,106 @@ object SparkEntry {
       "i -> CAST(unicode(shingle[i]) AS UBIGINT))), " +
       s"(acc, b) -> ${mulModSql("xor(acc, b)", FnvPrimeB)})"
 
-  /** DuckDB fragment: distinct 3-word shingles per document → CTE
-    * `posting(id, shingle)` (shared by the minhash/simhash oracles).
+  /** DuckDB fragment: distinct 3-word shingles per document of table/CTE
+    * `from` → CTE `posting(id, shingle)` (shared by the minhash/simhash
+    * oracles, on both the driver corpus and the Zipf corpus).
     */
-  private val ShinglePostingSql =
-    s"""toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+  private def shinglePostingSql(from: String): String =
+    s"""toks AS (SELECT doc_id, $TokSql AS tk FROM $from),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
        |  FROM toks WHERE len(tk) >= 3),
        |posting AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+
+  private val ShinglePostingSql = shinglePostingSql("documents")
+
+  /** DuckDB fragment: the exact-pair core shared by the jaccard/containment
+    * oracles — distinct shingles, hot-shingle suppression (df ≤ 1000), per-
+    * doc sizes over the FILTERED space, pair intersection counts. Ends in
+    * CTE `pairs(id_a, id_b, sa, sb, inter)`; scorers select from it.
+    */
+  private def ngramPairCoreSql(from: String): String =
+    s"""toks AS (SELECT doc_id, $TokSql AS tk FROM $from),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+       |  FROM toks WHERE len(tk) >= 3),
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+       |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
+       |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
+       |    count(*) AS inter
+       |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val JaccardSelectSql =
+    """SELECT id_a, id_b, cast(inter AS double) / (sa + sb - inter) AS jaccard
+      |FROM pairs WHERE cast(inter AS double) / (sa + sb - inter) >= 0.8""".stripMargin
+
+  private val ContainmentSelectSql =
+    """SELECT id_a, id_b, cast(sa AS bigint) AS size_a, cast(sb AS bigint) AS size_b,
+      |  cast(inter AS double) / cast(least(sa, sb) AS double) AS overlap
+      |FROM pairs
+      |WHERE cast(inter AS double) / cast(least(sa, sb) AS double) >= 0.8""".stripMargin
+
+  /** Segment-dedup oracle over table/CTE `from` cut into `segWords`-token
+    * segments; `lead` prepends corpus-construction CTEs.
+    */
+  private def segmentDedupOracleSql(lead: String, from: String, segWords: Int): String =
+    s"""WITH ${lead}toks AS (SELECT doc_id, $TokSql AS tk FROM $from),
+       |c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+       |st AS (SELECT doc_id, tk, n,
+       |    list_filter(range(0, greatest(n, 1), $segWords), i -> i < n) AS ss FROM c),
+       |segs AS (SELECT doc_id, u.j - 1 AS seg_idx,
+       |    array_to_string(list_slice(tk, u.s + 1, u.s + $segWords), ' ') AS seg
+       |  FROM (SELECT doc_id, tk,
+       |      unnest(list_transform(range(1, len(ss) + 1),
+       |        j -> struct_pack(j := j, s := ss[j]))) AS u
+       |    FROM st)),
+       |th AS (SELECT greatest(3, count(*) // 100) AS t FROM c),
+       |dfc AS (SELECT seg, count(*) AS dc
+       |  FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY 1),
+       |hot AS (SELECT seg FROM dfc, th WHERE dc > t)
+       |SELECT s.doc_id, cast(count(*) AS bigint) AS n_segs,
+       |  cast(count(h.seg) AS bigint) AS n_removed,
+       |  coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
+       |    ' ' ORDER BY s.seg_idx), '') AS clean_text
+       |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+       |GROUP BY 1""".stripMargin
+
+  /** Full FnvMix minhash+LSH fast-path replay over leading CTEs that must
+    * end in `posting(id, shingle)`: one FNV fold per shingle, splitmix
+    * finalizer per permutation, signature mins as SIGNED 64-bit like
+    * Spark's LongType, 8×4 banding, bucket join, estimated jaccard.
+    */
+  private def minhashLshReplaySql(lead: String): String =
+    s"""WITH $lead,
+       |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
+       |hx AS (SELECT id, h, unnest(range(0, 32)) AS i FROM folded),
+       |z0 AS (SELECT id, i, CAST((CAST(h AS HUGEINT) +
+       |    CAST(${mulModSql("CAST(i AS UBIGINT)", GoldenB)} AS HUGEINT))
+       |    % 18446744073709551616 AS UBIGINT) AS z FROM hx),
+       |z1 AS (SELECT id, i, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+       |z2 AS (SELECT id, i, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+       |hv AS (SELECT id, i, CAST(CAST(xor(z, z >> 31) AS HUGEINT) -
+       |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+       |      THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h FROM z2),
+       |hm AS (SELECT id, i, min(h) AS m FROM hv GROUP BY 1, 2),
+       |sigs AS (SELECT id, list(m ORDER BY i) AS sig FROM hm GROUP BY 1),
+       |banded AS (SELECT id, sig, u.b AS band,
+       |    array_to_string(list_transform(list_slice(sig, u.b * 4 + 1, u.b * 4 + 4),
+       |      v -> cast(v AS varchar)), ',') AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |est AS (SELECT id_a, id_b,
+       |    cast(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS double) / 32
+       |      AS est_jaccard
+       |  FROM p)
+       |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
+       |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin
 
   /** DuckDB fragment: sessionized events (adds session_seq per user). */
   private val SessSql =
@@ -830,11 +921,38 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
 
+    // §2#29e the SAME operator gated on the OTHER corpus shape: the
+    // deterministic open-vocabulary Zipf corpus (graft.sources.ZipfCorpus —
+    // power-law word frequencies, planted near-dup/quote/boilerplate
+    // structure). The driver corpus is the adversarial density ceiling
+    // (every shingle's df grows with N); this is what production corpora
+    // look like, and the prefix-filter math is corpus-shape-sensitive by
+    // design — both shapes need hash-exact evidence.
+    // runs through the EXPLICIT multi-scorer reuse path (Dedup.shingleSets
+    // localCheckpoint + ngramJaccardOn) so the checkpoint hook itself is
+    // driver-gated: its hashes must match the same DuckDB oracle as the
+    // recompute path. (The plain-corpus q_ngram_jaccard keeps the default
+    // single-scorer plan — PairMiningReuseSpec pins it checkpoint-free.)
+    "q_ngram_jaccard_zipf" -> ((s, dir) =>
+      Dedup.ngramJaccardOn(
+        Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
+          "doc_id", "text", 3, 1000L), 0.8)),
+
     // §2#29d containment/overlap-coefficient pairs |∩|/min(|A|,|B|):
     // catches quote/partial-copy inclusions whose jaccard is diluted by the
     // larger doc; same bounded inverted-index core as q_ngram_jaccard
     "q_containment" -> ((s, dir) =>
       Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
+
+    // §2#29f containment on the Zipf corpus — the planted 12-word quote
+    // docs are the exact quote-inclusion case (containment 1.0, jaccard
+    // far below threshold) on a realistic corpus shape
+    // reuse path, like q_ngram_jaccard_zipf (overlapPairsOn over the
+    // checkpointed shingle sets)
+    "q_containment_zipf" -> ((s, dir) =>
+      Dedup.overlapPairsOn(
+        Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
+          "doc_id", "text", 3, 1000L), 0.8)),
 
     // §2#29b dedup DECISION: near-dup pairs → connected components →
     // canonical survivor per duplicate cluster (min doc_id reachable).
@@ -858,6 +976,13 @@ object SparkEntry {
     // fast path — signatures, banding, est_jaccard — is hash-checked.
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // §2#30c the full minhash fast path on the Zipf corpus: banding must
+    // collapse candidates to ≈ the planted pairs when shingles are rare —
+    // the linearity the profile measured, now hash-gated
+    "q_minhash_lsh_zipf" -> ((s, dir) =>
+      Dedup.minhashLsh(graft.sources.ZipfCorpus.docs(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
     // §2#30b MinHash+LSH with a PORTABLE hash family: the exact pipeline of
@@ -1326,6 +1451,15 @@ object SparkEntry {
       Dedup.segmentDedup(
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", segWords = 3)),
+
+    // §2#29g segment dedup on the Zipf corpus: the planted 8-word
+    // boilerplate header (25 % of docs, aligned to two 4-word segments)
+    // is exactly the C4-style hot-segment target; zipf body segments stay
+    // under the corpus-relative threshold and survive
+    "q_segment_dedup_zipf" -> ((s, dir) =>
+      Dedup.segmentDedup(
+        graft.sources.ZipfCorpus.docs(s, dir),
+        "doc_id", "text", segWords = 4)),
 
     // §2#42b overlapping sliding-window chunking (RAG/embedding layout —
     // the other chunking discipline next to q_token_packing's concat-then-
@@ -1799,27 +1933,13 @@ object SparkEntry {
     // hot set derived on the segment STRING here (Spark groups by an
     // internal xxhash64 of it — same set, the hash never leaves the plan);
     // string_agg skips the CASE's nulls exactly like Spark's array_join
-    "q_segment_dedup" -> (
-      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
-         |c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
-         |st AS (SELECT doc_id, tk, n,
-         |    list_filter(range(0, greatest(n, 1), 3), i -> i < n) AS ss FROM c),
-         |segs AS (SELECT doc_id, u.j - 1 AS seg_idx,
-         |    array_to_string(list_slice(tk, u.s + 1, u.s + 3), ' ') AS seg
-         |  FROM (SELECT doc_id, tk,
-         |      unnest(list_transform(range(1, len(ss) + 1),
-         |        j -> struct_pack(j := j, s := ss[j]))) AS u
-         |    FROM st)),
-         |th AS (SELECT greatest(3, count(*) // 100) AS t FROM c),
-         |dfc AS (SELECT seg, count(*) AS dc
-         |  FROM (SELECT DISTINCT doc_id, seg FROM segs) GROUP BY 1),
-         |hot AS (SELECT seg FROM dfc, th WHERE dc > t)
-         |SELECT s.doc_id, cast(count(*) AS bigint) AS n_segs,
-         |  cast(count(h.seg) AS bigint) AS n_removed,
-         |  coalesce(string_agg(CASE WHEN h.seg IS NULL THEN s.seg END,
-         |    ' ' ORDER BY s.seg_idx), '') AS clean_text
-         |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
-         |GROUP BY 1""".stripMargin),
+    "q_segment_dedup" -> segmentDedupOracleSql("", "documents", 3),
+
+    // segment dedup over the generated open-vocabulary corpus: the planted
+    // 8-word boilerplate header (25 % of docs) is the hot-segment target,
+    // a realistic shape the uniform driver corpus cannot produce
+    "q_segment_dedup_zipf" -> segmentDedupOracleSql(
+      s"${graft.sources.ZipfCorpus.ZdocsSql},\n", "zdocs", 4),
 
     "q_chunk_overlap" -> (
       s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents
@@ -3055,33 +3175,12 @@ object SparkEntry {
     // full fast-path replay: FnvMix per (shingle, permutation) — one FNV
     // fold per shingle, then the splitmix finalizer per permutation —
     // signature mins compared as SIGNED 64-bit like Spark's LongType
-    "q_minhash_lsh" -> (
-      s"""WITH $ShinglePostingSql,
-         |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
-         |hx AS (SELECT id, h, unnest(range(0, 32)) AS i FROM folded),
-         |z0 AS (SELECT id, i, CAST((CAST(h AS HUGEINT) +
-         |    CAST(${mulModSql("CAST(i AS UBIGINT)", GoldenB)} AS HUGEINT))
-         |    % 18446744073709551616 AS UBIGINT) AS z FROM hx),
-         |z1 AS (SELECT id, i, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
-         |z2 AS (SELECT id, i, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
-         |hv AS (SELECT id, i, CAST(CAST(xor(z, z >> 31) AS HUGEINT) -
-         |    CASE WHEN xor(z, z >> 31) >= 9223372036854775808
-         |      THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h FROM z2),
-         |hm AS (SELECT id, i, min(h) AS m FROM hv GROUP BY 1, 2),
-         |sigs AS (SELECT id, list(m ORDER BY i) AS sig FROM hm GROUP BY 1),
-         |banded AS (SELECT id, sig, u.b AS band,
-         |    array_to_string(list_transform(list_slice(sig, u.b * 4 + 1, u.b * 4 + 4),
-         |      v -> cast(v AS varchar)), ',') AS bucket
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u),
-         |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-         |est AS (SELECT id_a, id_b,
-         |    cast(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS double) / 32
-         |      AS est_jaccard
-         |  FROM p)
-         |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
-         |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin),
+    "q_minhash_lsh" -> minhashLshReplaySql(ShinglePostingSql),
+
+    // the same full replay over the generated open-vocabulary corpus
+    "q_minhash_lsh_zipf" -> minhashLshReplaySql(
+      s"""${graft.sources.ZipfCorpus.ZdocsSql},
+         |${shinglePostingSql("zdocs")}""".stripMargin),
 
     // FnvMix with seed 0 (the +seed·golden term vanishes), bits extracted
     // from the unsigned value — identical raw bits to Spark's signed long
@@ -3273,42 +3372,28 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
 
     "q_ngram_jaccard" -> (
-      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
-         |  FROM toks WHERE len(tk) >= 3),
-         |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
-         |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
-         |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
-         |    count(*) AS inter
-         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b, cast(inter AS double) / (sa + sb - inter) AS jaccard
-         |FROM pairs WHERE cast(inter AS double) / (sa + sb - inter) >= 0.8""".stripMargin),
+      s"""WITH ${ngramPairCoreSql("documents")}
+         |$JaccardSelectSql""".stripMargin),
 
     // identical pair core as q_ngram_jaccard; only the scorer differs
     // (min-size denominator), so the two oracles share the CTE chain
     "q_containment" -> (
-      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
-         |  FROM toks WHERE len(tk) >= 3),
-         |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
-         |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
-         |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS sa, b.set_size AS sb,
-         |    count(*) AS inter
-         |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b, cast(sa AS bigint) AS size_a, cast(sb AS bigint) AS size_b,
-         |  cast(inter AS double) / cast(least(sa, sb) AS double) AS overlap
-         |FROM pairs
-         |WHERE cast(inter AS double) / cast(least(sa, sb) AS double) >= 0.8""".stripMargin),
+      s"""WITH ${ngramPairCoreSql("documents")}
+         |$ContainmentSelectSql""".stripMargin),
+
+    // the SAME pair-family oracles replayed over the generated open-
+    // vocabulary corpus (graft.sources.ZipfCorpus.ZdocsSql builds it
+    // byte-identically in DuckDB) — the realistic-shape gate the dense
+    // driver corpus cannot provide
+    "q_ngram_jaccard_zipf" -> (
+      s"""WITH ${graft.sources.ZipfCorpus.ZdocsSql},
+         |${ngramPairCoreSql("zdocs")}
+         |$JaccardSelectSql""".stripMargin),
+
+    "q_containment_zipf" -> (
+      s"""WITH ${graft.sources.ZipfCorpus.ZdocsSql},
+         |${ngramPairCoreSql("zdocs")}
+         |$ContainmentSelectSql""".stripMargin),
 
     "q_multimodal_meta" ->
       """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,

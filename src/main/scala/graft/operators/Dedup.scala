@@ -43,6 +43,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Jaccard scorer over a pre-materialized [[shingleSets]] frame — the
+    * multi-scorer amortization path (see [[shingleSets]]).
+    */
+  def ngramJaccardOn(sets: DataFrame, threshold: Double): DataFrame =
+    pairStatsOn(sets, threshold, containment = false)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** N-gram OVERLAP-COEFFICIENT pairs: |A∩B| / min(|A|,|B|) — the
     * containment score. Jaccard misses subset relations (a paragraph quoted
     * inside a 100× longer doc has |∩|/|∪| ≈ 1 %); the overlap coefficient
@@ -66,6 +77,54 @@ object Dedup {
           least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("overlap") >= threshold)
       .select("id_a", "id_b", "size_a", "size_b", "overlap")
+
+  /** Overlap-coefficient scorer over a pre-materialized [[shingleSets]]
+    * frame (see [[shingleSets]]).
+    */
+  def overlapPairsOn(sets: DataFrame, threshold: Double): DataFrame =
+    pairStatsOn(sets, threshold, containment = true)
+      .withColumn("overlap",
+        col("inter").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "size_a", "size_b", "overlap")
+
+  /** EXPLICIT materialization hook for the pair-mining intermediate: the
+    * per-doc (id, sorted shingle array, set size) frame all scorers branch
+    * from, computed once and pinned with `localCheckpoint`.
+    *
+    * Why this exists, and why checkpoint instead of cache: inside one
+    * scorer call, Catalyst plans each of the 3–4 `docsets` consumers as a
+    * fresh subtree (~8 shingling scans per query — measured cheaper than
+    * persisting, because a CACHED relation's size statistics push the
+    * planner into broadcasting the exploded full-posting side of the
+    * candidate join: 12 s → 114 s at sf1). A caller running BOTH scorers
+    * pays those scans twice. `localCheckpoint` materializes the frame as
+    * an RDD scan with NO size statistics — the planner keeps the shuffle
+    * join for the posting side (the broadcast trap cannot re-trigger) and
+    * every scorer branch reads document-bounded rows instead of re-running
+    * the corpus scan.
+    *
+    * Default paths ([[ngramJaccard]]/[[overlapPairs]]) are untouched: the
+    * single-scorer recompute plan remains the measured optimum. Use this
+    * when running ≥2 scorers (or thresholds) over one corpus:
+    * {{{
+    *   val sets = Dedup.shingleSets(docs, "doc_id", "text", 3, 1000L)
+    *   val jac = Dedup.ngramJaccardOn(sets, 0.8)
+    *   val con = Dedup.overlapPairsOn(sets, 0.8)
+    * }}}
+    * Results are row-identical to the default paths (spec-pinned).
+    * `localCheckpoint` trades lineage for executor-local blocks — on a
+    * cluster, prefer it only when the pair run consumes the result
+    * promptly (same trade [[connectedComponents]] already makes).
+    */
+  def shingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long = 1000L): DataFrame =
+    docShingleSets(df, idCol, textCol, n, maxShingleDocFreq).localCheckpoint(true)
 
   /** Shared PREFIX-FILTERED pair core (AllPairs/PPJoin family — Bayardo et
     * al. 2007, Xiao et al. 2008): distinct word `n`-shingles → hot-shingle
@@ -114,9 +173,21 @@ object Dedup {
       n: Int,
       maxShingleDocFreq: Long,
       threshold: Double,
-      containment: Boolean): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"prefix filtering needs a threshold in (0, 1], got $threshold")
+      containment: Boolean): DataFrame =
+    pairStatsOn(docShingleSets(df, idCol, textCol, n, maxShingleDocFreq),
+      threshold, containment)
+
+  /** The shared docsets intermediate: (id, sorted shingle-hash array,
+    * set_size), df-capped. NOT materialized here — [[shinglePairStats]]
+    * composes it lazily (the measured single-scorer optimum) and
+    * [[shingleSets]] checkpoints it for multi-scorer reuse.
+    */
+  private def docShingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long): DataFrame = {
     // shingles are joined/grouped only by identity, so hash them to 8-byte
     // longs before the downstream shuffles (~4× less shuffle volume than
     // ~30-byte strings; collision odds at 2^64 are negligible and a
@@ -154,11 +225,23 @@ object Dedup {
     // scan-bound and OS-cache-friendly — so recompute wins; callers that
     // reuse pair mining across MANY queries should checkpoint docsets-like
     // intermediates themselves with an explicit caching policy.
-    val docsets = posting
+    posting
       .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
+  }
+
+  /** Prefix-filtered candidate generation + exact verification over a
+    * docsets frame (from [[docShingleSets]] or a [[shingleSets]]
+    * checkpoint). Returns (id_a < id_b, size_a, size_b, inter).
+    */
+  private def pairStatsOn(
+      docsets: DataFrame,
+      threshold: Double,
+      containment: Boolean): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs a threshold in (0, 1], got $threshold")
     // prefix length |S| − ⌈t·|S|⌉ + 1; the 1e-9 slack keeps an fp product
     // that lands a hair ABOVE an exact integer (0.8·55 = 44.000…004) from
     // ceiling one too high and shortening the prefix below the safe bound

@@ -1,15 +1,19 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.operators.Sketch
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
-/** S4/S5 scale check on the production state-store backend: the RocksDB
-  * provider (the store a 1000-executor cluster would run — state lives off
-  * the JVM heap and spills to local SSD, so per-executor state is bounded
-  * by disk, not memory). Thousands of entities over a multi-batch soak:
-  * state must stay O(entities) — one row per key — and must NOT grow with
-  * the number of processed batches, which is what makes the heartbeat
-  * operator viable over unbounded streams.
+/** S4/S5/S6/S7 scale checks on the production state-store backend: the
+  * RocksDB provider (the store a 1000-executor cluster would run — state
+  * lives off the JVM heap and spills to local SSD, so per-executor state is
+  * bounded by disk, not memory). Thousands of entities over a multi-batch
+  * soak: state must stay bounded by the operator's own invariant — one row
+  * per key (heartbeat), keys-per-watermark-window (ingest dedup),
+  * groups×256 (sketch registers) — and must NOT grow with the number of
+  * processed batches, which is what makes each operator viable over an
+  * unbounded 100 TB stream.
   */
 class RocksDbSoakSpec extends SparkSpec {
   import spark.implicits._
@@ -18,13 +22,21 @@ class RocksDbSoakSpec extends SparkSpec {
   private val Entities = 2000
   private val Batches = 6
 
-  test("S4 heartbeat gaps on RocksDB: state stays O(entities) across a soak") {
-    implicit val sqlCtx = spark.sqlContext
+  private def withRocksDb[A](body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("S4 heartbeat gaps on RocksDB: state stays O(entities) across a soak") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
       val input = MemoryStream[Heartbeat]
       val out = StreamHeartbeat.gaps(input.toDS(), thresholdSeconds = 300L)
       val query = out.writeStream.format("memory").queryName("rocks_out")
@@ -53,11 +65,89 @@ class RocksDbSoakSpec extends SparkSpec {
         assert(n == Entities.toLong * (Batches - 1),
           s"expected ${Entities * (Batches - 1)} closed gaps, got $n")
       } finally query.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
+    }
+  }
+
+  test("S6 ingest dedup on RocksDB: watermark BOUNDS state — old fingerprints evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(String, java.sql.Timestamp)]
+      val out = StreamDedup.exactDedup(
+        input.toDF().toDF("text", "ts"), "text", "ts", watermarkDelay = "5 minutes")
+      val query = out.writeStream.format("memory").queryName("dedup_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        (0 until Batches).foreach { b =>
+          // fresh documents each batch, every one re-delivered twice in the
+          // same batch (at-least-once source behavior) — batches advance
+          // event time 10 min, twice the watermark delay, so fingerprints
+          // from two batches back are evictable, not state forever
+          val docs = (0 until Entities).map(k =>
+            (s"document $k of batch $b", new java.sql.Timestamp(base + b * 600000L)))
+          input.addData(docs ++ docs)
+          query.processAllAvailable()
+        }
+        // re-delivery suppressed: exactly one output row per unique doc
+        val n = spark.table("dedup_soak").count()
+        assert(n == Entities.toLong * Batches,
+          s"expected ${Entities * Batches} unique docs, got $n")
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        // bounded by the watermark window — at most 2 batches of keys live
+        // at once (a key is evictable one watermark delay after its event
+        // time), NOT by the number of batches processed. The store
+        // oscillates batch-keys ↔ 2×batch-keys as eviction lags one
+        // microbatch; both edges are the 100 TB-stream invariant.
+        assert(stateRows.max <= 2L * Entities,
+          s"dedup state exceeded the watermark bound: ${stateRows.mkString(",")}")
+        // no growth trend: the soak's second half peaks no higher than the
+        // first half once saturated
+        val half = stateRows.length / 2
+        assert(stateRows.drop(half).max <= stateRows.take(half).max,
+          s"dedup state still growing at soak end: ${stateRows.mkString(",")}")
+      } finally query.stop()
+    }
+  }
+
+  test("S7 sketch registers on RocksDB: state capped at groups×256 forever") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val groups = 5
+      val input = MemoryStream[(String, Long)]
+      val out = StreamSketch.registers(
+        input.toDF().toDF("grp", "v"), Seq("grp"), "v", seed = 7L)
+      val query = out.writeStream.format("memory").queryName("sketch_soak")
+        .outputMode("complete").start()
+      try {
+        (0 until Batches).foreach { b =>
+          // every batch brings entirely NEW values — a count(distinct)
+          // would need O(rows) state; registers must stay at groups×256
+          input.addData((0 until Entities).map(k =>
+            (s"g${k % groups}", b.toLong * Entities + k)): _*)
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= groups.toLong * 256,
+          s"register state exceeded groups×256: ${stateRows.mkString(",")}")
+        // saturates AT the cap and stays there — 12k distinct values fill
+        // every bucket, then zero growth: registers only tighten
+        assert(stateRows.takeRight(2).distinct.size == 1,
+          s"register state not settled at soak end: ${stateRows.mkString(",")}")
+        // streaming registers == batch registers over the union of all
+        // batches, row for row — so stream and batch sketches merge freely
+        val streamed = spark.table("sketch_soak")
+          .select($"grp", $"bucket", $"reg").as[(String, Long, Int)]
+          .collect().toSet
+        val all = (0 until Batches).flatMap(b => (0 until Entities).map(k =>
+          (s"g${k % groups}", b.toLong * Entities + k)))
+        val batch = Sketch.registers(all.toDF("grp", "v"), Seq("grp"), col("v"), seed = 7L)
+          .select($"grp", $"bucket", $"reg").as[(String, Long, Int)]
+          .collect().toSet
+        assert(streamed == batch,
+          "streaming registers must equal batch registers over the same data")
+      } finally query.stop()
     }
   }
 }
