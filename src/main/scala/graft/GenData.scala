@@ -35,6 +35,10 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("1").toDouble
     val outDir = args.drop(1).headOption.getOrElse("target/testdata/sf1")
+    // optional third arg: comma-separated table subset (e.g.
+    // "documents,embeddings" for a near-dup-family-only sf10 run — the
+    // full sf10 lineitem is 60M rows nothing in that family reads)
+    val tables = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,10 +50,11 @@ object GenData {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.coalesce(8).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[gendata] wrote $name")
-    }
+    def write(df: DataFrame, name: String): Unit =
+      if (tables.forall(_.contains(name))) {
+        df.coalesce(8).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[gendata] wrote $name")
+      }
 
     // --- dimension tables (fixed content, same at every sf) ---
     write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),

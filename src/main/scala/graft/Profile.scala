@@ -216,6 +216,116 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "bands") {
+      // hyperplane-family quality: Σ_bucket |bucket|² per band (the
+      // bucket-join cost driver) for (a) the shipped LCG integer family,
+      // (b) a quadratic-mod integer family (portable fix candidate),
+      // (c) JVM gaussian planes (non-portable quality reference).
+      // Uniform-ideal per band ≈ N²/2^bits + N.
+      import graft.functions.Vectors
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val bits = math.min(15, graft.operators.Similarity.bandBitsFor(n, 64L))
+      val bands = 4
+      println(s"[profile] n=$n bands=$bands bits=$bits ideal-per-band=" +
+        (n.toDouble * n / (1L << bits) + n).toLong)
+      val M = 1000003L
+      def lcg(p: Int, d: Int, seed: Long): Double =
+        ((p * 73856093L + d * 19349663L + seed * 83492791L) % M).toDouble / M - 0.5
+      def quad(p: Int, d: Int, seed: Long): Double = {
+        val k0 = (p.toLong * 64 + d + seed * 83492791L) % M
+        (((k0 * k0 % M) * 73856093L + k0 * 19349663L) % M).toDouble / M - 0.5
+      }
+      val rng = new scala.util.Random(7L)
+      val gauss = Array.fill(bands * bits, 64)(rng.nextGaussian())
+      def occupancy(label: String, hp: Array[Array[Double]]): Unit = {
+        val bitsCols = hp.zipWithIndex.map { case (plane, i) =>
+          when(Vectors.dot(col("embedding"), array(plane.map(lit): _*)) >= 0,
+            shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }
+        val code = bitsCols.reduce(_ bitwiseOR _)
+        val mask = (1L << bits) - 1L
+        val sums = emb.select(code.as("_code"))
+          .select((0 until bands).map(b =>
+            shiftright(col("_code"), b * bits).bitwiseAND(lit(mask)).as(s"b$b")): _*)
+          .select(explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+          .groupBy(col("bb.band"), col("bb.bucket")).agg(count(lit(1)).as("c"))
+          .groupBy(col("band")).agg(sum(col("c") * col("c")).as("sumsq"),
+            max(col("c")).as("maxb"), count(lit(1)).as("nbuckets"))
+          .orderBy(col("band")).collect()
+        sums.foreach(r => println(f"[profile] $label%-10s band=${r.getInt(0)} " +
+          f"sumsq=${r.getLong(1)}%,d maxBucket=${r.getLong(2)}%,d buckets=${r.getLong(3)}"))
+      }
+      occupancy("lcg", Array.tabulate(bands * bits, 64)((p, d) => lcg(p, d, 7L)))
+      occupancy("quad", Array.tabulate(bands * bits, 64)((p, d) => quad(p, d, 7L)))
+      occupancy("gauss", gauss)
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "trend") {
+      // sf10-decade trend point for the near-dup family's LINEAR paths:
+      // wall time + candidate volume vs output pairs, one decade beyond
+      // the sf1 validation (dense exact containment is excluded — its
+      // ~N² candidate growth on the dense corpus is root-caused and
+      // documented in SURVEY §6; the zipf mode covers the realistic shape)
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val docs = Tables.documents(spark, sfDir)
+      docs.count()
+      time("minhash_lsh full") {
+        graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.5).count()
+      }
+      time("simhash full") {
+        graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text", 3, 3).count()
+      }
+      time("segment_dedup full") {
+        noop(graft.operators.Dedup.segmentDedup(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text", 3))
+      }
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val bits = math.min(15, graft.operators.Similarity.bandBitsFor(n, 64L))
+      println(s"[profile] embeddings n=$n bandBits=$bits")
+      time("embed_neardup full (t=0.25)") {
+        graft.operators.Similarity.embeddingNearDup(
+          emb, "vec_id", "embedding", threshold = 0.25, bands = 4, bandBits = bits).count()
+      }
+      time("embed banded candidates (deduped)") {
+        // threshold -1 keeps every bucket-join pair after group-max dedup —
+        // the banded candidate volume that must stay ≈ 64·N per band
+        graft.operators.Similarity.embeddingNearDup(
+          emb, "vec_id", "embedding", threshold = -1.0, bands = 4, bandBits = bits).count()
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "reuse") {
+      // the multi-scorer amortization question: jaccard + containment over
+      // one corpus — default recompute paths (back to back) vs ONE
+      // checkpointed shingleSets feeding both scorers. Hash-equality of the
+      // two is gate-checked (q_*_zipf run the reuse path); this measures
+      // the amortization.
+      val docs = Tables.documents(spark, sfDir)
+      docs.count()
+      time("default jaccard") {
+        graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L).count()
+      }
+      time("default containment") {
+        graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8, 1000L).count()
+      }
+      time("reuse BOTH (incl. checkpoint)") {
+        val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3, 1000L)
+        graft.operators.Dedup.ngramJaccardOn(sets, 0.8).count() +
+          graft.operators.Dedup.overlapPairsOn(sets, 0.8).count()
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "pairs") {
       // decompose the prefix-filtered pair core: docsets vs candidates vs
       // verification, for jaccard and containment
@@ -287,8 +397,10 @@ object Profile {
         def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
           df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val t0 = System.nanoTime()
         val exact = pairs(Similarity.knnBruteForce(
           emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
+        println(f"[recall] $corpus brute ${(System.nanoTime() - t0) / 1e9}%.1fs")
         Seq(
           "lsh(multiProbe=false)" -> Similarity.knnLsh(emb, probes, "vec_id", "embedding",
             "vec_id", "embedding", k, planes = 8, multiProbe = false),
@@ -297,9 +409,11 @@ object Profile {
           "ivf(nlist=16,nprobe=4)" -> Similarity.knnIvf(emb, probes, "vec_id", "embedding",
             "vec_id", "embedding", k, nlist = 16, nprobe = 4)
         ).foreach { case (name, df) =>
+          val t1 = System.nanoTime()
           val got = pairs(df)
           val recall = (exact & got).size.toDouble / exact.size
-          println(f"[recall] $corpus%-10s $name%-24s recall@$k = $recall%.3f (candidates returned: ${got.size})")
+          println(f"[recall] $corpus%-10s $name%-24s recall@$k = $recall%.3f " +
+            f"(candidates returned: ${got.size}; ${(System.nanoTime() - t1) / 1e9}%.1fs)")
         }
       }
       val uniform = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -325,6 +439,10 @@ object Profile {
         .select(col("id").as("vec_id"),
           transform(col("_v"), x => (x / sqrt(col("_n2"))).cast("float"))
             .as("embedding"))
+        // materialize once: Lloyd's per-iteration jobs would otherwise
+        // recompute the 128-hash Box–Muller generation tree every pass
+        // (measured 314 s vs ~3 s at 2k vectors)
+        .localCheckpoint(true)
       runRecall("uniform", uniform)
       runRecall("clustered", clustered)
       spark.stop()

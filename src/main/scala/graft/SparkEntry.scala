@@ -2192,16 +2192,19 @@ object SparkEntry {
          |SELECT w1, w2, cast(c12 AS bigint) AS c12, lift FROM sc
          |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin),
 
-    // plane components recomputed from the integer formula (exact in both
+    // plane components recomputed from the QUADRATIC-mod integer formula
+    // (k = pos·64 + (i−1) + 21·83492791 = … + 1753348611, exact in both
     // engines), dot = the same left-to-right fold as the brute-kNN oracle
     "q_rand_project" ->
-      """WITH j AS (SELECT unnest(range(0, 8)) AS pos),
+      """WITH j AS (SELECT pos, list_transform(
+        |    list_transform(range(0, 64), d -> (pos * 64 + d + 1753348611) % 1000003),
+        |    k -> cast((k * k % 1000003 * 73856093 + k * 19349663) % 1000003 AS double)
+        |      / 1000003.0 - 0.5) AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS pos)),
         |p AS (SELECT e.vec_id, j.pos,
         |    list_reduce(list_prepend(CAST(0.0 AS double),
         |      list_transform(range(1, len(embedding) + 1),
-        |        i -> CAST(embedding[i] AS double) *
-        |          (CAST((pos * 73856093 + (i - 1) * 19349663 + 21 * 83492791)
-        |             % 1000003 AS double) / 1000003.0 - 0.5))),
+        |        i -> CAST(embedding[i] AS double) * j.w[i])),
         |      (acc, x) -> acc + x) AS val
         |  FROM embeddings e, j)
         |SELECT vec_id, cast(pos AS bigint) AS pos, val FROM p""".stripMargin,
@@ -3211,13 +3214,16 @@ object SparkEntry {
          |SELECT id_a, id_b, cast(min(hamming) AS bigint) AS hamming FROM hm
          |GROUP BY 1, 2 HAVING min(hamming) <= 3""".stripMargin),
 
-    // fast-path LSH ANN replay: portable integer-derived hyperplanes
-    // (seed 42 → 42·83492791 = 3506697222), multi-probe = the probe's
-    // bucket XOR each 1-bit flip
+    // fast-path LSH ANN replay: portable integer-derived hyperplanes —
+    // the QUADRATIC-mod family (k = p·64 + d + 42·83492791 = p·64 + d +
+    // 3506697222, then (k²·A + k·B) mod M — see Similarity.hyperplanes for
+    // why the linear fold is a correlated lattice); multi-probe = the
+    // probe's bucket XOR each 1-bit flip
     "q_knn_lsh" ->
       """WITH pl AS (
-        |  SELECT p, list_transform(range(0, 64),
-        |    d -> cast((p * 73856093 + d * 19349663 + 3506697222) % 1000003 AS double)
+        |  SELECT p, list_transform(
+        |    list_transform(range(0, 64), d -> (p * 64 + d + 3506697222) % 1000003),
+        |    k -> cast((k * k % 1000003 * 73856093 + k * 19349663) % 1000003 AS double)
         |      / 1000003.0 - 0.5) AS w
         |  FROM (SELECT unnest(range(0, 6)) AS p)
         |), emb AS (
@@ -3261,15 +3267,17 @@ object SparkEntry {
         |)
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
-    // fast-path banded near-dup replay: 4 bands × 5 planes, portable
-    // hyperplanes (seed 7 → 7·83492791 = 584449537)
+    // fast-path banded near-dup replay: 4 bands × bandBits planes, portable
+    // QUADRATIC-mod hyperplanes (k = p·64 + d + 7·83492791 = p·64 + d +
+    // 584449537 — see q_knn_lsh / Similarity.hyperplanes)
     "q_embed_neardup" ->
       s"""WITH geo AS (
         |  SELECT $BandBitsLadderSql AS bits
         |  FROM (SELECT count(*) AS n FROM embeddings)
         |), pl AS (
-        |  SELECT p, list_transform(range(0, 64),
-        |    d -> cast((p * 73856093 + d * 19349663 + 584449537) % 1000003 AS double)
+        |  SELECT p, list_transform(
+        |    list_transform(range(0, 64), d -> (p * 64 + d + 584449537) % 1000003),
+        |    k -> cast((k * k % 1000003 * 73856093 + k * 19349663) % 1000003 AS double)
         |      / 1000003.0 - 0.5) AS w
         |  FROM (SELECT unnest(range(0, 4 * bits)) AS p FROM geo)
         |), emb AS (

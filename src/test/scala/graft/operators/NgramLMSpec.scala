@@ -95,4 +95,47 @@ class NgramLMSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"unigrams must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("AQE skew-split absorbs a hot probe bigram in the scoring join") {
+    // SURVEY §5 claims the scoring join's hot-probe-bigram shape ("of the"
+    // lands in one shuffle partition) is exactly what AQE skew-join splits;
+    // trip the same optimizer decision at local scale the way SkewSpec does
+    // for saltedJoin: low skew thresholds, broadcast disabled (a real model
+    // at corpus scale exceeds the broadcast threshold).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 20k docs, every one dominated by the hot bigram: the probe stream
+      // is ~90% "of the"/"the of" rows hashing to two partitions. The model
+      // is MATERIALIZED (train once, score many — at 100 TB it is a stored
+      // artifact, not a fused subplan): that also makes the scoring join's
+      // model side a bare shuffle stage, the shape OptimizeSkewedJoin can
+      // split — a model fused straight out of its groupBy is already
+      // partitioned on the bigram and leaves AQE nothing to re-plan.
+      val docs = spark.range(20000).select(
+        col("id").as("doc_id"),
+        concat(lit("of the of the of the of the of the of the tail"),
+          col("id")).as("text"))
+      val model = NgramLM.bigramCounts(docs, "text").localCheckpoint(true)
+      val vocab = docs.select(explode(Text.tokens(col("text"))).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      val scored = NgramLM.scoreBigram(docs, "doc_id", "text", model, vocab)
+      val rows = scored.collect()
+      assert(rows.length == 20000)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot-bigram scoring join with skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
