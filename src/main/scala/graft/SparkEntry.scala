@@ -156,6 +156,32 @@ object SparkEntry {
       |FROM pairs
       |WHERE cast(inter AS double) / cast(least(sa, sb) AS double) >= 0.8""".stripMargin
 
+  /** FnvMix HLL register replay (seed 11) over `events(event_type,
+    * user_id)` → CTE chain ending in `regs(event_type, bucket, reg)` —
+    * shared by the q_card_sketch and q_stream_sketch oracles.
+    */
+  private lazy val CardRegsCtes: String = {
+    val seedGolden = (BigInt(11) * GoldenB).mod(BigInt(2).pow(64))
+    val rhoCase = (1 to 56)
+      .map(r => s"WHEN rem >= ${BigInt(2).pow(64 - r)} THEN $r")
+      .mkString(" ")
+    s"""h0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS shingle
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events
+       |        WHERE user_id IS NOT NULL)),
+       |folded AS (SELECT event_type, $FnvFoldSql AS h FROM h0),
+       |z0 AS (SELECT event_type,
+       |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+       |      AS UBIGINT) AS z FROM folded),
+       |z1 AS (SELECT event_type, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+       |z2 AS (SELECT event_type, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+       |hv AS (SELECT event_type, xor(z, z >> 31) AS z FROM z2),
+       |br AS (SELECT event_type, z >> 56 AS bucket,
+       |    CAST((CAST(z AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS rem
+       |  FROM hv),
+       |rho AS (SELECT event_type, bucket, CASE $rhoCase ELSE 57 END AS rho FROM br),
+       |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Segment-dedup oracle over table/CTE `from` cut into `segWords`-token
     * segments; `lead` prepends corpus-construction CTEs.
     */
@@ -1292,6 +1318,40 @@ object SparkEntry {
         .join(exact, "event_type")
     }),
 
+    // §2#37c STREAMING sketch gate — the S7 batch-equivalence proof as a
+    // driver-gated query: StreamSketch.registers runs over a bounded FILE
+    // STREAM of the events table (Trigger.AvailableNow — the stream sees
+    // the data in file-sized micro-batches through the real stateful-agg
+    // path, complete-mode memory sink), and the FINAL streaming state is
+    // returned and oracle-checked against the same FnvMix register replay
+    // as q_card_sketch. Registers are associative/idempotent maxes, so
+    // stream-final must equal batch — this gate pins that end to end.
+    "q_stream_sketch" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // a file-stream source monitors a DIRECTORY: stream the table dir
+      // directly when the table is Spark-written (directory of parts);
+      // the driver testdata ships single-file tables, so stream the parent
+      // with a glob pinned to this one table
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw.select(col("event_type"), col("user_id"))
+      val regs = graft.streaming.StreamSketch.registers(
+        stream, Seq("event_type"), "user_id", seed = 11L)
+      val name = s"q_stream_sketch_${System.nanoTime}"
+      val q = regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("event_type"), col("bucket"),
+        col("reg").cast("long").as("reg"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -2309,26 +2369,8 @@ object SparkEntry {
     // HUGEINT -> one exact power-of-two division + one IEEE division. The
     // estimator constants are the SAME Scala doubles Spark embeds
     // (shortest-round-trip literals parse back to identical bits).
-    "q_card_sketch" -> {
-      val seedGolden = (BigInt(11) * GoldenB).mod(BigInt(2).pow(64))
-      val rhoCase = (1 to 56)
-        .map(r => s"WHEN rem >= ${BigInt(2).pow(64 - r)} THEN $r")
-        .mkString(" ")
-      s"""WITH h0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS shingle
-         |  FROM (SELECT DISTINCT event_type, user_id FROM events
-         |        WHERE user_id IS NOT NULL)),
-         |folded AS (SELECT event_type, $FnvFoldSql AS h FROM h0),
-         |z0 AS (SELECT event_type,
-         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
-         |      AS UBIGINT) AS z FROM folded),
-         |z1 AS (SELECT event_type, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
-         |z2 AS (SELECT event_type, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
-         |hv AS (SELECT event_type, xor(z, z >> 31) AS z FROM z2),
-         |br AS (SELECT event_type, z >> 56 AS bucket,
-         |    CAST((CAST(z AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS rem
-         |  FROM hv),
-         |rho AS (SELECT event_type, bucket, CASE $rhoCase ELSE 57 END AS rho FROM br),
-         |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+    "q_card_sketch" -> (
+      s"""WITH $CardRegsCtes,
          |est AS (SELECT event_type,
          |    sum(CAST(power(2.0, 57 - reg) AS HUGEINT)) AS s_present,
          |    count(*) AS nb
@@ -2344,7 +2386,16 @@ object SparkEntry {
          |  cast(nb AS bigint) AS n_buckets_used,
          |  ex.exact_users, ex.n_events
          |FROM est e JOIN ex ON e.event_type = ex.event_type""".stripMargin
-    },
+    ),
+
+    // the streaming gate replays the SAME register chain — stream-final
+    // state must equal the batch registers row for row
+    "q_stream_sketch" -> (
+      s"""WITH $CardRegsCtes
+         |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(reg AS BIGINT) AS reg
+         |FROM regs""".stripMargin
+    ),
 
     "q_quality_checks" ->
       """WITH seeded AS (
