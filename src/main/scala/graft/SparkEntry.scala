@@ -886,19 +886,26 @@ object SparkEntry {
         Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         3)),
 
-    // §2#24 star join + agg — fact_visits join shape / TPC-H Q5-ish
+    // §2#24 star join + agg — fact_visits join shape / TPC-H Q5-ish.
+    // The per-order revenue is aggregated BELOW the orders join: the
+    // partial agg shrinks the shuffled fact side ~4:1, its l_orderkey
+    // exchange is the exact partitioning the join needs, and with one
+    // row per orderkey the countDistinct (expand + second exchange on
+    // (region, nation, orderkey)) collapses to count(1). Decimal sums
+    // are associative, so revenue stays hash-exact vs the flat oracle.
     "q_multi_join_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))).as("rev"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
-            .cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))),
+          sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))),
 
     // §2#25 exact dedup
     "q_dedup_exact" -> ((s, dir) =>
