@@ -212,8 +212,11 @@ object SparkEntry {
     * finalizer per permutation, signature mins as SIGNED 64-bit like
     * Spark's LongType, 8×4 banding, bucket join, estimated jaccard.
     */
-  private def minhashLshReplaySql(lead: String): String =
-    s"""WITH $lead,
+  /** DuckDB replay of the FnvMix minhash signature + banding pipeline —
+    * the WITH-chain through CTE `banded(id, sig, band, bucket)`, shared by
+    * the self-join and incremental (batch-vs-corpus) finishers. */
+  private def minhashBandedCtes(lead: String): String =
+    s"""$lead,
        |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
        |hx AS (SELECT id, h, unnest(range(0, 32)) AS i FROM folded),
        |z0 AS (SELECT id, i, CAST((CAST(h AS HUGEINT) +
@@ -229,7 +232,10 @@ object SparkEntry {
        |banded AS (SELECT id, sig, u.b AS band,
        |    array_to_string(list_transform(list_slice(sig, u.b * 4 + 1, u.b * 4 + 4),
        |      v -> cast(v AS varchar)), ',') AS bucket
-       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u),
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u)""".stripMargin
+
+  private def minhashLshReplaySql(lead: String): String =
+    s"""WITH ${minhashBandedCtes(lead)},
        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
@@ -238,6 +244,23 @@ object SparkEntry {
        |      AS est_jaccard
        |  FROM p)
        |SELECT id_a, id_b, max(est_jaccard) AS est_jaccard FROM est
+       |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin
+
+  /** Incremental finisher: signatures are per-doc, so banding ALL docs and
+    * splitting batch/corpus at the pair join is byte-identical to banding
+    * the two filtered inputs separately (what the Spark side does). */
+  private def minhashAgainstReplaySql(lead: String): String =
+    s"""WITH ${minhashBandedCtes(lead)},
+       |p AS (SELECT a.id AS id_new, b.id AS id_corpus,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.id % 5 = 0 AND b.id % 5 <> 0),
+       |est AS (SELECT id_new, id_corpus,
+       |    cast(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS double) / 32
+       |      AS est_jaccard
+       |  FROM p)
+       |SELECT id_new, id_corpus, max(est_jaccard) AS est_jaccard FROM est
        |GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5""".stripMargin
 
   /** DuckDB fragment: sessionized events (adds session_seq per user). */
@@ -1017,6 +1040,24 @@ object SparkEntry {
     "q_minhash_lsh_zipf" -> ((s, dir) =>
       Dedup.minhashLsh(graft.sources.ZipfCorpus.docs(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // §2#30d INCREMENTAL dedup — the production mode at corpus scale: a new
+    // batch (docs with doc_id ≡ 0 mod 5, ~20 %) is deduped AGAINST the
+    // existing corpus (the other 80 %) via the persistable minhash band
+    // index; the corpus is never self-joined, only the increment's banded
+    // rows probe it. Signatures are per-doc, so the oracle bands the whole
+    // table once and splits at the pair join — byte-identical.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      Dedup.minhashLshAgainst(
+        Dedup.minhashIndex(batch, "doc_id", "text",
+          shingleLen = 3, numHashes = 32, bands = 8),
+        Dedup.minhashIndex(corpus, "doc_id", "text",
+          shingleLen = 3, numHashes = 32, bands = 8),
+        numHashes = 32, threshold = 0.5)
+    }),
 
     // §2#30b MinHash+LSH with a PORTABLE hash family: the exact pipeline of
     // q_minhash_lsh (signature mins → band buckets → bucket join → estimated
@@ -3237,6 +3278,9 @@ object SparkEntry {
     // fold per shingle, then the splitmix finalizer per permutation —
     // signature mins compared as SIGNED 64-bit like Spark's LongType
     "q_minhash_lsh" -> minhashLshReplaySql(ShinglePostingSql),
+
+    // incremental batch-vs-corpus finisher over the same banding replay
+    "q_dedup_incremental" -> minhashAgainstReplaySql(ShinglePostingSql),
 
     // the same full replay over the generated open-vocabulary corpus
     "q_minhash_lsh_zipf" -> minhashLshReplaySql(

@@ -426,6 +426,31 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val banded = minhashIndex(df, idCol, textCol, shingleLen, numHashes, bands)
+    val l = banded.toDF("id_a", "sig_a", "band", "bucket")
+    val r = banded.toDF("id_b", "sig_b", "band", "bucket")
+    scoreBandMatches(
+      l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b")),
+      numHashes, threshold, "id_a", "id_b")
+  }
+
+  /** The banded MinHash signature INDEX: `(id, sig, band, bucket)` — the
+    * persistable artifact [[minhashLsh]] self-joins and
+    * [[minhashLshAgainst]] probes.
+    *
+    * At production scale this frame is what you WRITE (partitioned/bucketed
+    * by `(band, bucket)`): re-deduplicating a 100 TB corpus for every daily
+    * increment is the anti-pattern; the index is computed once, appended
+    * per batch, and each new batch shuffles only its own `bands × N_batch`
+    * rows against it.
+    */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val shingled = df.select(
@@ -441,7 +466,7 @@ object Dedup {
     val sigs = hashed.groupBy(col("id"))
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
-    val banded = sigs.select(
+    sigs.select(
       col("id"), col("sig"),
       explode(transform(
         sequence(lit(0), lit(bands - 1)),
@@ -450,16 +475,43 @@ object Dedup {
           xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)).cast("string")).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.toDF("id_a", "sig_a", "band", "bucket")
-    val r = banded.toDF("id_b", "sig_b", "band", "bucket")
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+  }
+
+  /** INCREMENTAL near-dup: candidates of a new `batch` against an existing
+    * `corpus` index (both from [[minhashIndex]] with the same parameters) —
+    * the production dedup mode: the corpus is never re-shuffled against
+    * itself, only the increment's banded rows meet the (pre-bucketed,
+    * typically disk-resident) corpus side, and batch-internal duplicates
+    * are left to the intra-batch [[minhashLsh]] pass.
+    *
+    * Output: `(id_new, id_corpus, est_jaccard)`, the max signature
+    * agreement across colliding bands, thresholded.
+    */
+  def minhashLshAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int,
+      threshold: Double): DataFrame = {
+    val l = batch.toDF("id_new", "sig_a", "band", "bucket")
+    val r = corpus.toDF("id_corpus", "sig_b", "band", "bucket")
+    scoreBandMatches(l.join(r, Seq("band", "bucket")),
+      numHashes, threshold, "id_new", "id_corpus")
+  }
+
+  /** Shared band-collision scorer: estimated jaccard = fraction of agreeing
+    * signature positions, max over colliding bands, thresholded. */
+  private def scoreBandMatches(
+      collisions: DataFrame,
+      numHashes: Int,
+      threshold: Double,
+      leftId: String,
+      rightId: String): DataFrame =
+    collisions
+      .select(col(leftId), col(rightId),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .groupBy(leftId, rightId).agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-  }
 
   /** SimHash near-duplicate pairs: 64-bit simhash, banded into 4×16-bit
     * chunks (Hamming ≤ 3 guarantees agreement on ≥1 chunk); chunk-bucket

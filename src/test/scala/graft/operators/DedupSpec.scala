@@ -85,6 +85,42 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashLshAgainst finds batch-vs-corpus pairs and nothing batch-internal") {
+    // batch = {2, 4}: 2 is a near-dup of corpus doc 1, 4 an exact dup of 1.
+    // the (2,4) batch-internal pair must NOT appear — that's minhashLsh's job
+    val corpus = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
+    val batch = Seq((2L, docB), (4L, docA)).toDF("doc_id", "text")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndex(df, "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 8)
+    val pairs = Dedup.minhashLshAgainst(idx(batch), idx(corpus), 32, 0.5)
+      .select("id_new", "id_corpus", "est_jaccard").as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((4L, 1L)) && pairs.find(p => p._1 == 4L).get._3 == 1.0)
+    assert(!ids.exists(p => p._2 == 3L), "unrelated corpus doc matched")
+    assert(!ids.contains((2L, 4L)) && !ids.contains((4L, 2L)), "batch-internal pair leaked")
+  }
+
+  test("minhashLshAgainst equals the cross-pair slice of the self-join") {
+    // banding all docs and filtering to cross pairs must equal banding the
+    // two filtered inputs separately — the equivalence the oracle relies on
+    val batchIds = Set(2L, 4L)
+    val batch = docs.filter($"doc_id".isin(batchIds.toSeq: _*))
+    val corpus = docs.filter(!$"doc_id".isin(batchIds.toSeq: _*))
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndex(df, "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 8)
+    val incr = Dedup.minhashLshAgainst(idx(batch), idx(corpus), 32, 0.5)
+      .select("id_new", "id_corpus", "est_jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val self = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) =>
+        if (batchIds.contains(a) && !batchIds.contains(b)) Some((a, b, j))
+        else if (batchIds.contains(b) && !batchIds.contains(a)) Some((b, a, j))
+        else None
+      }.toSet
+    assert(incr == self, s"incremental=$incr selfSlice=$self")
+  }
+
   test("connectedComponents labels every node with the min reachable id") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
     // + isolated 20 (absent from output, present only via consumer coalesce)
