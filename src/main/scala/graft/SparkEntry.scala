@@ -1400,6 +1400,42 @@ object SparkEntry {
         col("reg").cast("long").as("reg"))
     }),
 
+    // §2#19d the tumbling-window stream (S3) driver-gated through the REAL
+    // Structured Streaming stateful-agg path: events streamed as a bounded
+    // file source, StreamBucketAgg.tumbling's final window state must equal
+    // the batch 15-minute bucketing (same SQL oracle family as q_bucket15).
+    // Complete mode so every window survives to the final table — the
+    // watermark/append finalization semantics are spec-tested (S3 spec).
+    "q_stream_bucket15" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val evts =
+        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+         else raw)
+          .select(col("ts"), col("event_type"), col("value"))
+      val buckets = graft.streaming.StreamBucketAgg.tumbling(
+        evts, Seq("event_type"), "ts", "15 minutes", "0 seconds",
+        Seq(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")))
+      val name = s"q_stream_bucket15_${System.nanoTime}"
+      val q = buckets.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        unix_micros(col("bucket_start")).as("bucket_start_us"),
+        col("event_type"),
+        col("n_events").as("n"),
+        col("total_value"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -3078,6 +3114,14 @@ object SparkEntry {
         |FROM c WHERE overlap_us > 0 GROUP BY 1, 2""".stripMargin,
 
     "q_bucket15" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS bucket_start_us,
+        |  event_type, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming tumbling window's final state must equal the batch
+    // bucketing — same oracle as q_bucket15
+    "q_stream_bucket15" ->
       """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS bucket_start_us,
         |  event_type, cast(count(*) AS bigint) AS n,
         |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
