@@ -1312,6 +1312,25 @@ object SparkEntry {
         threshold = 0.25, bands = 4, bandBits = bits)
     }),
 
+    // §2#34c INCREMENTAL embedding near-dup — the vector-side counterpart
+    // of q_dedup_incremental: a new embedding batch (vec_id ≡ 0 mod 5)
+    // probes the existing corpus's persistable sign-LSH band index; the
+    // corpus is never self-joined. Geometry (bandBitsFor over the FULL
+    // count) is shared by both sides, so codes are per-vector and the
+    // oracle can band once and split at the candidate join.
+    "q_embed_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bits = math.min(15, Similarity.bandBitsFor(emb.count(), 64L))
+      val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      Similarity.embeddingNearDupAgainst(
+        Similarity.embeddingBandIndex(batch, "vec_id", "embedding",
+          bands = 4, bandBits = bits),
+        Similarity.embeddingBandIndex(corpus, "vec_id", "embedding",
+          bands = 4, bandBits = bits),
+        threshold = 0.25)
+    }),
+
     // §2#44 embedding int8 quantization: per-vector symmetric scale,
     // round-clamp to [-127,127], and the reconstruction-error account a
     // compression decision needs. All double arithmetic is deterministic
@@ -3460,6 +3479,55 @@ object SparkEntry {
         |            JOIN emb eb ON cand.id_b = eb.vec_id
         |)
         |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.25""".stripMargin,
+
+    // same banding replay, split batch/corpus at the candidate join —
+    // codes are per-vector, so banding all and splitting equals banding
+    // the two filtered inputs separately (what the Spark side does)
+    "q_embed_incremental" ->
+      s"""WITH geo AS (
+        |  SELECT $BandBitsLadderSql AS bits
+        |  FROM (SELECT count(*) AS n FROM embeddings)
+        |), pl AS (
+        |  SELECT p, list_transform(
+        |    list_transform(range(0, 64), d -> (p * 64 + d + 584449537) % 1000003),
+        |    k -> cast((k * k % 1000003 * 73856093 + k * 19349663) % 1000003 AS double)
+        |      / 1000003.0 - 0.5) AS w
+        |  FROM (SELECT unnest(range(0, 4 * bits)) AS p FROM geo)
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+        |  FROM emb e, pl
+        |), codes AS (
+        |  SELECT vec_id, cast(p // bits AS bigint) AS band,
+        |    cast(sum(CASE WHEN dp >= 0 THEN 1 << (p % bits) ELSE 0 END) AS bigint) AS bucket
+        |  FROM dots CROSS JOIN geo GROUP BY vec_id, p // bits, bits
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus
+        |  FROM codes a JOIN codes b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+        |), cos AS (
+        |  SELECT id_new, id_corpus,
+        |    CASE WHEN ea.nv * eb.nv > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(ea.embedding) + 1),
+        |          i -> cast(ea.embedding[i] AS double) * cast(eb.embedding[i] AS double))),
+        |        (acc, x) -> acc + x)
+        |      / (ea.nv * eb.nv)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand JOIN emb ea ON cand.id_new = ea.vec_id
+        |            JOIN emb eb ON cand.id_corpus = eb.vec_id
+        |)
+        |SELECT id_new, id_corpus, cosine FROM cos WHERE cosine >= 0.25""".stripMargin,
 
     // md5-hex folded to a 64-bit unsigned decimal via hugeint — matches
     // Spark's conv(substring(md5(x),1,16),16,10) digit-for-digit

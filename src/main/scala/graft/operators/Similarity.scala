@@ -312,6 +312,33 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 7L,
       hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
+    val v = embeddingBandIndex(df, idCol, vecCol, bands, bandBits, dim, seed,
+      hyperplanesOverride)
+    val a = v.toDF("id_a", "_va", "_na", "band", "bucket")
+    val b = v.toDF("id_b", "_vb", "_nb", "band", "bucket")
+    scoreCosineMatches(
+      a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b")),
+      threshold, "id_a", "id_b")
+  }
+
+  /** The banded sign-LSH INDEX: `(id, _v, _n, band, bucket)` — the
+    * persistable artifact [[embeddingNearDup]] self-joins and
+    * [[embeddingNearDupAgainst]] probes. As with
+    * [[graft.operators.Dedup.minhashIndex]], at production scale this is
+    * what you write (bucketed by `(band, bucket)`), so each new embedding
+    * batch shuffles only its own banded rows against the corpus. The two
+    * sides of an incremental probe must be built with the SAME geometry
+    * (bands, bandBits, dim, seed / hyperplanes).
+    */
+  def embeddingBandIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 4,
+      bandBits: Int = 16,
+      dim: Int = 64,
+      seed: Long = 7L,
+      hyperplanesOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
       s"bands*bandBits must fit a long: got $bands*$bandBits")
     val hp = hyperplanesOverride.getOrElse(hyperplanes(bands * bandBits, dim, seed))
@@ -327,25 +354,46 @@ object Similarity {
         array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(code, b * bandBits).bitwiseAND(lit(mask)).as("bucket"))): _*)), 1)
-    val v = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         checkedDim(col(vecCol), dim).as("_v"),
         Vectors.norm(col(vecCol)).as("_n"))
       .withColumn("bb", explode(bandStructs))
       .select(col("id"), col("_v"), col("_n"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = v.toDF("id_a", "_va", "_na", "band", "bucket")
-    val b = v.toDF("id_b", "_vb", "_nb", "band", "bucket")
+  }
+
+  /** INCREMENTAL embedding near-dup: candidates of a new `batch` against an
+    * existing `corpus` band index (both from [[embeddingBandIndex]] with
+    * identical geometry). The corpus is never self-joined; batch-internal
+    * duplicates are the intra-batch [[embeddingNearDup]] pass's job.
+    * Output: `(id_new, id_corpus, cosine)`, thresholded.
+    */
+  def embeddingNearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = batch.toDF("id_new", "_va", "_na", "band", "bucket")
+    val b = corpus.toDF("id_corpus", "_vb", "_nb", "band", "bucket")
+    scoreCosineMatches(a.join(b, Seq("band", "bucket")),
+      threshold, "id_new", "id_corpus")
+  }
+
+  /** Shared band-collision scorer: exact cosine over colliding pairs, max
+    * across bands (a pair meeting in several bands has the same cosine each
+    * time — the group-max is pure dedup), thresholded. */
+  private def scoreCosineMatches(
+      collisions: DataFrame,
+      threshold: Double,
+      leftId: String,
+      rightId: String): DataFrame = {
     val nn = col("_na") * col("_nb")
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    collisions
       .withColumn("cosine",
         when(nn > 0, Vectors.dot(col("_va"), col("_vb")) / nn).otherwise(lit(0.0)))
-      // a pair meeting in several bands has the same cosine each time — the
-      // group-max is pure dedup, same shape as minhashLsh's est_jaccard max
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col(leftId), col(rightId))
       .agg(max(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(leftId, rightId, "cosine")
   }
 
   /** Deterministic random projection D → d (Johnson–Lindenstrauss style):

@@ -57,6 +57,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("embeddingNearDupAgainst equals the cross-pair slice of the self-join") {
+    // banding all vectors and filtering to cross pairs must equal banding
+    // the two filtered inputs separately — the oracle's equivalence
+    val batchIds = Set(2L, 4L)
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingBandIndex(df, "vec_id", "embedding",
+        bands = 2, bandBits = 2, dim = 4)
+    val incr = Similarity.embeddingNearDupAgainst(
+        idx(vecs.filter($"vec_id".isin(batchIds.toSeq: _*))),
+        idx(vecs.filter(!$"vec_id".isin(batchIds.toSeq: _*))),
+        threshold = 0.9)
+      .select("id_new", "id_corpus", "cosine").as[(Long, Long, Double)]
+      .collect().toSet
+    val self = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.9, bands = 2, bandBits = 2, dim = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) =>
+        if (batchIds.contains(a) && !batchIds.contains(b)) Some((a, b, c))
+        else if (batchIds.contains(b) && !batchIds.contains(a)) Some((b, a, c))
+        else None
+      }.toSet
+    assert(incr == self, s"incremental=$incr selfSlice=$self")
+    assert(incr.exists(p => p._1 == 2L && p._2 == 1L), "near-dup (2→1) missing")
+  }
+
   test("embeddingNearDup dim mismatch fails loudly instead of bucketing to 0") {
     val bad = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)))
       .toDF("vec_id", "embedding")
