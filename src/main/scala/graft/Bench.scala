@@ -49,8 +49,10 @@ object Bench {
     val results = queryOrder.map { case (name, _) =>
       val ok = passes.map(_(name)).filter(_ >= 0).sorted
       // median of the successful runs; any failure leaves the query
-      // reported only if at least two of three passes succeeded
-      name -> (if (ok.size < 2) -1.0 else ok(ok.size / 2))
+      // reported only if at least two of three passes succeeded. Lower
+      // middle on an even count: with 2 survivors, ok(size/2) would report
+      // the MAX — a phantom regression for any query that drops one pass
+      name -> (if (ok.size < 2) -1.0 else ok((ok.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

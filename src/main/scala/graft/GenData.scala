@@ -39,6 +39,17 @@ object GenData {
     // "documents,embeddings" for a near-dup-family-only sf10 run — the
     // full sf10 lineitem is 60M rows nothing in that family reads)
     val tables = args.drop(2).headOption.map(_.split(",").toSet)
+    // fail fast on typos: a silently-skipped table leaves stale parquet
+    // from a previous run in outDir, and a later Profile/Verify run would
+    // measure a mixed-scale corpus with no error anywhere
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { ts =>
+      val bad = ts -- known
+      require(bad.isEmpty,
+        s"unknown tables: ${bad.toSeq.sorted.mkString(",")} " +
+          s"(known: ${known.toSeq.sorted.mkString(",")})")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

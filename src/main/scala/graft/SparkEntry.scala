@@ -21,6 +21,18 @@ object SparkEntry {
 
   // ---- shared fragments -------------------------------------------------
 
+  /** Fresh memory-sink table name for a streaming gate query, dropping the
+    * retained complete-mode results of EARLIER invocations first (the
+    * median-of-3 bench calls each gate query three times; by the next call
+    * the previous DataFrame is consumed and only the catalog entry pins
+    * the old sink's rows in driver memory). */
+  private def freshStreamTable(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith(prefix))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    s"$prefix${System.nanoTime}"
+  }
+
   /** 10-minute activity intervals derived from events (outage-model shape). */
   private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -207,14 +219,12 @@ object SparkEntry {
        |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
        |GROUP BY 1""".stripMargin
 
-  /** Full FnvMix minhash+LSH fast-path replay over leading CTEs that must
-    * end in `posting(id, shingle)`: one FNV fold per shingle, splitmix
-    * finalizer per permutation, signature mins as SIGNED 64-bit like
-    * Spark's LongType, 8×4 banding, bucket join, estimated jaccard.
-    */
-  /** DuckDB replay of the FnvMix minhash signature + banding pipeline —
-    * the WITH-chain through CTE `banded(id, sig, band, bucket)`, shared by
-    * the self-join and incremental (batch-vs-corpus) finishers. */
+  /** DuckDB replay of the FnvMix minhash signature + banding pipeline over
+    * leading CTEs that must end in `posting(id, shingle)`: one FNV fold per
+    * shingle, splitmix finalizer per permutation, signature mins as SIGNED
+    * 64-bit like Spark's LongType, 8×4 banding — the WITH-chain through CTE
+    * `banded(id, sig, band, bucket)`, shared by the self-join and
+    * incremental (batch-vs-corpus) finishers. */
   private def minhashBandedCtes(lead: String): String =
     s"""$lead,
        |folded AS (SELECT id, $FnvFoldSql AS h FROM posting),
@@ -1409,7 +1419,7 @@ object SparkEntry {
       val stream = raw.select(col("event_type"), col("user_id"))
       val regs = graft.streaming.StreamSketch.registers(
         stream, Seq("event_type"), "user_id", seed = 11L)
-      val name = s"q_stream_sketch_${System.nanoTime}"
+      val name = freshStreamTable(s, "q_stream_sketch_")
       val q = regs.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1442,7 +1452,7 @@ object SparkEntry {
       val buckets = graft.streaming.StreamBucketAgg.tumbling(
         evts, Seq("event_type"), "ts", "15 minutes", "0 seconds",
         Seq(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")))
-      val name = s"q_stream_bucket15_${System.nanoTime}"
+      val name = freshStreamTable(s, "q_stream_bucket15_")
       val q = buckets.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -494,7 +494,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     val l = batch.toDF("id_new", "sig_a", "band", "bucket")
     val r = corpus.toDF("id_corpus", "sig_b", "band", "bucket")
-    scoreBandMatches(l.join(r, Seq("band", "bucket")),
+    // self-pair guard: in the documented append-then-probe workflow the
+    // batch may already be IN the corpus index — (x, x) collisions would
+    // otherwise report every such doc as a perfect duplicate of itself
+    scoreBandMatches(
+      l.join(r, Seq("band", "bucket")).filter(col("id_new") =!= col("id_corpus")),
       numHashes, threshold, "id_new", "id_corpus")
   }
 

@@ -374,7 +374,11 @@ object Similarity {
       threshold: Double): DataFrame = {
     val a = batch.toDF("id_new", "_va", "_na", "band", "bucket")
     val b = corpus.toDF("id_corpus", "_vb", "_nb", "band", "bucket")
-    scoreCosineMatches(a.join(b, Seq("band", "bucket")),
+    // self-pair guard: an append-then-probe caller may have the batch
+    // already in the corpus index — (x, x) collisions would otherwise
+    // report every such vector as a cosine-1.0 near-dup of itself
+    scoreCosineMatches(
+      a.join(b, Seq("band", "bucket")).filter(col("id_new") =!= col("id_corpus")),
       threshold, "id_new", "id_corpus")
   }
 

@@ -100,6 +100,21 @@ class DedupSpec extends SparkSpec {
     assert(!ids.contains((2L, 4L)) && !ids.contains((4L, 2L)), "batch-internal pair leaked")
   }
 
+  test("minhashLshAgainst drops self pairs when the batch is already indexed") {
+    // append-then-probe: the batch was appended to the corpus index BEFORE
+    // probing — every batch doc collides with itself in all bands and must
+    // not be reported as its own duplicate; true dups still surface
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docA))
+      .toDF("doc_id", "text")
+    val batch = Seq((4L, docA)).toDF("doc_id", "text")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndex(df, "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 8)
+    val pairs = Dedup.minhashLshAgainst(idx(batch), idx(corpus), 32, 0.5)
+      .select("id_new", "id_corpus", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == p._2), s"self pair leaked: ${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 4L && p._2 == 1L && p._3 == 1.0))
+  }
+
   test("minhashLshAgainst equals the cross-pair slice of the self-join") {
     // banding all docs and filtering to cross pairs must equal banding the
     // two filtered inputs separately — the equivalence the oracle relies on

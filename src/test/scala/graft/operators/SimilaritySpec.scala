@@ -82,6 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(incr.exists(p => p._1 == 2L && p._2 == 1L), "near-dup (2→1) missing")
   }
 
+  test("embeddingNearDupAgainst drops self pairs when the batch is already indexed") {
+    // append-then-probe: batch vectors already in the corpus index collide
+    // with themselves in every band — the cosine-1.0 (x, x) rows must be
+    // filtered while genuine near-dups with other ids still surface
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embeddingBandIndex(df, "vec_id", "embedding",
+        bands = 2, bandBits = 2, dim = 4)
+    val pairs = Similarity.embeddingNearDupAgainst(
+        idx(vecs.filter($"vec_id" === 2L)), idx(vecs), threshold = 0.9)
+      .select("id_new", "id_corpus", "cosine").as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == p._2), s"self pair leaked: ${pairs.toSeq}")
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 1L), "near-dup (2→1) missing")
+  }
+
   test("embeddingNearDup dim mismatch fails loudly instead of bucketing to 0") {
     val bad = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)))
       .toDF("vec_id", "embedding")
