@@ -1465,6 +1465,50 @@ object SparkEntry {
         col("total_value"))
     }),
 
+    // §2#7d the change-detection stream (S2) driver-gated through the REAL
+    // flatMapGroupsWithState path: events streamed as a bounded file
+    // source, StreamChangeDetect's append-mode transitions must equal the
+    // batch lag-based change detection. One micro-batch (maxFilesPerTrigger
+    // ≥ file count) so file order can't reorder event time across batches
+    // — cross-batch state semantics are S2-spec-tested with in-order
+    // batches; out-of-order files would hit the documented late-drop
+    // policy. previous_ts is NOT gated: the stream states the last
+    // TRANSITION's ts while the batch lags the last EVENT's ts — same
+    // previous_status (all events between two transitions share a status),
+    // different timestamp meaning.
+    "q_stream_changes" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000000").parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", "1000000").parquet(dir)
+      val evts =
+        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+         else raw)
+          .select(col("user_id").cast("long").as("key"), col("ts"),
+            col("event_type").as("status"))
+          .as(org.apache.spark.sql.Encoders.product[
+            graft.streaming.StreamChangeDetect.StatusEvent])
+      val changes = graft.streaming.StreamChangeDetect.changes(evts)
+      val name = freshStreamTable(s, "q_stream_changes_")
+      val q = changes.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        col("key").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("status"),
+        col("previous_status"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -1948,6 +1992,18 @@ object SparkEntry {
         |  lead(event_type) OVER w2 AS next_status,
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // the streaming gate projects previous_ts/next_* out (see the query's
+    // comment); otherwise the same transition set as q_status_changes
+    "q_stream_changes" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS previous_status
+        |  FROM events
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, event_type AS status, previous_status
+        |FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type""".stripMargin,
 
     "q_json_frame" ->
       """WITH frames AS (

@@ -14,7 +14,14 @@ object StreamChangeDetect {
   case class StatusEvent(key: Long, ts: java.sql.Timestamp, status: String)
   case class StatusChange(
       key: Long, ts: java.sql.Timestamp, status: String, previous_status: Option[String])
-  case class LastStatus(status: String, tsMillis: Long)
+  case class LastStatus(status: String, tsMicros: Long)
+
+  /** Full microsecond epoch — `Timestamp.getTime` is millis and would
+    * collapse sub-millisecond event ordering (Spark timestamps carry µs). */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   /** Emit one row per status transition (first observation counts as a
     * transition from None). Events inside a micro-batch are ordered by ts
@@ -30,14 +37,14 @@ object StreamChangeDetect {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: Long, events: Iterator[StatusEvent], state: GroupState[LastStatus]) => {
-          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.status))
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.status))
           val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
           var last = state.getOption
           sorted.foreach { e =>
-            val isLate = last.exists(_.tsMillis > e.ts.getTime)
+            val isLate = last.exists(_.tsMicros > micros(e.ts))
             if (!isLate && !last.exists(_.status == e.status)) {
               out += StatusChange(key, e.ts, e.status, last.map(_.status))
-              last = Some(LastStatus(e.status, e.ts.getTime))
+              last = Some(LastStatus(e.status, micros(e.ts)))
             }
           }
           last.foreach(state.update)
