@@ -1509,6 +1509,45 @@ object SparkEntry {
         col("previous_status"))
     }),
 
+    // §2#8f the sessionization stream (S1) driver-gated through the REAL
+    // session_window state-merge path: events streamed as a bounded file
+    // source, StreamSessionize's complete-mode final table must equal the
+    // batch gap-sessionization. Complete mode never evicts session state,
+    // and gap-merge is order-independent, so stream-final == batch even
+    // across micro-batches. session_window's end is last_event + gap; the
+    // gate subtracts the gap to express end as the last event ts, matching
+    // the batch rollup. Exactly-gap-length deltas would diverge (batch SQL
+    // keeps the session open at delta == gap, session_window closes it) —
+    // absent at nanosecond timestamp precision.
+    "q_stream_sessions" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val evts =
+        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+         else raw)
+          .select(col("user_id"), col("ts"))
+      val sess = graft.streaming.StreamSessionize.sessions(
+        evts, Seq("user_id"), "ts", gap = "30 minutes", watermark = "0 seconds")
+      val name = freshStreamTable(s, "q_stream_sessions_")
+      val q = sess.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        col("user_id"),
+        unix_micros(col("session_start_ts")).as("session_start_us"),
+        (unix_micros(col("session_end_ts")) - 1800000000L).as("session_end_us"),
+        col("n_events"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -2004,6 +2043,17 @@ object SparkEntry {
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, event_type AS status, previous_status
         |FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type""".stripMargin,
+
+    // the streaming session gate: same gap sessionization as SessSql,
+    // rolled up per session (session_end = last event ts — the gate
+    // already normalized session_window's end-plus-gap)
+    "q_stream_sessions" -> (SessSql +
+      """
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin),
 
     "q_json_frame" ->
       """WITH frames AS (
