@@ -1548,6 +1548,44 @@ object SparkEntry {
         col("n_events"))
     }),
 
+    // §2#25b the ingest-dedup stream (S6) driver-gated through the REAL
+    // dropDuplicatesWithinWatermark state path: documents streamed as a
+    // bounded file source (one micro-batch — see q_stream_changes), each
+    // row fingerprinted, re-deliveries dropped in the state store. WHICH
+    // duplicate row survives is arrival-order dependent, so the gate
+    // projects to the surviving fingerprint SET — exactly one row per
+    // distinct fingerprint, arrival-order independent. Ingest time is
+    // synthesized from doc_id (documents carry no timestamp; the watermark
+    // column only has to exist for state bounding, which the S6 soak
+    // tests exercise across batches).
+    "q_stream_dedup" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1000000").parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .option("maxFilesPerTrigger", "1000000").parquet(dir)
+      // +1 day: doc_id 0 would land exactly on epoch 0 — the state
+      // store's INITIAL watermark value — and be dropped as late
+      val stream = raw.select(col("text"),
+        expr("timestamp_micros(doc_id + 86400000000)").as("ingest_ts"))
+      val deduped = graft.streaming.StreamDedup.exactDedup(
+        stream, "text", "ingest_ts", watermarkDelay = "1 minute")
+      val name = freshStreamTable(s, "q_stream_dedup_")
+      val q = deduped
+        .select(graft.functions.Text.fingerprint(col("text")).as("fingerprint"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("fingerprint"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -2043,6 +2081,13 @@ object SparkEntry {
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, event_type AS status, previous_status
         |FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type""".stripMargin,
+
+    // the streaming ingest-dedup gate: the distinct surviving-fingerprint
+    // set (same normalization replay as q_fingerprint)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
 
     // the streaming session gate: same gap sessionization as SessSql,
     // rolled up per session (session_end = last event ts — the gate
