@@ -1586,6 +1586,54 @@ object SparkEntry {
       s.table(name).select(col("fingerprint"))
     }),
 
+    // §2#10c the metric layer over a STREAMING window (S8) driver-gated:
+    // the SAME SemanticModel declaration pattern as the batch
+    // q_metric_layer, instantiated over an hourly window of a bounded
+    // event stream in complete mode. Count/sum measures are associative
+    // and the ratio metric is a post-aggregation projection over exact
+    // (decimal/long) state, so stream-final == batch regardless of
+    // micro-batch boundaries — "define the metric once" gated through the
+    // real streaming stateful-agg path.
+    "q_stream_metrics" -> ((s, dir) => {
+      import graft.metrics._
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val raw =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val evts =
+        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+         else raw)
+          .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      val model = SemanticModel(
+        measures = Seq(
+          Measure("n_ev", MeasureAgg.Count, col("event_id")),
+          Measure("total_v", MeasureAgg.Sum, col("value").cast("decimal(18,2)"))),
+        metrics = Seq(
+          SimpleMetric("n_events", "n_ev"),
+          SimpleMetric("total_value", "total_v"),
+          RatioMetric("value_per_event", "total_value", "n_events")))
+      val out = model.query(evts,
+        Seq(window(col("ts"), "1 hour"), col("event_type")),
+        Seq("n_events", "total_value", "value_per_event"))
+      val name = freshStreamTable(s, "q_stream_metrics_")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("value_per_event"))
+    }),
+
     // §2#35b multimodal patch/frame feature extraction (stubbed encoder;
     // rows-only oracle — the plumbing is explode-to-patch-grain with
     // array<float> features feeding the Similarity operators). The gate
@@ -2081,6 +2129,17 @@ object SparkEntry {
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, event_type AS status, previous_status
         |FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type""".stripMargin,
+
+    // the streaming metric-layer gate: hourly metric instantiation —
+    // exact decimal/long state, ratio as a final double division
+    "q_stream_metrics" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS hour_start_us,
+        |  event_type,
+        |  cast(count(event_id) AS bigint) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) /
+        |    cast(count(event_id) AS double) AS value_per_event
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // the streaming ingest-dedup gate: the distinct surviving-fingerprint
     // set (same normalization replay as q_fingerprint)
