@@ -1794,6 +1794,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", segWords = 3)),
 
+    // §2#29h window-grain exact-substring duplicate marking (ExactSubstr
+    // family): every 5-token sliding window, a span is duplicated when its
+    // exact text occupies ≥2 (doc, position) slots corpus-wide — catches
+    // copies at ARBITRARY offsets, where the aligned-segment C4 pass
+    // (q_segment_dedup) only sees block-aligned repetition
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", windowTokens = 5)),
+
     // §2#29g segment dedup on the Zipf corpus: the planted 8-word
     // boilerplate header (25 % of docs, aligned to two 4-word segments)
     // is exactly the C4-style hot-segment target; zipf body segments stay
@@ -2317,6 +2327,29 @@ object SparkEntry {
     // internal xxhash64 of it — same set, the hash never leaves the plan);
     // string_agg skips the CASE's nulls exactly like Spark's array_join
     "q_segment_dedup" -> segmentDedupOracleSql("", "documents", 3),
+
+    // window-grain exact-substring duplicate marking: 5-token sliding
+    // windows with multiplicity; a window is duplicated when its text
+    // occupies >= 2 (doc, position) slots corpus-wide
+    "q_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |wins AS (SELECT doc_id,
+         |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |    ELSE [] END AS w
+         |  FROM toks),
+         |posting AS (SELECT doc_id, unnest(w) AS win FROM wins),
+         |occ AS (SELECT win FROM (SELECT win, count(*) AS c FROM posting GROUP BY 1)
+         |  WHERE c >= 2),
+         |dpd AS (SELECT doc_id, count(*) AS n_dup
+         |  FROM posting JOIN occ USING (win) GROUP BY 1)
+         |SELECT w.doc_id,
+         |  cast(len(w.w) AS bigint) AS n_windows,
+         |  cast(coalesce(d.n_dup, 0) AS bigint) AS n_dup_windows,
+         |  CASE WHEN len(w.w) > 0
+         |    THEN round(coalesce(d.n_dup, 0) / cast(len(w.w) AS double), 6) END
+         |    AS dup_ratio
+         |FROM wins w LEFT JOIN dpd d USING (doc_id)""".stripMargin,
 
     // segment dedup over the generated open-vocabulary corpus: the planted
     // 8-word boilerplate header (25 % of docs) is the hot-segment target,

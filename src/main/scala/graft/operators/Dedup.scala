@@ -621,4 +621,53 @@ object Dedup {
             x => x.getField("seg")),
           " ").as("clean_text"))
   }
+
+  /** Window-grain exact-substring duplicate marking — the ExactSubstr
+    * dedup family (suffix-array substring dedup in the literature) at
+    * fixed token-window grain: every W-token window of every document is
+    * a span; a span is DUPLICATED if its exact text occupies
+    * `minOccurrences`+ (doc, position) slots corpus-wide (cross-document
+    * copies and intra-document repetition both count). Output is per-doc:
+    * how many windows the doc has, how many sit under duplicated spans,
+    * and the duplicated fraction — the signal a curation pipeline
+    * thresholds on before cutting spans or dropping docs.
+    *
+    * Scale: the posting is one row per (doc, window position) — linear in
+    * corpus tokens. The occurrence count is a map-side-combined groupBy on
+    * the window text and the mark-back a semi join on the same key; no
+    * pair join anywhere, so unlike pair mining the output CANNOT go
+    * quadratic — a window shared by k docs costs k posting rows, never
+    * k² pairs. (Complements segmentDedup: segments are aligned blocks
+    * with a corpus-relative hotness threshold; spans slide one token at a
+    * time and catch copies at arbitrary offsets.)
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(minOccurrences > 1, s"minOccurrences must be > 1, got $minOccurrences")
+    // multiplicity-keeping windows (wordShinglesAll): position matters,
+    // a window repeated inside one doc is already a duplicated span
+    val wins = df.select(col(idCol).as("id"),
+      graft.functions.Text.wordShinglesAll(col(textCol), windowTokens).as("w"))
+    val posting = wins.select(col("id"), explode(col("w")).as("win"))
+    val dup = posting.groupBy(col("win"))
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOccurrences)
+      .select(col("win"))
+    val dupPerDoc = posting.join(dup, Seq("win"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("_nd"))
+    wins.select(col("id"), size(col("w")).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_windows"),
+        coalesce(col("_nd"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("_nd"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"), 6)).as("dup_ratio"))
+  }
 }

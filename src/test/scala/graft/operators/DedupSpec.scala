@@ -136,6 +136,27 @@ class DedupSpec extends SparkSpec {
     assert(incr == self, s"incremental=$incr selfSlice=$self")
   }
 
+  test("duplicateSpans marks offset-shifted copies and intra-doc repeats") {
+    val corpus = Seq(
+      // 1 and 2 share "alpha beta gamma delta epsilon" at DIFFERENT word
+      // offsets (0 vs 2) — invisible to aligned segments, a span dup here
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "pre pad alpha beta gamma delta epsilon post"),
+      // 3 repeats a 5-gram inside itself (positions 0 and 5)
+      (3L, "one two three four five one two three four five"),
+      // 4 shares nothing; 5 is too short for any window
+      (4L, "solo words that match nothing else at all"),
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", windowTokens = 5)
+      .select("doc_id", "n_windows", "n_dup_windows").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (4L, 1L))   // 8 tokens -> 4 windows, 1 shared with doc 2
+    assert(out(2L) == (4L, 1L))
+    assert(out(3L) == (6L, 2L))   // "one..five" at pos 0 and 5 both marked
+    assert(out(4L) == (4L, 0L))
+    assert(out(5L) == (0L, 0L))   // sub-window doc: zero windows, ratio null
+  }
+
   test("connectedComponents labels every node with the min reachable id") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
     // + isolated 20 (absent from output, present only via consumer coalesce)
