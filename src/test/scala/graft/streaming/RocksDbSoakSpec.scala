@@ -110,6 +110,42 @@ class RocksDbSoakSpec extends SparkSpec {
     }
   }
 
+  test("S1 session windows on RocksDB: finalized sessions leave the store") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val out = StreamSessionize.sessions(
+        input.toDF().toDF("user_id", "ts"), Seq("user_id"), "ts",
+        gap = "2 minutes", watermark = "1 minute")
+      val query = out.writeStream.format("memory").queryName("sess_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // one event per user per batch, batches 10 min apart — far past
+        // gap + watermark, so every batch closes the previous batch's
+        // session for all users: constant churn, state must stay at the
+        // OPEN sessions (O(entities)), not accumulate finalized ones
+        (0 until Batches).foreach { b =>
+          input.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(base + b * 600000L))))
+          query.processAllAvailable()
+        }
+        val emitted = spark.table("sess_soak").count()
+        assert(emitted == Entities.toLong * (Batches - 1),
+          s"expected ${Entities * (Batches - 1)} finalized sessions, got $emitted")
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        // open sessions only — eviction may lag one microbatch, so the
+        // bound is 2×entities, never batches×entities
+        assert(stateRows.max <= 2L * Entities,
+          s"session state exceeded the open-session bound: ${stateRows.mkString(",")}")
+        val half = stateRows.length / 2
+        assert(stateRows.drop(half).max <= stateRows.take(half).max,
+          s"session state still growing at soak end: ${stateRows.mkString(",")}")
+      } finally query.stop()
+    }
+  }
+
   test("S7 sketch registers on RocksDB: state capped at groups×256 forever") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
