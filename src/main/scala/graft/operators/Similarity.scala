@@ -74,8 +74,12 @@ object Similarity {
   private[operators] def hyperplanes(
       planes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      val k = (p.toLong * dim + d + seed * 83492791L) % 1000003L
-      (((k * k % 1000003L) * 73856093L + k * 19349663L) % 1000003L).toDouble /
+      // floorMod, not %: a negative seed (or a seed large enough that
+      // seed*83492791 wraps) would otherwise yield a negative k and plane
+      // weights outside [-0.5, 0.5). Identical to % for the non-negative
+      // small seeds the oracle SQL replays.
+      val k = math.floorMod(p.toLong * dim + d + seed * 83492791L, 1000003L)
+      (math.floorMod((k * k % 1000003L) * 73856093L + k * 19349663L, 1000003L)).toDouble /
         1000003.0 - 0.5
     }
 

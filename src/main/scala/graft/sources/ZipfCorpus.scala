@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   *   - 25 % of docs get an 8-word boilerplate header (the segment-dedup
   *     target; its 3-shingles also cross the hot-shingle cap at sf≥0.1,
   *     exercising suppression on the realistic corpus);
-  *   - ~4 % of docs duplicate the previous doc's full text, odd ids with
-  *     one trailing extra word (jaccard ≈ 0.94 — near-dup, not exact);
-  *   - ~2 % quote the previous doc's first 12 words (containment 1.0,
-  *     jaccard far below threshold — the quote-inclusion case).
+  *   - ~4 % of docs duplicate the previous doc's BASE words (pre-planting
+  *     — a dup-of-a-dup reproduces base words, not the neighbor's final
+  *     text; both engines copy the same thing so hashes agree), odd ids
+  *     with one trailing extra word (jaccard ≈ 0.94 for an unchained
+  *     plant — near-dup, not exact);
+  *   - ~2 % quote the previous doc's first 12 BASE words (containment 1.0
+  *     against an unchained neighbor, jaccard far below threshold — the
+  *     quote-inclusion case).
   * Pair volume is therefore ~6 % of N: linear, like real corpora.
   */
 object ZipfCorpus {

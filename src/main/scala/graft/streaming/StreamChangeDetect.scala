@@ -11,7 +11,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamChangeDetect {
 
-  case class StatusEvent(key: Long, ts: java.sql.Timestamp, status: String)
+  /** `event_id` is the intra-timestamp tie-break (default 0 where the
+    * source has no stable id): two same-key events sharing a microsecond
+    * timestamp are applied in event_id order, matching a batch
+    * `lag() OVER (ORDER BY ts, event_id)` formulation deterministically. */
+  case class StatusEvent(
+      key: Long, ts: java.sql.Timestamp, status: String, event_id: Long = 0L)
   case class StatusChange(
       key: Long, ts: java.sql.Timestamp, status: String, previous_status: Option[String])
   case class LastStatus(status: String, tsMicros: Long)
@@ -37,7 +42,7 @@ object StreamChangeDetect {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (key: Long, events: Iterator[StatusEvent], state: GroupState[LastStatus]) => {
-          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.status))
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
           var last = state.getOption
           sorted.foreach { e =>
