@@ -44,6 +44,44 @@ object SparkEntry {
     s"$prefix${System.nanoTime}"
   }
 
+  /** Materialize a bounded frame as a `chunks`-file event-time-ordered
+    * replay (see [[graft.streaming.FileReplay]]) under a fresh temp dir and
+    * open a one-file-per-micro-batch stream over it — every q_stream_* gate
+    * runs through REAL cross-batch state transitions, not one bulk batch.
+    * Stale replay/delta dirs from EARLIER invocations of the same gate are
+    * removed first (same contract as [[freshStreamTable]]). Callers delete
+    * the returned dir once their query has stopped.
+    */
+  private def orderedReplay(
+      s: SparkSession,
+      df: DataFrame,
+      orderCols: Seq[String],
+      prefix: String,
+      chunks: Int = 6): (String, DataFrame) = {
+    cleanupTmp(s"graft-replay-$prefix-")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-replay-$prefix-${System.nanoTime()}").getAbsolutePath
+    graft.streaming.FileReplay.writeOrdered(df, orderCols, chunks, dir)
+    (dir, graft.streaming.FileReplay.stream(s, dir, s.read.parquet(dir).schema))
+  }
+
+  /** Delete temp-dir children left by a PREVIOUS invocation of a gate. */
+  private def cleanupTmp(prefix: String): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+    if (tmp != null)
+      tmp.filter(_.getName.startsWith(prefix))
+        .foreach(graft.streaming.FileReplay.deleteRecursively)
+  }
+
+  /** ≥5 micro-batches actually ran — the multi-batch replay did not
+    * degenerate into one bulk batch (cross-batch state was exercised). */
+  private def assertMultiBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val bid = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    require(bid >= 4L,
+      s"stream gate expected >=5 micro-batches, saw batchId=$bid — " +
+        "the ordered file replay degenerated into too few batches")
+  }
+
   /** 10-minute activity intervals derived from events (outage-model shape). */
   private def eventIntervals(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -1415,27 +1453,25 @@ object SparkEntry {
     // as q_card_sketch. Registers are associative/idempotent maxes, so
     // stream-final must equal batch — this gate pins that end to end.
     "q_stream_sketch" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      // a file-stream source monitors a DIRECTORY: stream the table dir
-      // directly when the table is Spark-written (directory of parts);
-      // the driver testdata ships single-file tables, so stream the parent
-      // with a glob pinned to this one table
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val stream = raw.select(col("event_type"), col("user_id"))
+      // multi-batch replay: register maxes are associative/idempotent, so
+      // the final complete-mode state is batching-independent — the replay
+      // proves it across ≥6 REAL micro-batch state commits
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(col("ts"), col("event_type"), col("user_id")),
+        Seq("ts"), "q_stream_sketch")
       val regs = graft.streaming.StreamSketch.registers(
-        stream, Seq("event_type"), "user_id", seed = 11L)
+        stream.select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", seed = 11L)
       val name = freshStreamTable(s, "q_stream_sketch_")
       val q = regs.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(col("event_type"), col("bucket"),
         col("reg").cast("long").as("reg"))
     }),
@@ -1447,28 +1483,25 @@ object SparkEntry {
     // Complete mode so every window survives to the final table — the
     // watermark/append finalization semantics are spec-tested (S3 spec).
     "q_stream_bucket15" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val evts =
-        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-         else raw)
-          .select(col("ts"), col("event_type"), col("value"))
+      // multi-batch replay: count/decimal-sum window state is associative,
+      // so complete-mode final windows are batching-independent — proven
+      // here across ≥6 real windowed-stateful-agg micro-batch commits
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(col("ts"), col("event_type"), col("value")),
+        Seq("ts"), "q_stream_bucket15")
       val buckets = graft.streaming.StreamBucketAgg.tumbling(
-        evts, Seq("event_type"), "ts", "15 minutes", "0 seconds",
+        stream, Seq("event_type"), "ts", "15 minutes", "0 seconds",
         Seq(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")))
       val name = freshStreamTable(s, "q_stream_bucket15_")
       val q = buckets.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(
         unix_micros(col("bucket_start")).as("bucket_start_us"),
         col("event_type"),
@@ -1477,42 +1510,36 @@ object SparkEntry {
     }),
 
     // §2#7d the change-detection stream (S2) driver-gated through the REAL
-    // flatMapGroupsWithState path: events streamed as a bounded file
-    // source, StreamChangeDetect's append-mode transitions must equal the
-    // batch lag-based change detection. One micro-batch (maxFilesPerTrigger
-    // ≥ file count) so file order can't reorder event time across batches
-    // — cross-batch state semantics are S2-spec-tested with in-order
-    // batches; out-of-order files would hit the documented late-drop
-    // policy. previous_ts is NOT gated: the stream states the last
-    // TRANSITION's ts while the batch lags the last EVENT's ts — same
-    // previous_status (all events between two transitions share a status),
-    // different timestamp meaning.
+    // flatMapGroupsWithState path: events replayed as an event-time-ordered
+    // multi-file stream (FileReplay), so per-key last-status state crosses
+    // ≥6 REAL micro-batch boundaries — the production failure mode — and
+    // the append-mode transitions must still equal the batch lag-based
+    // change detection. The replay orders files on (ts, event_id), so rows
+    // tied on ts land in event_id order across a chunk boundary too,
+    // matching the oracle's lag(... ORDER BY ts, event_id) exactly.
+    // previous_ts is NOT gated: the stream states the last TRANSITION's ts
+    // while the batch lags the last EVENT's ts — same previous_status (all
+    // events between two transitions share a status), different timestamp
+    // meaning.
     "q_stream_changes" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000000").parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .option("maxFilesPerTrigger", "1000000").parquet(dir)
-      val evts =
-        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-         else raw)
-          .select(col("user_id").cast("long").as("key"), col("ts"),
-            col("event_type").as("status"), col("event_id").cast("long").as("event_id"))
-          .as(org.apache.spark.sql.Encoders.product[
-            graft.streaming.StreamChangeDetect.StatusEvent])
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(
+          col("user_id").cast("long").as("key"), col("ts"),
+          col("event_type").as("status"), col("event_id").cast("long").as("event_id")),
+        Seq("ts", "event_id"), "q_stream_changes")
+      val evts = stream.as(org.apache.spark.sql.Encoders.product[
+        graft.streaming.StreamChangeDetect.StatusEvent])
       val changes = graft.streaming.StreamChangeDetect.changes(evts)
       val name = freshStreamTable(s, "q_stream_changes_")
       val q = changes.writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(
         col("key").as("user_id"),
         unix_micros(col("ts")).as("ts_us"),
@@ -1531,27 +1558,24 @@ object SparkEntry {
     // keeps the session open at delta == gap, session_window closes it) —
     // absent at nanosecond timestamp precision.
     "q_stream_sessions" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val evts =
-        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-         else raw)
-          .select(col("user_id"), col("ts"))
+      // multi-batch replay: session_window state MERGES across ≥6 real
+      // micro-batch commits (complete mode never evicts, gap-merge is
+      // order-independent), so stream-final must still equal batch
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(col("user_id"), col("ts")),
+        Seq("ts"), "q_stream_sessions")
       val sess = graft.streaming.StreamSessionize.sessions(
-        evts, Seq("user_id"), "ts", gap = "30 minutes", watermark = "0 seconds")
+        stream, Seq("user_id"), "ts", gap = "30 minutes", watermark = "0 seconds")
       val name = freshStreamTable(s, "q_stream_sessions_")
       val q = sess.writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(
         col("user_id"),
         unix_micros(col("session_start_ts")).as("session_start_us"),
@@ -1560,30 +1584,24 @@ object SparkEntry {
     }),
 
     // §2#25b the ingest-dedup stream (S6) driver-gated through the REAL
-    // dropDuplicatesWithinWatermark state path: documents streamed as a
-    // bounded file source (one micro-batch — see q_stream_changes), each
-    // row fingerprinted, re-deliveries dropped in the state store. WHICH
-    // duplicate row survives is arrival-order dependent, so the gate
-    // projects to the surviving fingerprint SET — exactly one row per
-    // distinct fingerprint, arrival-order independent. Ingest time is
-    // synthesized from doc_id (documents carry no timestamp; the watermark
-    // column only has to exist for state bounding, which the S6 soak
-    // tests exercise across batches).
+    // dropDuplicatesWithinWatermark state path: documents replayed as an
+    // ingest-time-ordered multi-file stream, each row fingerprinted,
+    // re-deliveries dropped in the state store — fingerprint state now
+    // crosses ≥6 real micro-batch boundaries (every ingest_ts sits inside
+    // the 1-minute watermark window, so nothing is evicted mid-replay and
+    // cross-batch duplicates MUST be caught by carried state, not by
+    // intra-batch dedup). WHICH duplicate row survives is arrival-order
+    // dependent, so the gate projects to the surviving fingerprint SET —
+    // exactly one row per distinct fingerprint, arrival-order independent.
+    // Ingest time is synthesized from doc_id (documents carry no
+    // timestamp; watermark EVICTION is exercised by the S6 soak spec).
     "q_stream_dedup" -> ((s, dir) => {
-      val path = s"$dir/documents.parquet"
-      val schema = s.read.parquet(path).schema
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1000000").parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .option("maxFilesPerTrigger", "1000000").parquet(dir)
       // +1 day: doc_id 0 would land exactly on epoch 0 — the state
       // store's INITIAL watermark value — and be dropped as late
-      val stream = raw.select(col("text"),
-        expr("timestamp_micros(doc_id + 86400000000)").as("ingest_ts"))
+      val (rdir, stream) = orderedReplay(s,
+        Tables.documents(s, dir).select(col("text"),
+          expr("timestamp_micros(doc_id + 86400000000)").as("ingest_ts")),
+        Seq("ingest_ts"), "q_stream_dedup")
       val deduped = graft.streaming.StreamDedup.exactDedup(
         stream, "text", "ingest_ts", watermarkDelay = "1 minute")
       val name = freshStreamTable(s, "q_stream_dedup_")
@@ -1593,8 +1611,117 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(col("fingerprint"))
+    }),
+
+    // §2#14b the heartbeat-outage stream (S4) driver-gated through the REAL
+    // flatMapGroupsWithState + EventTimeTimeout path — the last stateful-
+    // emission path without end-to-end gate evidence. Emission on watermark
+    // FINALIZATION is made bounded-deterministic with sentinels:
+    //  - a START sentinel heartbeat at the monitoring-window start per
+    //    entity, so leading gaps [mstart, first event] emerge from the same
+    //    state machine as every other gap;
+    //  - two far-future FAKE-KEY sentinels, each its own micro-batch: the
+    //    first drives the watermark past mend + threshold, the second
+    //    guarantees a batch RUNS with that watermark, so every silent
+    //    entity's event-time timeout provably fires under AvailableNow
+    //    (no reliance on a trailing no-data batch being scheduled).
+    // The raw sink rows are outage INCREMENTS (StreamHeartbeat's contract);
+    // the gate re-merges touching increments into whole outages
+    // (mergeIncrements — exact-µs chain endpoints make this lossless),
+    // clips the sentinel-driven open tail to mend, filters the fake key,
+    // and must hash-equal the batch q_offline_gaps formulation.
+    // Reference: int_offline_outages.sql:70's monitoring-window edge gaps.
+    "q_stream_outages" -> ((s, dir) => {
+      val thresholdS = 3600L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("key"), col("ts"))
+      // one-row bounds lookup (driver-side parameters, not data)
+      val b = ev.agg(
+        min(unix_micros(col("ts"))).as("mstart"),
+        max(unix_micros(col("ts"))).as("mend")).head()
+      val (mstartUs, mendUs) = (b.getLong(0), b.getLong(1))
+      val startSent = ev.select(col("key")).distinct()
+        .select(col("key"), expr(s"timestamp_micros(${mstartUs}L)").as("ts"))
+      val (rdir, stream) = orderedReplay(
+        s, ev.unionByName(startSent), Seq("ts"), "q_stream_outages", chunks = 7)
+      val t1 = mendUs + 2L * thresholdS * 1000000L
+      val t2 = t1 + 2L * thresholdS * 1000000L
+      Seq(t1, t2).foreach { t =>
+        graft.streaming.FileReplay.appendFile(
+          s.range(1).select(lit(-1L).as("key"),
+            expr(s"timestamp_micros(${t}L)").as("ts")), rdir)
+      }
+      val hb = stream.as(
+        org.apache.spark.sql.Encoders.product[graft.streaming.StreamHeartbeat.Heartbeat])
+      val gaps = graft.streaming.StreamHeartbeat.gaps(hb, thresholdS)
+      val name = freshStreamTable(s, "q_stream_outages_")
+      val q = gaps.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      graft.streaming.StreamHeartbeat.mergeIncrements(
+          s.table(name).filter(col("key") =!= lit(-1L)))
+        .select(
+          col("key").as("user_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          // an open tail runs to the sentinel-driven watermark; the
+          // monitoring window ends at mend — clip, then re-apply the
+          // threshold (an entity active within threshold of mend has no
+          // trailing outage once clipped)
+          least(unix_micros(col("to_ts")), lit(mendUs)).as("to_us"))
+        .filter(col("from_us") < lit(mendUs))
+        .withColumn("gap_seconds",
+          (col("to_us") - col("from_us")) / lit(1000000.0))
+        .filter(col("gap_seconds") > lit(3600.0))
+    }),
+
+    // §2#18b the daily-downtime stream (S5) driver-gated through its REAL
+    // foreachBatch delta-sum write path: heartbeat gaps → per-batch
+    // interval→day allocation → integer-µs parquet deltas → read-side
+    // re-aggregation. Timeouts are disabled (watermark delay beyond the
+    // stream horizon) so only CLOSED inter-heartbeat gaps are emitted —
+    // exactly the batch q_uptime downtime leg's per-entity [first, last]
+    // monitoring bounds — because an ongoing-tail increment would allocate
+    // downtime past each entity's own horizon, which the batch formulation
+    // (and the reference's fact_downtime_daily) never does; the
+    // timeout/increment path is gated by q_stream_outages. Increments are
+    // delta-summable by construction: long-µs per-batch sums are exact
+    // under any batch boundary, proven here across ≥7 real micro-batches.
+    "q_stream_uptime" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("long").as("key"), col("ts"))
+      val (rdir, stream) = orderedReplay(
+        s, ev, Seq("ts"), "q_stream_uptime", chunks = 7)
+      val hb = stream.as(
+        org.apache.spark.sql.Encoders.product[graft.streaming.StreamHeartbeat.Heartbeat])
+      val gaps = graft.streaming.StreamHeartbeat.gaps(
+        hb, thresholdSeconds = 3600L, watermark = "3650 days")
+      cleanupTmp("graft-uptime-deltas-")
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-uptime-deltas-${System.nanoTime()}").getAbsolutePath
+      val q = graft.streaming.StreamUptime.run(
+        gaps, s"$base/deltas", s"$base/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+        // $base/deltas backs the returned (lazy) frame — cleaned by the
+        // NEXT invocation, same retention contract as freshStreamTable
+      }
+      graft.streaming.StreamUptime.readDailyDowntime(s, s"$base/deltas")
+        .select(col("key").as("user_id"), col("date_id"), col("downtime_minutes"))
     }),
 
     // §2#10c the metric layer over a STREAMING window (S8) driver-gated:
@@ -1607,19 +1734,12 @@ object SparkEntry {
     // real streaming stateful-agg path.
     "q_stream_metrics" -> ((s, dir) => {
       import graft.metrics._
-      val path = s"$dir/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val raw =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val evts =
-        (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-         else raw)
-          .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      // multi-batch replay: count/decimal-sum measures are associative and
+      // the ratio metric is a post-agg projection over exact state
+      val (rdir, evts) = orderedReplay(s,
+        Tables.events(s, dir)
+          .select(col("ts"), col("event_id"), col("event_type"), col("value")),
+        Seq("ts"), "q_stream_metrics")
       val model = SemanticModel(
         measures = Seq(
           Measure("n_ev", MeasureAgg.Count, col("event_id")),
@@ -1636,7 +1756,11 @@ object SparkEntry {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
       s.table(name).select(
         unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"),
@@ -2168,6 +2292,49 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // the streaming heartbeat-outage gate: after sentinel clipping and
+    // increment re-merging, the emitted outage set must equal the batch
+    // q_offline_gaps formulation verbatim
+    "q_stream_outages" ->
+      """WITH b AS (SELECT min(ts) AS mstart, max(ts) AS mend FROM events),
+        |g AS (SELECT user_id, ts, lag(ts) OVER w AS prev, lead(ts) OVER w AS nxt
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |gaps AS (
+        |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g WHERE prev IS NOT NULL
+        |  UNION ALL
+        |  SELECT g.user_id, b.mstart, g.ts FROM g, b WHERE g.prev IS NULL AND g.ts > b.mstart
+        |  UNION ALL
+        |  SELECT g.user_id, g.ts, b.mend FROM g, b WHERE g.nxt IS NULL AND g.ts < b.mend)
+        |SELECT user_id, epoch_us(from_ts) AS from_us, epoch_us(to_ts) AS to_us,
+        |  (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 AS gap_seconds
+        |FROM gaps WHERE (epoch_us(to_ts) - epoch_us(from_ts)) / 1000000.0 > 3600""".stripMargin,
+
+    // the streaming daily-downtime gate: inter-heartbeat gaps (per-entity
+    // bounds — no leading/trailing edges, matching the disabled-timeout
+    // stream) allocated to days in integer µs, minutes as one final divide
+    "q_stream_uptime" ->
+      """WITH g AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |big_gaps AS (
+        |  SELECT user_id, prev AS from_ts, ts AS to_ts FROM g
+        |  WHERE prev IS NOT NULL
+        |    AND (epoch_us(ts) - epoch_us(prev)) / 1000000.0 > 3600),
+        |gdays AS (
+        |  SELECT user_id, from_ts, to_ts,
+        |    cast(unnest(generate_series(cast(date_trunc('day', from_ts) AS timestamp),
+        |      cast(date_trunc('day', to_ts) AS timestamp), INTERVAL 1 DAY)) AS date) AS date_id
+        |  FROM big_gaps),
+        |downtime AS (
+        |  SELECT user_id, date_id, sum(
+        |    epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |    epoch_us(greatest(from_ts, cast(date_id AS timestamp)))) AS d_us
+        |  FROM gdays
+        |  WHERE epoch_us(least(to_ts, cast(date_id AS timestamp) + INTERVAL 1 DAY)) -
+        |        epoch_us(greatest(from_ts, cast(date_id AS timestamp))) > 0
+        |  GROUP BY 1, 2)
+        |SELECT user_id, date_id, d_us / 60000000.0 AS downtime_minutes FROM downtime""".stripMargin,
 
     // the streaming session gate: same gap sessionization as SessSql,
     // rolled up per session (session_end = last event ts — the gate

@@ -29,14 +29,20 @@ object StreamUptime {
   def run(
       gaps: Dataset[StreamHeartbeat.Gap],
       deltaDir: String,
-      checkpointDir: String): StreamingQuery =
-    gaps.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery =
+    trigger.foldLeft(
+      gaps.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir))(_ trigger _)
       .foreachBatch { (batch: Dataset[StreamHeartbeat.Gap], batchId: Long) =>
+        // deltas are INTEGER microseconds: long sums are exact under any
+        // batch boundary or partition order, so the read-side re-aggregation
+        // is bit-stable (a double minutes column summed twice — per batch,
+        // then across batches — would depend on summation order)
         Intervals.allocateToDays(batch.toDF(), "from_ts", "to_ts")
           .groupBy(col("key"), col("date_id"))
-          .agg(sum(col("overlap_minutes")).as("downtime_minutes"))
+          .agg(sum(col("overlap_us")).as("downtime_us"))
           .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
         ()
       }
@@ -56,11 +62,11 @@ object StreamUptime {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "key string, date_id date, downtime_minutes double"))
+          "key bigint, date_id date, downtime_minutes double"))
     } else {
       spark.read.option("basePath", deltaDir).parquet(s"$deltaDir/batch_id=*")
         .groupBy(col("key"), col("date_id"))
-        .agg(sum(col("downtime_minutes")).as("downtime_minutes"))
+        .agg((sum(col("downtime_us")) / lit(60000000.0)).as("downtime_minutes"))
     }
   }
 }

@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mergeIncrements rejoins chains but keeps adjacent outages separate") {
+    import StreamHeartbeat._
+    // key 1: an open chain [10:00→10:30→11:00] closed by a heartbeat at
+    // 11:05 — one outage. key 2: two genuinely ADJACENT closed outages
+    // sharing the boundary heartbeat at 12:00 — must stay two rows.
+    val rows = Seq(
+      Gap(1L, sqlTs("2024-01-01 10:00:00"), sqlTs("2024-01-01 10:30:00"), closed = false),
+      Gap(1L, sqlTs("2024-01-01 10:30:00"), sqlTs("2024-01-01 11:00:00"), closed = false),
+      Gap(1L, sqlTs("2024-01-01 11:00:00"), sqlTs("2024-01-01 11:05:00"), closed = true),
+      Gap(2L, sqlTs("2024-01-01 11:00:00"), sqlTs("2024-01-01 12:00:00"), closed = true),
+      Gap(2L, sqlTs("2024-01-01 12:00:00"), sqlTs("2024-01-01 13:00:00"), closed = true))
+    val merged = StreamHeartbeat.mergeIncrements(rows.toDF())
+      .select($"key", $"from_ts".cast("string"), $"to_ts".cast("string"), $"closed")
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(merged == Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:05:00", true),
+      (2L, "2024-01-01 11:00:00", "2024-01-01 12:00:00", true),
+      (2L, "2024-01-01 12:00:00", "2024-01-01 13:00:00", true)))
+  }
+
   test("StreamUptime accumulates per-day downtime from gap increments") {
     implicit val sqlCtx = spark.sqlContext
     import StreamHeartbeat._
