@@ -1939,6 +1939,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", windowTokens = 5)),
 
+    // §2#29i span-grain exact-substring duplicate REMOVAL (ExactSubstr's
+    // production endpoint): duplicated 5-token windows (non-first
+    // occurrence corpus-wide) merged into maximal spans and cut, survivors
+    // reassembled — marking (q_dup_spans) is the signal, this is the knife
+    "q_dup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", windowTokens = 5)),
+
     // §2#29g segment dedup on the Zipf corpus: the planted 8-word
     // boilerplate header (25 % of docs, aligned to two 4-word segments)
     // is exactly the C4-style hot-segment target; zipf body segments stay
@@ -2528,6 +2537,52 @@ object SparkEntry {
          |    THEN round(coalesce(d.n_dup, 0) / cast(len(w.w) AS double), 6) END
          |    AS dup_ratio
          |FROM wins w LEFT JOIN dpd d USING (doc_id)""".stripMargin,
+
+    // span-grain duplicate REMOVAL: duplicated windows minus the
+    // corpus-first occurrence (row_number formulation — Spark uses the
+    // equivalent min-(doc,pos) witness), islands on window position,
+    // token-level cut, order-preserving reassembly. 1-based list positions
+    // throughout (Spark side is 0-based; both self-consistent).
+    "q_dup_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |wins AS (SELECT doc_id,
+         |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |    ELSE [] END AS w
+         |  FROM toks),
+         |posting AS (SELECT doc_id, u.j AS pos, u.win FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    j -> struct_pack(j := j, win := w[j]))) AS u FROM wins)),
+         |ranked AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY win) AS c
+         |  FROM posting),
+         |cut AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+         |isl AS (SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+         |      THEN 1 ELSE 0 END AS brk FROM cut)),
+         |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+         |  FROM isl GROUP BY 1, 2),
+         |stats AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+         |  FROM spans GROUP BY 1),
+         |remtok AS (SELECT doc_id, unnest(generate_series(s, e)) AS tp FROM spans),
+         |tokens AS (SELECT doc_id, u.j AS tp, u.t FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |    j -> struct_pack(j := j, t := tk[j]))) AS u FROM toks)),
+         |clean AS (SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.tp) AS clean_text
+         |  FROM tokens t LEFT JOIN remtok r ON t.doc_id = r.doc_id AND t.tp = r.tp
+         |  WHERE r.tp IS NULL GROUP BY 1)
+         |SELECT k.doc_id,
+         |  cast(len(k.tk) AS bigint) AS n_tokens,
+         |  cast(coalesce(st.n_removed, 0) AS bigint) AS n_removed_tokens,
+         |  cast(coalesce(st.n_spans, 0) AS bigint) AS n_spans,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM toks k
+         |LEFT JOIN stats st USING (doc_id)
+         |LEFT JOIN clean c ON k.doc_id = c.doc_id""".stripMargin,
 
     // segment dedup over the generated open-vocabulary corpus: the planted
     // 8-word boilerplate header (25 % of docs) is the hot-segment target,

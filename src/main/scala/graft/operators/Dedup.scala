@@ -670,4 +670,92 @@ object Dedup {
           round(coalesce(col("_nd"), lit(0L)).cast("double") /
             col("n_windows").cast("double"), 6)).as("dup_ratio"))
   }
+
+  /** Span-grain exact-substring duplicate REMOVAL — the production endpoint
+    * of the ExactSubstr family ([[duplicateSpans]] marks; this cuts). Every
+    * W-token window whose exact text occupies `minOccurrences`+ (doc,
+    * position) slots corpus-wide is a duplicated span; the corpus-FIRST
+    * occurrence of each such window text (minimal (doc, position)) is kept,
+    * every later occurrence is cut. Overlapping and adjacent cut windows
+    * are first merged into MAXIMAL spans (gaps-and-islands on window
+    * position: windows p and q share or abut tokens iff q − p ≤ W), so a
+    * long copied passage counts once — the span count and removed-token
+    * count are literature-grain, not inflated by W-fold window overlap.
+    * Remaining tokens are reassembled in order.
+    *
+    * Output per input doc: `clean_text` (surviving tokens joined by single
+    * spaces — whitespace is normalized, like [[segmentDedup]]), `n_tokens`,
+    * `n_removed_tokens`, `n_spans`. Keep-first is best-effort at the token
+    * level: a kept first occurrence loses tokens that ALSO sit under some
+    * other cut span (the classic ExactSubstr seam case).
+    *
+    * Scale: same linear skeleton as [[duplicateSpans]] — one posting row
+    * per (doc, window position), map-side-combined occurrence counts
+    * carrying the min-(doc, pos) witness, one shuffle of the posting back
+    * on the window key, then doc-grain windows/joins only. The only
+    * explode beyond the posting is over REMOVED token positions (islands
+    * are disjoint, so it is bounded by the removed-token count, not by
+    * windows × W). No pair join anywhere — output cannot go quadratic.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(minOccurrences > 1, s"minOccurrences must be > 1, got $minOccurrences")
+    val wlen = lit(windowTokens.toLong)
+    val posting = df.select(
+        col(idCol).as("id"),
+        posexplode(Text.wordShinglesAll(col(textCol), windowTokens))
+          .as(Seq("pos", "win")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("win"))
+    // occurrence count + corpus-first witness in ONE map-side-combinable
+    // aggregate (min over a (doc, pos) struct is lexicographic)
+    val occ = posting.groupBy(col("win"))
+      .agg(
+        count(lit(1)).as("_occ"),
+        min(struct(col("id").as("fid"), col("pos").as("fpos"))).as("_first"))
+      .filter(col("_occ") >= minOccurrences)
+      .select(col("win"), col("_first.fid").as("_fid"), col("_first.fpos").as("_fpos"))
+    val cut = posting.join(occ, Seq("win"))
+      .filter(!(col("id") === col("_fid") && col("pos") === col("_fpos")))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands on window position → maximal disjoint token spans
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = cut
+      .withColumn("_prev", lag(col("pos"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("pos") - col("_prev") > wlen, 1L).otherwise(0L))
+      .withColumn("_isl",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + wlen - 1L).as("e"))
+    val spanStats = spans.groupBy(col("id")).agg(
+      count(lit(1)).as("_n_spans"),
+      sum(col("e") - col("s") + 1L).as("_n_removed"))
+    val remTok = spans.select(col("id"), explode(sequence(col("s"), col("e"))).as("tok_pos"))
+    val toks = df.select(
+        col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("tok_pos", "tok")))
+      .select(col("id"), col("tok_pos").cast("long").as("tok_pos"), col("tok"))
+    val clean = toks.join(remTok, Seq("id", "tok_pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("tok_pos"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("_clean"))
+    df.select(col(idCol).as("id"),
+        size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(spanStats, Seq("id"), "left")
+      .join(clean, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("_n_removed"), lit(0L)).as("n_removed_tokens"),
+        coalesce(col("_n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("_clean"), lit("")).as("clean_text"))
+  }
 }
