@@ -1939,6 +1939,20 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", windowTokens = 5)),
 
+    // §2#48b fastText-style linear quality-classifier inference: hashed
+    // bag-of-n-grams (unigrams + bigrams) → int8-quantized weight vector
+    // compiled into the plan → exact integer dot product, thresholded
+    // logit (sigmoid-monotone, so no transcendental enters the gate).
+    // Zero shuffle — a pure map over the corpus scan (plan spec-pinned).
+    // Weights are a seeded stand-in artifact: training is offline, the
+    // INFERENCE contract is what's gated.
+    "q_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.scored(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        QualityClassifier.seededWeights(256, seed = 29L),
+        scale = 0.05, bias = 0.0, seed = 29L)),
+
     // §2#29i span-grain exact-substring duplicate REMOVAL (ExactSubstr's
     // production endpoint): duplicated 5-token windows (non-first
     // occurrence corpus-wide) merged into maximal spans and cut, survivors
@@ -4135,6 +4149,43 @@ object SparkEntry {
         |    AS part_day,
         |  epoch_us(ts) AS ts_us, event_id, value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // fastText-style classifier inference: full FnvMix replay per feature
+    // (unigrams + bigrams), bucket = unsigned z mod 256 (power of two ==
+    // Spark's pmod of the signed value), weight lookup from the SAME
+    // seeded int8 vector compiled into the Spark plan, one exact integer
+    // sum per doc, logit as one divide+multiply — engine-identical IEEE
+    "q_quality_classifier" -> {
+      val wlist = QualityClassifier.seededWeights(256, 29L).mkString("[", ", ", "]")
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |feats AS (SELECT doc_id, list_concat(tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |    ELSE [] END) AS fs
+         |  FROM toks),
+         |base AS (SELECT doc_id, len(fs) AS n_features FROM feats),
+         |h0 AS (SELECT doc_id, unnest(fs) AS shingle FROM feats),
+         |folded AS (SELECT doc_id, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, xor(z, z >> 31) AS z FROM z2),
+         |wsum AS (SELECT doc_id,
+         |    sum(($wlist)[cast(z % 256 AS bigint) + 1]) AS sum_w
+         |  FROM hv GROUP BY 1),
+         |sc AS (SELECT b.doc_id, cast(b.n_features AS bigint) AS n_features,
+         |    cast(coalesce(w.sum_w, 0) AS bigint) AS sum_w
+         |  FROM base b LEFT JOIN wsum w USING (doc_id)),
+         |lg AS (SELECT doc_id, n_features, sum_w,
+         |    CAST(0.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) *
+         |      (cast(sum_w AS double) / cast(greatest(n_features, 1) AS double))
+         |      AS logit
+         |  FROM sc)
+         |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
+    },
 
     // full FnvMix replay on CAST(doc_id AS VARCHAR), seed 13; shard =
     // unsigned z mod 8 (power-of-two count, so it equals Spark's pmod of
