@@ -1340,6 +1340,36 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // §2#33e INCREMENTAL IVF ANN (rows-only — k-means training is not
+    // SQL-expressible; pinned by the hash-exact det twin below): the IVF
+    // sibling of q_dedup_incremental / q_embed_incremental — the corpus is
+    // assigned ONCE into a persistable (id, vec, norm, cell) index, each
+    // probe batch pays only its own cell assignment + the cell equi-join,
+    // never a corpus re-assignment
+    "q_knn_ivf_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val probes = emb.filter(col("vec_id") < 8)
+      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", nlist = 16)
+      Similarity.knnIvfAgainst(
+        probes, Similarity.ivfIndex(corpus, "vec_id", "embedding", centroids),
+        "vec_id", "embedding", k = 5, nprobe = 2, centroids)
+    }),
+
+    // §2#33f deterministic twin of 33e: fixed integer centroids, so cell
+    // assignment, probe cell ranking AND cosines hash-match the oracle —
+    // the batch-vs-index probe path is exact, not just non-empty
+    "q_knn_ivf_inc_det" -> ((s, dir) => {
+      val centroids = Array.tabulate(8, 64)((c, d) => ((c * 13 + d * 7) % 5 - 2).toFloat)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnIvfAgainst(
+          emb.filter(col("vec_id") < 8),
+          Similarity.ivfIndex(
+            emb.filter(col("vec_id") >= 8), "vec_id", "embedding", centroids),
+          "vec_id", "embedding", k = 5, nprobe = 2, centroids)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // §2#34b embedding near-dup with deterministic hyperplanes (see 33c) —
     // SAME corpus-derived band geometry as q_embed_neardup (the fixed 2×3
     // geometry it shipped with had 8 buckets per band: quadratic-within-
@@ -3221,6 +3251,70 @@ object SparkEntry {
         |  SELECT e.vec_id, e.embedding, e.nv,
         |    cast(list_indexof(s.sims, list_aggregate(s.sims, 'max')) AS bigint) AS cell
         |  FROM emb e JOIN sims s USING (vec_id)
+        |), pc AS (
+        |  SELECT s.vec_id, unnest(range(0, 8)) AS cpos, unnest(s.sims) AS csim
+        |  FROM sims s WHERE s.vec_id < 8
+        |), pr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cpos) AS crank
+        |  FROM pc
+        |), psel AS (
+        |  SELECT pr.vec_id, e.embedding, e.nv, pr.cpos + 1 AS cell
+        |  FROM pr JOIN emb e ON pr.vec_id = e.vec_id
+        |  WHERE pr.crank <= 2
+        |), cand AS (
+        |  SELECT c.vec_id AS neighbor_id, q.vec_id AS probe_id,
+        |    c.embedding AS va, c.nv AS na, q.embedding AS vb, q.nv AS nb
+        |  FROM corpus c JOIN psel q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        |), cos AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN na * nb > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(va) + 1),
+        |          i -> cast(va[i] AS double) * cast(vb[i] AS double))), (acc, x) -> acc + x)
+        |      / (na * nb)
+        |    ELSE 0.0 END AS cosine
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT *, cast(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS bigint) AS rank FROM cos
+        |)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // incremental IVF det twin: identical replay to q_knn_ivf_det except
+    // the index side holds only vec_id >= 8 (the probe batch is NOT in the
+    // corpus index — the never-re-assign-the-corpus incremental shape)
+    "q_knn_ivf_inc_det" ->
+      """WITH cent AS (
+        |  SELECT c, list_transform(range(0, 64),
+        |    d -> cast((c * 13 + d * 7) % 5 - 2 AS double)) AS w
+        |  FROM (SELECT unnest(range(0, 8)) AS c)
+        |), centn AS (
+        |  SELECT c, w, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |    list_transform(range(1, 65), i -> w[i] * w[i])), (acc, x) -> acc + x)) AS nc
+        |  FROM cent
+        |), emb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+        |      (acc, x) -> acc + x)) AS nv
+        |  FROM embeddings
+        |), vc AS (
+        |  SELECT e.vec_id, ct.c,
+        |    CASE WHEN e.nv > 0 THEN
+        |      list_reduce(list_prepend(cast(0.0 AS double),
+        |        list_transform(range(1, len(e.embedding) + 1),
+        |          i -> cast(e.embedding[i] AS double) * ct.w[i])), (acc, x) -> acc + x)
+        |      / (e.nv * ct.nc)
+        |    ELSE 0.0 END AS sim
+        |  FROM emb e, centn ct
+        |), sims AS (
+        |  SELECT vec_id, list(sim ORDER BY c) AS sims FROM vc GROUP BY vec_id
+        |), corpus AS (
+        |  SELECT e.vec_id, e.embedding, e.nv,
+        |    cast(list_indexof(s.sims, list_aggregate(s.sims, 'max')) AS bigint) AS cell
+        |  FROM emb e JOIN sims s USING (vec_id)
+        |  WHERE e.vec_id >= 8
         |), pc AS (
         |  SELECT s.vec_id, unnest(range(0, 8)) AS cpos, unnest(s.sims) AS csim
         |  FROM sims s WHERE s.vec_id < 8

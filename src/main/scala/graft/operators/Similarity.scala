@@ -213,12 +213,87 @@ object Similarity {
     centroids
   }
 
+  /** Cosine similarity to every centroid, as one array column: one FloatDot
+    * per centroid, reusing the row's precomputed norm (`nv`); centroid
+    * norms are driver-side constants. (Vectors.cosine would recompute
+    * norm(v) — itself a dot — per centroid: 3× the flops.)
+    */
+  private def cellSims(centroids: Array[Array[Float]])(
+      vec: org.apache.spark.sql.Column, nv: org.apache.spark.sql.Column) =
+    array(centroids.map { c =>
+      val nc = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      if (nc == 0.0) lit(0.0)
+      else when(nv > 0, Vectors.dot(vec, array(c.map(lit): _*)) / (nv * lit(nc)))
+        .otherwise(lit(0.0))
+    }: _*)
+
+  /** 1-based argmax cell id. Let-binding via single-element transform:
+    * `array_position(s, array_max(s))` references the sims array twice, and
+    * CollapseProject would inline the nlist-dot expression into both
+    * references (no CSE for this projection).
+    */
+  private def argmaxCell(sims: org.apache.spark.sql.Column) =
+    element_at(transform(array(sims), s => array_position(s, array_max(s))), 1)
+
+  /** The IVF INDEX: `(id, _v, _n, cell)` — the persistable coarse-quantizer
+    * assignment [[knnIvf]] builds internally and [[knnIvfAgainst]] probes.
+    * The ANN sibling of [[graft.operators.Dedup.minhashIndex]] /
+    * [[embeddingBandIndex]]: at production scale this is what you WRITE
+    * (partitioned/bucketed by `cell`), so new probe batches pay only their
+    * own cell assignment plus an equi-join against the pre-assigned corpus
+    * — the corpus is never re-scanned, re-assigned, or re-shuffled per
+    * batch. Probe sides must use the SAME `centroids` artifact.
+    */
+  def ivfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"),
+        Vectors.norm(col(vecCol)).as("_n"))
+      .withColumn("cell", argmaxCell(cellSims(centroids)(col("_v"), col("_n"))))
+
+  /** Probe an existing IVF index: each probe searches its `nprobe` nearest
+    * cells and reranks in-cell candidates by exact cosine. Probe-side cost
+    * is ∝ probes × (nlist dots + visited-cell sizes) — independent of how
+    * the index was built and of corpus re-assignment (spec-pinned). A
+    * self-pair guard keeps append-then-probe callers from reporting every
+    * indexed probe as its own nearest neighbor.
+    */
+  def knnIvfAgainst(
+      probes: DataFrame,
+      index: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      nprobe: Int,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val c = index.toDF("neighbor_id", "_v", "_nv", "cell")
+    val p0 = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
+        Vectors.norm(col(probeVecCol)).as("_np"))
+      .withColumn("_sims", cellSims(centroids)(col("_p"), col("_np")))
+      .select(col("probe_id"), col("_p"), col("_np"),
+        posexplode(col("_sims")).as(Seq("_cpos", "_csim")))
+    val wp = Window.partitionBy(col("probe_id")).orderBy(col("_csim").desc, col("_cpos"))
+    val p = p0.withColumn("_crank", row_number().over(wp))
+      .filter(col("_crank") <= nprobe)
+      .select(col("probe_id"), col("_p"), col("_np"), (col("_cpos") + 1).cast("long").as("cell"))
+    val cand = c.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", pairCosine)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** IVF-Flat ANN: corpus vectors are assigned to the nearest of `nlist`
     * coarse centroids (k-means-trained via [[trainCentroids]] unless
     * supplied); each probe searches its `nprobe` nearest cells and reranks
     * by exact cosine. The query-time dataflow — cell assignment via argmax
     * over broadcast centroids, cell equi-join, in-cell rerank — is fully
-    * distributed.
+    * distributed. Composition of [[ivfIndex]] + [[knnIvfAgainst]]; persist
+    * the index to skip corpus re-assignment across probe batches.
     */
   def knnIvf(
       corpus: DataFrame,
@@ -233,40 +308,8 @@ object Similarity {
       trainedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val centroids: Array[Array[Float]] =
       trainedCentroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist))
-    // one FloatDot per centroid, reusing the row's precomputed norm (`nv`);
-    // centroid norms are driver-side constants. (Vectors.cosine would
-    // recompute norm(v) — itself a dot — per centroid: 3× the flops.)
-    def cellSims(vec: org.apache.spark.sql.Column, nv: org.apache.spark.sql.Column) =
-      array(centroids.map { c =>
-        val nc = math.sqrt(c.foldLeft(0.0)((s, x) => s + x.toDouble * x))
-        if (nc == 0.0) lit(0.0)
-        else when(nv > 0, Vectors.dot(vec, array(c.map(lit): _*)) / (nv * lit(nc)))
-          .otherwise(lit(0.0))
-      }: _*)
-    // let-binding via single-element transform: `array_position(s, array_max(s))`
-    // references the sims array twice, and CollapseProject would inline the
-    // nlist-dot expression into both references (no CSE for this projection)
-    def argmaxCell(sims: org.apache.spark.sql.Column) =
-      element_at(transform(array(sims), s => array_position(s, array_max(s))), 1)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
-        Vectors.norm(col(vecCol)).as("_nv"))
-      .withColumn("cell", argmaxCell(cellSims(col("_v"), col("_nv"))))
-    val p0 = probes.select(col(probeIdCol).as("probe_id"), col(probeVecCol).as("_p"),
-        Vectors.norm(col(probeVecCol)).as("_np"))
-      .withColumn("_sims", cellSims(col("_p"), col("_np")))
-      .select(col("probe_id"), col("_p"), col("_np"),
-        posexplode(col("_sims")).as(Seq("_cpos", "_csim")))
-    val wp = Window.partitionBy(col("probe_id")).orderBy(col("_csim").desc, col("_cpos"))
-    val p = p0.withColumn("_crank", row_number().over(wp))
-      .filter(col("_crank") <= nprobe)
-      .select(col("probe_id"), col("_p"), col("_np"), (col("_cpos") + 1).cast("long").as("cell"))
-    val cand = c.join(broadcast(p), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cosine", pairCosine)
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "neighbor_id", "cosine", "rank")
+    knnIvfAgainst(probes, ivfIndex(corpus, idCol, vecCol, centroids),
+      probeIdCol, probeVecCol, k, nprobe, centroids)
   }
 
   /** `bandBits` for a target expected bucket size: buckets per table =

@@ -40,7 +40,7 @@ class SurveyDriftSpec extends AnyFunSuite {
     // rows-only is a weaker gate (rows>0 only) — each such query must be
     // pinned by a hash-exact deterministic twin and declared here, so a
     // forgotten oracle can't silently downgrade the gate
-    val declaredRowsOnly = Set("q_hll_sketch", "q_knn_ivf")
+    val declaredRowsOnly = Set("q_hll_sketch", "q_knn_ivf", "q_knn_ivf_inc")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredRowsOnly,
       s"oracle coverage drifted: missing oracles ${(noOracle -- declaredRowsOnly).toSeq.sorted.mkString(", ")}; " +

@@ -39,6 +39,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty && out.head._1 == 2L) // vec 2 is the true nearest
   }
 
+  test("knnIvf equals knnIvfAgainst over a PERSISTED ivfIndex (round-trip)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val centroids = Array.tabulate(2, 4)((c, d) => ((c * 3 + d) % 3 - 1).toFloat)
+    val probes = vecs.filter($"vec_id" === 1L)
+    val direct = Similarity.knnIvf(
+        vecs, probes, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, nlist = 2, nprobe = 2, trainedCentroids = Some(centroids))
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Similarity.ivfIndex(vecs, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(tmp)
+    val viaIndex = Similarity.knnIvfAgainst(
+        probes, spark.read.parquet(tmp), "vec_id", "embedding",
+        k = 3, nprobe = 2, centroids = centroids)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(direct == viaIndex)
+  }
+
+  test("knnIvfAgainst probes a stored index without re-assigning the corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    val centroids = Array.tabulate(2, 4)((c, d) => ((c * 3 + d) % 3 - 1).toFloat)
+    Similarity.ivfIndex(vecs, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(tmp)
+    val plan = Similarity.knnIvfAgainst(
+        vecs.filter($"vec_id" === 1L), spark.read.parquet(tmp),
+        "vec_id", "embedding", k = 3, nprobe = 2, centroids = centroids)
+      .queryExecution.executedPlan.toString
+    // the index scan must READ the stored cell, not recompute it: the one
+    // parquet scan carries cell in its ReadSchema. Probe cost is then
+    // ∝ probe count (probe-side cell sims + the cell equi-join only).
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size == 1, s"expected exactly one file scan:\n$plan")
+    assert(scans.head.contains("cell"), s"index scan must read stored cell:\n$plan")
+  }
+
   test("embeddingNearDup finds the near-identical pair") {
     val out = Similarity.embeddingNearDup(vecs, "vec_id", "embedding",
         threshold = 0.9, bands = 2, bandBits = 2, dim = 4)
