@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query names for fast iteration (the
+    // driver passes none and benches everything)
+    val only = args.headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +36,9 @@ object Bench {
     // median of 3 full passes: single-run per-query numbers wobble ±8%+
     // at this scale (two rounds chased phantom regressions), and a medianed
     // number is what a round-over-round delta can actually be judged on
-    val queryOrder = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryOrder = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
     val passes = (1 to 3).map { _ =>
       queryOrder.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -73,6 +73,23 @@ object SparkEntry {
         .foreach(graft.streaming.FileReplay.deleteRecursively)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions=8`, restoring after.
+    * Every stream gate runs inside it: a stateful operator commits one
+    * state-store delta PER SHUFFLE PARTITION PER MICRO-BATCH, so at gate
+    * scale (tiny batches × ≥5 batches × several gates) the session default
+    * of 32 partitions is pure commit overhead — measured 2.3× slower than
+    * 8 at sf0.1. Sizing state partitions to the stream's data volume is
+    * the same discipline a production job applies; the partition count is
+    * baked into the checkpoint at first start anyway, so it is a per-query
+    * decision, not a session one. Batch queries keep the session's 32.
+    */
+  private def withGateShuffle[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** ≥5 micro-batches actually ran — the multi-batch replay did not
     * degenerate into one bulk batch (cross-batch state was exercised). */
   private def assertMultiBatch(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -1482,7 +1499,7 @@ object SparkEntry {
     // returned and oracle-checked against the same FnvMix register replay
     // as q_card_sketch. Registers are associative/idempotent maxes, so
     // stream-final must equal batch — this gate pins that end to end.
-    "q_stream_sketch" -> ((s, dir) => {
+    "q_stream_sketch" -> ((s, dir) => withGateShuffle(s) {
       // multi-batch replay: register maxes are associative/idempotent, so
       // the final complete-mode state is batching-independent — the replay
       // proves it across ≥6 REAL micro-batch state commits
@@ -1512,7 +1529,7 @@ object SparkEntry {
     // the batch 15-minute bucketing (same SQL oracle family as q_bucket15).
     // Complete mode so every window survives to the final table — the
     // watermark/append finalization semantics are spec-tested (S3 spec).
-    "q_stream_bucket15" -> ((s, dir) => {
+    "q_stream_bucket15" -> ((s, dir) => withGateShuffle(s) {
       // multi-batch replay: count/decimal-sum window state is associative,
       // so complete-mode final windows are batching-independent — proven
       // here across ≥6 real windowed-stateful-agg micro-batch commits
@@ -1551,7 +1568,7 @@ object SparkEntry {
     // while the batch lags the last EVENT's ts — same previous_status (all
     // events between two transitions share a status), different timestamp
     // meaning.
-    "q_stream_changes" -> ((s, dir) => {
+    "q_stream_changes" -> ((s, dir) => withGateShuffle(s) {
       val (rdir, stream) = orderedReplay(s,
         Tables.events(s, dir).select(
           col("user_id").cast("long").as("key"), col("ts"),
@@ -1587,7 +1604,7 @@ object SparkEntry {
     // the batch rollup. Exactly-gap-length deltas would diverge (batch SQL
     // keeps the session open at delta == gap, session_window closes it) —
     // absent at nanosecond timestamp precision.
-    "q_stream_sessions" -> ((s, dir) => {
+    "q_stream_sessions" -> ((s, dir) => withGateShuffle(s) {
       // multi-batch replay: session_window state MERGES across ≥6 real
       // micro-batch commits (complete mode never evicts, gap-merge is
       // order-independent), so stream-final must still equal batch
@@ -1625,7 +1642,7 @@ object SparkEntry {
     // exactly one row per distinct fingerprint, arrival-order independent.
     // Ingest time is synthesized from doc_id (documents carry no
     // timestamp; watermark EVICTION is exercised by the S6 soak spec).
-    "q_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => withGateShuffle(s) {
       // +1 day: doc_id 0 would land exactly on epoch 0 — the state
       // store's INITIAL watermark value — and be dropped as late
       val (rdir, stream) = orderedReplay(s,
@@ -1667,7 +1684,7 @@ object SparkEntry {
     // clips the sentinel-driven open tail to mend, filters the fake key,
     // and must hash-equal the batch q_offline_gaps formulation.
     // Reference: int_offline_outages.sql:70's monitoring-window edge gaps.
-    "q_stream_outages" -> ((s, dir) => {
+    "q_stream_outages" -> ((s, dir) => withGateShuffle(s) {
       val thresholdS = 3600L
       val ev = Tables.events(s, dir)
         .select(col("user_id").cast("long").as("key"), col("ts"))
@@ -1728,7 +1745,7 @@ object SparkEntry {
     // timeout/increment path is gated by q_stream_outages. Increments are
     // delta-summable by construction: long-µs per-batch sums are exact
     // under any batch boundary, proven here across ≥7 real micro-batches.
-    "q_stream_uptime" -> ((s, dir) => {
+    "q_stream_uptime" -> ((s, dir) => withGateShuffle(s) {
       val ev = Tables.events(s, dir)
         .select(col("user_id").cast("long").as("key"), col("ts"))
       val (rdir, stream) = orderedReplay(
@@ -1762,7 +1779,7 @@ object SparkEntry {
     // (decimal/long) state, so stream-final == batch regardless of
     // micro-batch boundaries — "define the metric once" gated through the
     // real streaming stateful-agg path.
-    "q_stream_metrics" -> ((s, dir) => {
+    "q_stream_metrics" -> ((s, dir) => withGateShuffle(s) {
       import graft.metrics._
       // multi-batch replay: count/decimal-sum measures are associative and
       // the ratio metric is a post-agg projection over exact state
