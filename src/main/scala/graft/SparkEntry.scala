@@ -1630,6 +1630,63 @@ object SparkEntry {
         col("n_events"))
     }),
 
+    // §2#8g the SAME sessionization stream driver-gated ACROSS A
+    // CHECKPOINT RESTART — the production driver-loss mode: phase 1 drains
+    // only the first half of the ordered replay and stops; a NEW query
+    // instance resumes from the SAME checkpoint over files that land
+    // after the restart. The final complete-mode state must STILL equal
+    // the batch oracle, proving session_window merge state round-trips
+    // the checkpoint and the file source's commit log prevents
+    // reprocessing (CheckpointRecoverySpec pins the other four stateful
+    // operator classes' restart behavior; this puts one on the hash gate).
+    "q_stream_restart" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, _) = orderedReplay(s,
+        Tables.events(s, dir).select(col("user_id"), col("ts")),
+        Seq("ts"), "q_stream_restart")
+      val schema = s.read.parquet(rdir).schema
+      val ckpt = rdir + "-ckpt"
+      val stash = new java.io.File(rdir + "-held")
+      stash.mkdirs()
+      // hold back the replay's tail: those files "arrive" after the restart
+      val files = new java.io.File(rdir).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .sortBy(_.lastModified())
+      files.drop(files.length / 2).foreach { f =>
+        require(f.renameTo(new java.io.File(stash, f.getName)), s"could not stash $f")
+      }
+      val name = freshStreamTable(s, "q_stream_restart_")
+      def drain(phase: Int): Long = {
+        val sess = graft.streaming.StreamSessionize.sessions(
+          graft.streaming.FileReplay.stream(s, rdir, schema),
+          Seq("user_id"), "ts", gap = "30 minutes", watermark = "0 seconds")
+        val q = sess.writeStream.format("memory").queryName(s"${name}p$phase")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); Option(q.lastProgress).map(_.batchId).getOrElse(-1L) }
+        finally q.stop()
+      }
+      val b1 = drain(1)
+      // rename preserves mtime, so the restored tail keeps its replay order
+      stash.listFiles().foreach { f =>
+        require(f.renameTo(new java.io.File(rdir, f.getName)), s"could not restore $f")
+      }
+      val b2 =
+        try drain(2)
+        finally {
+          Seq(rdir, stash.getAbsolutePath, ckpt).foreach(d =>
+            graft.streaming.FileReplay.deleteRecursively(new java.io.File(d)))
+        }
+      require(b1 >= 1 && b2 > b1 && b2 >= 4,
+        s"restart gate did not resume the checkpoint batch sequence ($b1 -> $b2)")
+      s.table(s"${name}p2").select(
+        col("user_id"),
+        unix_micros(col("session_start_ts")).as("session_start_us"),
+        (unix_micros(col("session_end_ts")) - 1800000000L).as("session_end_us"),
+        col("n_events"))
+    }),
+
     // §2#25b the ingest-dedup stream (S6) driver-gated through the REAL
     // dropDuplicatesWithinWatermark state path: documents replayed as an
     // ingest-time-ordered multi-file stream, each row fingerprinted,
@@ -2410,6 +2467,16 @@ object SparkEntry {
     // rolled up per session (session_end = last event ts — the gate
     // already normalized session_window's end-plus-gap)
     "q_stream_sessions" -> (SessSql +
+      """
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin),
+
+    // restart-recovery gate: same semantics, same batch oracle — the
+    // restart must be INVISIBLE in the final state
+    "q_stream_restart" -> (SessSql +
       """
         |SELECT user_id,
         |  epoch_us(min(ts)) AS session_start_us,
