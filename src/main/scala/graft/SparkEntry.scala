@@ -1723,6 +1723,53 @@ object SparkEntry {
       s.table(name).select(col("fingerprint"))
     }),
 
+    // §2#25c the composed ingest PIPELINE driver-gated end to end: the
+    // production curation chain — stateful exact dedup
+    // (dropDuplicatesWithinWatermark) → scan-side quality-classifier
+    // inference — as ONE streaming job, written through the REAL
+    // FileStreamSink (exactly-once commit log) and read back through its
+    // _spark_metadata, the first gate on the streaming FILE write path
+    // (the other stream gates use memory sinks). WHICH duplicate survives
+    // is arrival-order dependent, but the output is not: scoring runs on
+    // the NORMALIZED text (the dedup key's preimage), so every
+    // representative of a fingerprint scores identically and the
+    // (fingerprint, score) set is deterministic — hash-gated against the
+    // batch DISTINCT-normalized-text formulation.
+    "q_stream_ingest" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.documents(s, dir).select(col("text"),
+          expr("timestamp_micros(doc_id + 86400000000)").as("ingest_ts")),
+        Seq("ingest_ts"), "q_stream_ingest")
+      val deduped = graft.streaming.StreamDedup.exactDedup(
+        stream, "text", "ingest_ts", watermarkDelay = "1 minute")
+      val scoredStream = QualityClassifier.scored(
+        deduped
+          .withColumn("norm", graft.functions.Text.normalized(col("text")))
+          .withColumn("fingerprint", md5(col("norm"))),
+        "fingerprint", "norm",
+        QualityClassifier.seededWeights(256, seed = 29L),
+        scale = 0.05, bias = 0.0, seed = 29L)
+      cleanupTmp("graft-ingest-")
+      val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-ingest-${System.nanoTime()}").getAbsolutePath
+      val q = scoredStream.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", outDir + "-ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      // read back through the sink's commit log — gates the on-disk
+      // layout, not just the plan (outDir is reaped on the next call)
+      s.read.parquet(outDir)
+        .select(col("fingerprint"), col("n_features"), col("sum_w"),
+          col("logit"), col("pass"))
+    }),
+
     // §2#14b the heartbeat-outage stream (S4) driver-gated through the REAL
     // flatMapGroupsWithState + EventTimeTimeout path — the last stateful-
     // emission path without end-to-end gate evidence. Emission on watermark
@@ -2419,6 +2466,46 @@ object SparkEntry {
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // the composed ingest pipeline: dedup survivors scored on NORMALIZED
+    // text — one deterministic row per distinct fingerprint, same
+    // classifier replay as q_quality_classifier keyed on the fingerprint
+    "q_stream_ingest" -> {
+      val wlist = QualityClassifier.seededWeights(256, 29L).mkString("[", ", ", "]")
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH docs AS (
+         |  SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text
+         |  FROM documents),
+         |ids AS (SELECT md5(text) AS fingerprint, text FROM docs),
+         |toks AS (SELECT fingerprint, $TokSql AS tk FROM ids),
+         |feats AS (SELECT fingerprint, list_concat(tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |    ELSE [] END) AS fs
+         |  FROM toks),
+         |base AS (SELECT fingerprint, len(fs) AS n_features FROM feats),
+         |h0 AS (SELECT fingerprint, unnest(fs) AS shingle FROM feats),
+         |folded AS (SELECT fingerprint, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT fingerprint,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT fingerprint, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT fingerprint, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT fingerprint, xor(z, z >> 31) AS z FROM z2),
+         |wsum AS (SELECT fingerprint,
+         |    sum(($wlist)[cast(z % 256 AS bigint) + 1]) AS sum_w
+         |  FROM hv GROUP BY 1),
+         |sc AS (SELECT b.fingerprint, cast(b.n_features AS bigint) AS n_features,
+         |    cast(coalesce(w.sum_w, 0) AS bigint) AS sum_w
+         |  FROM base b LEFT JOIN wsum w USING (fingerprint)),
+         |lg AS (SELECT fingerprint, n_features, sum_w,
+         |    CAST(0.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) *
+         |      (cast(sum_w AS double) / cast(greatest(n_features, 1) AS double))
+         |      AS logit
+         |  FROM sc)
+         |SELECT fingerprint, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
+    },
 
     // the streaming heartbeat-outage gate: after sentinel clipping and
     // increment re-merging, the emitted outage set must equal the batch
