@@ -243,6 +243,78 @@ class CheckpointRecoverySpec extends SparkSpec {
     } finally cleanup(dir, ckpt)
   }
 
+  test("foreachBatch delta-sum replays an uncommitted batch idempotently") {
+    import StreamHeartbeat._
+    // THE at-least-once window: a crash after the offset log records batch
+    // N but before the commit log does forces Spark to re-execute batch N
+    // on restart with the same batchId and the same source slice.
+    // StreamUptime's contract is that the re-execution OVERWRITES
+    // batch_id=N instead of double-appending its downtime deltas. Forced
+    // deterministically here by deleting the checkpoint's last commit
+    // marker between two AvailableNow drains.
+    val (dir, ckpt, out) = freshDirs("fb")
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    // no-data batches add trailing EMPTY batches; with timeouts disabled
+    // they carry nothing, and the replayed batch must be one with real
+    // deltas for this test to bite
+    spark.conf.set(noData, "false")
+    try {
+      // closed gaps only (watermark beyond horizon disables timeouts) —
+      // the q_stream_uptime gate's mode; threshold 300 s
+      FileReplay.appendFile(Seq(
+        Heartbeat(1L, sqlTs("2024-01-01 23:50:00")),
+        Heartbeat(1L, sqlTs("2024-01-01 23:55:00"))).toDF(), dir)
+      FileReplay.appendFile(Seq(
+        Heartbeat(1L, sqlTs("2024-01-02 00:10:00"))).toDF(), dir) // 15 min, straddles midnight
+      FileReplay.appendFile(Seq(
+        Heartbeat(1L, sqlTs("2024-01-02 02:00:00"))).toDF(), dir) // 110 min
+      val schema = spark.read.parquet(dir).schema
+      def drain(): Unit = {
+        val gapsDs = StreamHeartbeat.gaps(
+          FileReplay.stream(spark, dir, schema)
+            .as(org.apache.spark.sql.Encoders.product[Heartbeat]),
+          thresholdSeconds = 300L, watermark = "3650 days")
+        val q = StreamUptime.run(gapsDs, out, ckpt,
+          Some(Trigger.AvailableNow()))
+        try q.awaitTermination() finally q.stop()
+      }
+      drain()
+      def daily(): Set[(Long, String, Double)] =
+        StreamUptime.readDailyDowntime(spark, out)
+          .select($"key", $"date_id".cast("string"), $"downtime_minutes")
+          .as[(Long, String, Double)].collect().toSet
+      val expected = Set(
+        (1L, "2024-01-01", 5.0),    // 23:55→00:10 allocates 5 min to day 1
+        (1L, "2024-01-02", 120.0))  // 10 min + the 110-min gap
+      assert(daily() == expected, s"pre-crash daily table wrong: ${daily()}")
+
+      // find the last batch's delta dir and part file, then simulate the
+      // crash: offsets retain batch N, its commit marker disappears
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      val lastBatch = commits.last.getName.toLong
+      val deltaDir = new java.io.File(out, s"batch_id=$lastBatch")
+      def partNames = deltaDir.listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+      val before = partNames
+      assert(before.nonEmpty, s"last batch $lastBatch wrote no deltas")
+      assert(commits.last.delete(), "could not remove the last commit marker")
+      // the local FS keeps a checksum sibling; left behind it would make
+      // the re-written commit marker's rename fail
+      new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+
+      drain() // restart: batch N re-executes (same id, same source slice)
+      assert(partNames != before,
+        s"batch $lastBatch was not re-executed — the at-least-once replay never happened")
+      assert(daily() == expected,
+        s"replayed batch double-counted its deltas: ${daily()}")
+    } finally {
+      spark.conf.set(noData, prevNoData)
+      cleanup(dir, ckpt)
+    }
+  }
+
   test("windowed-agg partial sums accumulated pre-restart finalize post-restart") {
     val (dir, ckpt, out) = freshDirs("win")
     try {
