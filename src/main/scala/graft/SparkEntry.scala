@@ -2025,6 +2025,24 @@ object SparkEntry {
         n = 3, minOverlap = 3L, maxShingleDocFreq = 1000L)
     }),
 
+    // §2#43b the same decontamination behind a Bloom prefilter on the
+    // corpus side (the broadcast-bytes scale lever); exactness is the
+    // CONTRACT — no false negatives, false positives die in the exact
+    // join — so this shares q_decontaminate's oracle SQL verbatim, and the
+    // gate proves the equality end to end. 2^17 bits ≈ 8% fpp here: small
+    // enough that pruning is real, big enough that false positives occur
+    // and must be eliminated.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Contamination.flagContaminatedBloom(
+        all.filter(col("doc_id") % 25 =!= 0 || col("doc_id") >= 12500L),
+        "doc_id", "text",
+        all.filter(col("doc_id") % 25 === 0 && col("doc_id") < 12500L),
+        "doc_id", "text",
+        n = 3, minOverlap = 3L, maxShingleDocFreq = 1000L,
+        bloomBits = 1 << 17, bloomHashes = 3)
+    }),
+
     // §2#42 sequence packing: documents → fixed token-budget chunks
     // (concat-then-chunk pretraining layout), computed per shard so the
     // running sum is one window per hash bucket — no global ordering.
@@ -2384,6 +2402,28 @@ object SparkEntry {
 
   // ---- oracles ----------------------------------------------------------
 
+  /** The decontamination oracle replay — shared VERBATIM by
+    * q_decontaminate and q_decontaminate_bloom: the Bloom prefilter's
+    * contract is result identity, so both gates compare against one
+    * string. */
+  private lazy val DecontaminateSql: String =
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
+         |  FROM toks WHERE len(tk) >= 3),
+         |dp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |  WHERE doc_id % 25 <> 0 OR doc_id >= 12500),
+         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh
+         |  WHERE doc_id % 25 = 0 AND doc_id < 12500),
+         |hot AS (SELECT shingle FROM dp GROUP BY 1 HAVING count(*) > 1000),
+         |dpc AS (SELECT * FROM dp WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |bpc AS (SELECT * FROM bp WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |o AS (SELECT dpc.doc_id, bpc.bench_id, count(*) AS n_overlap
+         |  FROM dpc JOIN bpc USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_bench_hits,
+         |  cast(max(n_overlap) AS bigint) AS max_overlap
+         |FROM o GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_stg_cast" ->
       """SELECT DISTINCT cast(c_custkey AS varchar) AS customer_id, trim(c_name) AS name,
@@ -2647,23 +2687,12 @@ object SparkEntry {
         |    list_transform(qv, x -> abs(x))), (acc, x) -> acc + x) AS l1_q
         |FROM q""".stripMargin,
 
-    "q_decontaminate" -> (
-      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
-         |  FROM toks WHERE len(tk) >= 3),
-         |dp AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
-         |  WHERE doc_id % 25 <> 0 OR doc_id >= 12500),
-         |bp AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh
-         |  WHERE doc_id % 25 = 0 AND doc_id < 12500),
-         |hot AS (SELECT shingle FROM dp GROUP BY 1 HAVING count(*) > 1000),
-         |dpc AS (SELECT * FROM dp WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |bpc AS (SELECT * FROM bp WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         |o AS (SELECT dpc.doc_id, bpc.bench_id, count(*) AS n_overlap
-         |  FROM dpc JOIN bpc USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3)
-         |SELECT doc_id, cast(count(*) AS bigint) AS n_bench_hits,
-         |  cast(max(n_overlap) AS bigint) AS max_overlap
-         |FROM o GROUP BY 1""".stripMargin),
+    "q_decontaminate" -> DecontaminateSql,
+
+    // the Bloom-prefiltered path must produce the IDENTICAL result —
+    // same oracle string, not a copy, so the contract can't drift
+    "q_decontaminate_bloom" -> DecontaminateSql,
+
 
     "q_token_packing" -> (
       s"""WITH toks AS (SELECT doc_id, cast(len($TokSql) AS bigint) AS n_tokens FROM documents),
