@@ -1491,6 +1491,52 @@ object SparkEntry {
         .join(exact, "event_type")
     }),
 
+    // §2#37d count-min frequency sketch — the FREQUENCY member of the
+    // portable sketch family (HLL registers = cardinality,
+    // q_quantile_phase = quantiles): plain-row counters (r, bucket, cnt)
+    // over the FnvMix family, point estimates = min over depth cells for
+    // the exact top-20 tokens. Every step (hash, bucket, counter, min)
+    // replays in the oracle; est >= true by construction and the emitted
+    // overcount column shows the sketch error directly.
+    "q_count_min" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      val counters = Sketch.countMinCounters(toks, Nil, col("token"),
+        depth = 4, width = 1024, seed = 17L)
+      val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("token")).limit(20)
+      Sketch.countMinEstimate(counters, probes.select(col("token")), Nil,
+          "token", depth = 4, width = 1024, seed = 17L)
+        .join(probes, Seq("token"))
+        .select(col("token"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+    }),
+
+    // §2#37e the SAME count-min counters built through the streaming
+    // stateful-agg path: counting is associative-commutative, so the
+    // complete-mode final counter table must equal the batch one across
+    // real micro-batch boundaries — the frequency twin of q_stream_sketch.
+    "q_stream_cm" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(col("ts"), col("event_type"), col("user_id")),
+        Seq("ts"), "q_stream_cm")
+      val counters = Sketch.countMinCounters(
+        stream.select(col("event_type"), col("user_id")),
+        Seq("event_type"), col("user_id"), depth = 4, width = 256, seed = 19L)
+      val name = freshStreamTable(s, "q_stream_cm_")
+      val q = counters.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).select(col("event_type"), col("r").cast("long").as("r"),
+        col("bucket"), col("cnt").cast("long").as("cnt"))
+    }),
+
     // §2#37c STREAMING sketch gate — the S7 batch-equivalence proof as a
     // driver-gated query: StreamSketch.registers runs over a bounded FILE
     // STREAM of the events table (Trigger.AvailableNow — the stream sees
@@ -3196,6 +3242,66 @@ object SparkEntry {
          |FROM u JOIN r ON u.source = r.source WHERE u.u < r.rate
          |GROUP BY 1""".stripMargin
     },
+
+    // count-min: full FnvMix replay per hash-family member (seed 17+r),
+    // power-of-two bucket mod (signed pmod == unsigned % on low bits),
+    // counters grouped, probe estimate = min over depth cells with absent
+    // cells as 0 — every step exact integer arithmetic
+    "q_count_min" -> (
+      s"""WITH toks AS (SELECT unnest($TokSql) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1),
+         |probes AS (SELECT token, true_cnt FROM tc
+         |  ORDER BY true_cnt DESC, token LIMIT 20),
+         |rs AS (SELECT unnest(range(4)) AS r),
+         |f0 AS (SELECT token AS shingle FROM toks),
+         |folded AS (SELECT $FnvFoldSql AS h FROM f0),
+         |j AS (SELECT h, r FROM folded CROSS JOIN rs),
+         |z0 AS (SELECT r, CAST((CAST(h AS HUGEINT) +
+         |    (17 + r) * CAST('$GoldenB' AS HUGEINT)) % 18446744073709551616
+         |    AS UBIGINT) AS z FROM j),
+         |z1 AS (SELECT r, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT r, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT r, xor(z, z >> 31) AS z FROM z2),
+         |cm AS (SELECT r, cast(z % 1024 AS bigint) AS bucket, count(*) AS cnt
+         |  FROM hv GROUP BY 1, 2),
+         |p0 AS (SELECT token AS shingle, true_cnt FROM probes),
+         |pfold AS (SELECT shingle, true_cnt, $FnvFoldSql AS h FROM p0),
+         |pj AS (SELECT shingle, true_cnt, h, r FROM pfold CROSS JOIN rs),
+         |pz0 AS (SELECT shingle, true_cnt, r, CAST((CAST(h AS HUGEINT) +
+         |    (17 + r) * CAST('$GoldenB' AS HUGEINT)) % 18446744073709551616
+         |    AS UBIGINT) AS z FROM pj),
+         |pz1 AS (SELECT shingle, true_cnt, r,
+         |    ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM pz0),
+         |pz2 AS (SELECT shingle, true_cnt, r,
+         |    ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM pz1),
+         |phv AS (SELECT shingle, true_cnt, r, xor(z, z >> 31) AS z FROM pz2),
+         |pe AS (SELECT shingle AS token, true_cnt, r,
+         |    cast(z % 1024 AS bigint) AS bucket FROM phv),
+         |est AS (SELECT token, true_cnt,
+         |    min(coalesce(cm.cnt, 0)) AS est_cnt
+         |  FROM pe LEFT JOIN cm USING (r, bucket) GROUP BY 1, 2)
+         |SELECT token, cast(true_cnt AS bigint) AS true_cnt,
+         |  cast(est_cnt AS bigint) AS est_cnt,
+         |  cast(est_cnt - true_cnt AS bigint) AS overcount FROM est""".stripMargin),
+
+    // the streaming count-min twin: same counters via the stateful-agg
+    // path, compared at counter-table grain
+    "q_stream_cm" -> (
+      s"""WITH f0 AS (SELECT event_type, CAST(user_id AS VARCHAR) AS shingle
+         |  FROM events WHERE user_id IS NOT NULL),
+         |folded AS (SELECT event_type, $FnvFoldSql AS h FROM f0),
+         |rs AS (SELECT unnest(range(4)) AS r),
+         |j AS (SELECT event_type, h, r FROM folded CROSS JOIN rs),
+         |z0 AS (SELECT event_type, r, CAST((CAST(h AS HUGEINT) +
+         |    (19 + r) * CAST('$GoldenB' AS HUGEINT)) % 18446744073709551616
+         |    AS UBIGINT) AS z FROM j),
+         |z1 AS (SELECT event_type, r, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT event_type, r, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT event_type, r, xor(z, z >> 31) AS z FROM z2)
+         |SELECT event_type, cast(r AS bigint) AS r,
+         |  cast(z % 256 AS bigint) AS bucket,
+         |  cast(count(*) AS bigint) AS cnt
+         |FROM hv GROUP BY 1, 2, 3""".stripMargin),
 
     // Full FnvMix replay -> bucket/rank via exact integer CASE thresholds
     // (no floating log2) -> max registers -> scaled-integer harmonic sum in

@@ -88,6 +88,65 @@ object Sketch {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max("reg").as("reg"))
 
+  // ---- count-min: the FREQUENCY member of the sketch family ----------
+  //
+  // Same design rules as the HLL registers: counters are plain rows
+  // `(group..., r, bucket, cnt)` over the FnvMix hash family, so the whole
+  // pipeline is replayable digit-for-digit by the oracle; the exchange
+  // carries at most groups × depth × width rows (never the item stream —
+  // map-side combine collapses hot cells first); counter tables MERGE by
+  // summing cnt per cell (the incremental/cross-day path); and because
+  // counting is associative-commutative, a STREAMING complete-mode
+  // groupBy-count over the same projection produces the identical table —
+  // the q_stream_cm gate runs this exact function on a bounded stream.
+  // Estimates are min over depth cells — always an OVERestimate of the
+  // true count (cells only ever gain), which the spec pins.
+
+  /** Count-min counters for `value` per `groupCols`: `depth` rows per item
+    * (one per hash-family member), bucket_r = fnv_mix(value, seed+r) mod
+    * width. `width` must be a power of two so Spark's signed `pmod` and
+    * the oracle's unsigned `%` agree bit-for-bit (low log2(w) bits).
+    */
+  def countMinCounters(df: DataFrame, groupCols: Seq[String], value: Column,
+      depth: Int, width: Int, seed: Long): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val buckets = array((0 until depth).map(r =>
+      pmod(HashExpressions.fnvMix(value.cast("string"), seed + r),
+        lit(width.toLong))): _*)
+    df.where(value.isNotNull)
+      .select(groupCols.map(col) :+ posexplode(buckets).as(Seq("r", "bucket")): _*)
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two counter tables (same geometry): sum per (group, r, bucket). */
+  def countMinMerge(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for `probes` (a frame bearing `probeCol`, plus
+    * `groupCols` when the counters are grouped): min over the depth cells,
+    * absent cells counting 0. The counter table is groups × depth × width
+    * rows — broadcast it; the probe side never shuffles.
+    */
+  def countMinEstimate(counters: DataFrame, probes: DataFrame,
+      groupCols: Seq[String], probeCol: String,
+      depth: Int, width: Int, seed: Long): DataFrame = {
+    val buckets = array((0 until depth).map(r =>
+      pmod(HashExpressions.fnvMix(col(probeCol).cast("string"), seed + r),
+        lit(width.toLong))): _*)
+    probes
+      .select((groupCols :+ probeCol).map(col) :+
+        posexplode(buckets).as(Seq("r", "bucket")): _*)
+      .join(broadcast(counters), groupCols :+ "r" :+ "bucket", "left")
+      .groupBy((groupCols :+ probeCol).map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** Raw-HLL estimate per group from a register table. */
   def estimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val sTotal = col("_s_present") +

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-min contracts the oracle gate cannot see: the overestimate
+  * inequality holds for EVERY item (not just the gate's top-20 probes),
+  * and counter tables merge by cell-sum into exactly the whole-corpus
+  * table — the incremental/cross-day path.
+  */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipf-ish token stream: token i appears ~N/i times — guarantees hot
+  // cells, collisions, and a long tail at width 64
+  private def items = {
+    val rows = for { i <- 1 to 80; _ <- 1 to (200 / i) } yield s"tok$i"
+    rows.toDF("token")
+  }
+
+  test("estimate >= true count for every item, with equality somewhere") {
+    val counters = Sketch.countMinCounters(items, Nil, $"token",
+      depth = 3, width = 64, seed = 5L)
+    val truth = items.groupBy($"token").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketch.countMinEstimate(counters, truth.select($"token"), Nil,
+      "token", depth = 3, width = 64, seed = 5L)
+    val joined = est.join(truth, Seq("token"))
+      .select($"token", $"est_cnt", $"true_cnt")
+      .as[(String, Long, Long)].collect()
+    assert(joined.length == 80)
+    val under = joined.filter { case (_, e, t) => e < t }
+    assert(under.isEmpty, s"count-min UNDERestimated: ${under.take(5).toSeq}")
+    // width 64 << 80 items forces collisions: some overestimate must occur,
+    // and the hottest tokens should still estimate exactly (min survives)
+    assert(joined.exists { case (_, e, t) => e > t },
+      "no collisions at width 64 — test has no discriminating power")
+  }
+
+  test("counter tables merge by cell-sum into the whole-corpus table") {
+    val (a, b) = (items.filter(substring($"token", 4, 10).cast("int") % 2 === 0),
+                  items.filter(substring($"token", 4, 10).cast("int") % 2 === 1))
+    def cm(df: org.apache.spark.sql.DataFrame) =
+      Sketch.countMinCounters(df, Nil, $"token", depth = 3, width = 64, seed = 5L)
+    val merged = Sketch.countMinMerge(cm(a), cm(b), Nil)
+      .select($"r", $"bucket", $"cnt").as[(Int, Long, Long)].collect().toSet
+    val whole = cm(items)
+      .select($"r", $"bucket", $"cnt").as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole, "merged half-corpus counters != whole-corpus counters")
+  }
+}
