@@ -36,6 +36,26 @@ class CountMinSpec extends SparkSpec {
       "no collisions at width 64 — test has no discriminating power")
   }
 
+  test("counters combine map-side and estimates broadcast the counter table") {
+    val counters = Sketch.countMinCounters(items, Nil, $"token",
+      depth = 3, width = 64, seed = 5L)
+    val cPlan = counters.queryExecution.executedPlan.toString
+    val partial = cPlan.indexOf("partial_count")
+    val exchange = cPlan.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0 && exchange >= 0 && partial > exchange,
+      // executedPlan prints top-down: the final agg (above the exchange)
+      // appears FIRST, the partial agg below it — partial > exchange in
+      // string order means the partial sits under the exchange, i.e. the
+      // item stream is combined map-side before any shuffle
+      s"expected partial aggregation below the exchange, plan:\n$cPlan")
+    val est = Sketch.countMinEstimate(counters,
+      items.select($"token").distinct(), Nil, "token",
+      depth = 3, width = 64, seed = 5L)
+    val ePlan = est.queryExecution.executedPlan.toString
+    assert(ePlan.contains("BroadcastHashJoin") && !ePlan.contains("SortMergeJoin"),
+      s"probe join must broadcast the counter table, plan:\n$ePlan")
+  }
+
   test("counter tables merge by cell-sum into the whole-corpus table") {
     val (a, b) = (items.filter(substring($"token", 4, 10).cast("int") % 2 === 0),
                   items.filter(substring($"token", 4, 10).cast("int") % 2 === 1))
