@@ -2168,6 +2168,38 @@ object SparkEntry {
         QualityClassifier.seededWeights(256, seed = 29L),
         scale = 0.05, bias = 0.0, seed = 29L)),
 
+    // §2#48b segment-grain quality classification — the learned filter at
+    // the grain where production boilerplate removal operates: every
+    // aligned 8-word segment (WordSegments kernel) is scored by the SAME
+    // classifier artifact as q_quality_classifier, and the doc decision
+    // aggregates segments with EXACT integer pooling (total feature-weight
+    // sum over total features — long sums, one IEEE divide, association-
+    // order-free) plus the worst-segment logit (min over identically-
+    // computed doubles, order-free) and the failing-segment count. Scan +
+    // one doc-grain agg; the weight vector rides the plan as before.
+    "q_segment_classify" -> ((s, dir) => {
+      val segs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        posexplode(graft.plans.TextExpressions.wordSegments(col("text"), 8))
+          .as(Seq("seg_idx", "seg")))
+      val pooled = lit(0.0) + lit(0.05) *
+        (col("_sw").cast("double") /
+          greatest(col("_nf"), lit(1L)).cast("double"))
+      QualityClassifier.scored(segs, "doc_id", "seg",
+          QualityClassifier.seededWeights(256, seed = 29L),
+          scale = 0.05, bias = 0.0, seed = 29L)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("pass"), 0L).otherwise(1L)).as("n_fail"),
+          min(col("logit")).as("worst_logit"),
+          sum(col("sum_w")).as("_sw"),
+          sum(col("n_features")).as("_nf"))
+        .select(col("doc_id"), col("n_segs"), col("n_fail"),
+          col("worst_logit"), pooled.as("pooled_logit"),
+          (pooled > lit(0.0)).as("doc_pass"))
+    }),
+
     // §2#29i span-grain exact-substring duplicate REMOVAL (ExactSubstr's
     // production endpoint): duplicated 5-token windows (non-first
     // occurrence corpus-wide) merged into maximal spans and cut, survivors
@@ -4585,6 +4617,65 @@ object SparkEntry {
          |      AS logit
          |  FROM sc)
          |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
+    },
+
+    // segment-grain classifier: the q_segment_dedup segmenter CTEs feed
+    // the q_quality_classifier chain keyed on (doc_id, seg_idx); doc
+    // pooling is exact integer sums with one IEEE divide, mirrored
+    // operation-for-operation
+    "q_segment_classify" -> {
+      val wlist = QualityClassifier.seededWeights(256, 29L).mkString("[", ", ", "]")
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      val pooledSql = "CAST(0.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) * " +
+        "(cast(sum(sum_w) AS double) / cast(greatest(sum(n_features), 1) AS double))"
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+         |st AS (SELECT doc_id, tk, n,
+         |    list_filter(range(0, greatest(n, 1), 8), i -> i < n) AS ss FROM c),
+         |segs AS (SELECT doc_id, u.j - 1 AS seg_idx,
+         |    array_to_string(list_slice(tk, u.s + 1, u.s + 8), ' ') AS seg
+         |  FROM (SELECT doc_id, tk,
+         |      unnest(list_transform(range(1, len(ss) + 1),
+         |        j -> struct_pack(j := j, s := ss[j]))) AS u
+         |    FROM st)),
+         |stoks AS (SELECT doc_id, seg_idx,
+         |    list_filter(string_split_regex(lower(seg), '\\s+'),
+         |      t -> len(t) > 0) AS tk
+         |  FROM segs),
+         |feats AS (SELECT doc_id, seg_idx, list_concat(tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |    ELSE [] END) AS fs FROM stoks),
+         |base AS (SELECT doc_id, seg_idx, len(fs) AS n_features FROM feats),
+         |h0 AS (SELECT doc_id, seg_idx, unnest(fs) AS shingle FROM feats),
+         |folded AS (SELECT doc_id, seg_idx, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id, seg_idx,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, seg_idx,
+         |    ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, seg_idx,
+         |    ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, seg_idx, xor(z, z >> 31) AS z FROM z2),
+         |wsum AS (SELECT doc_id, seg_idx,
+         |    sum(($wlist)[cast(z % 256 AS bigint) + 1]) AS sum_w
+         |  FROM hv GROUP BY 1, 2),
+         |sc AS (SELECT b.doc_id, b.seg_idx,
+         |    cast(b.n_features AS bigint) AS n_features,
+         |    cast(coalesce(w.sum_w, 0) AS bigint) AS sum_w
+         |  FROM base b LEFT JOIN wsum w USING (doc_id, seg_idx)),
+         |lg AS (SELECT doc_id, seg_idx, n_features, sum_w,
+         |    CAST(0.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) *
+         |      (cast(sum_w AS double) / cast(greatest(n_features, 1) AS double))
+         |      AS logit
+         |  FROM sc)
+         |SELECT doc_id,
+         |  cast(count(*) AS bigint) AS n_segs,
+         |  cast(sum(CASE WHEN logit > 0 THEN 0 ELSE 1 END) AS bigint) AS n_fail,
+         |  min(logit) AS worst_logit,
+         |  $pooledSql AS pooled_logit,
+         |  ($pooledSql) > 0 AS doc_pass
+         |FROM lg GROUP BY 1""".stripMargin
     },
 
     // full FnvMix replay on CAST(doc_id AS VARCHAR), seed 13; shard =
