@@ -59,8 +59,18 @@ object QualityClassifier {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** Exact integer feature-weight sum: Σ_f w[fnv_mix(f, seed) mod B]. */
+  /** Exact integer feature-weight sum: Σ_f w[fnv_mix(f, seed) mod B].
+    *
+    * B must be a POWER OF TWO: the cross-engine replay guarantee reduces
+    * `fnv_mix(f) mod B` to a mask of the low bits, which every engine
+    * computes identically on the signed 64-bit mix; for other B, engines
+    * disagree on signed-mod conventions and the bit-for-bit contract is
+    * void — so it is required, mirroring `Sketch.countMinCounters`.
+    */
   def weightSum(text: Column, weights: Array[Int], seed: Long): Column = {
+    require(
+      weights.length > 0 && (weights.length & (weights.length - 1)) == 0,
+      s"weights.length must be a power of two for engine-portable bucketing, got ${weights.length}")
     val wlit = array(weights.map(w => lit(w.toLong)): _*)
     aggregate(
       features(text),

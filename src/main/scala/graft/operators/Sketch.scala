@@ -132,6 +132,12 @@ object Sketch {
     * `groupCols` when the counters are grouped): min over the depth cells,
     * absent cells counting 0. The counter table is groups × depth × width
     * rows — broadcast it; the probe side never shuffles.
+    *
+    * Output grain is DISTINCT (group, probe): duplicate probe rows collapse
+    * (an estimate is a property of the value, not the row), and null probes
+    * are dropped explicitly — mirroring [[countMinCounters]]' isNotNull on
+    * the ingest side, and making the otherwise-silent posexplode-of-null
+    * row loss an documented contract instead of a surprise.
     */
   def countMinEstimate(counters: DataFrame, probes: DataFrame,
       groupCols: Seq[String], probeCol: String,
@@ -140,11 +146,127 @@ object Sketch {
       pmod(HashExpressions.fnvMix(col(probeCol).cast("string"), seed + r),
         lit(width.toLong))): _*)
     probes
+      .where(col(probeCol).isNotNull)
       .select((groupCols :+ probeCol).map(col) :+
         posexplode(buckets).as(Seq("r", "bucket")): _*)
       .join(broadcast(counters), groupCols :+ "r" :+ "bucket", "left")
       .groupBy((groupCols :+ probeCol).map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  // ---- log-bucketed histogram: the QUANTILE member of the sketch family --
+  //
+  // HdrHistogram-style bucketing (Tene's HdrHistogram; also the shape of
+  // Prometheus native histograms) over NON-NEGATIVE integer measures
+  // (lengths, token counts, latencies, byte sizes): bucket index derives
+  // from the value's binary exponent plus `SubBits` sub-bucket bits — pure
+  // integer shifts, no log(), so the whole pipeline (bucket → count →
+  // cumulate → rank-select → representative) replays digit-for-digit in the
+  // DuckDB oracle. Same design rules as the HLL registers and count-min
+  // counters:
+  //
+  //  - one map-side-combined count builds the histogram; the exchange
+  //    carries at most groups × ~976 rows (buckets for the full int64
+  //    range), never the measure stream;
+  //  - histograms MERGE by summing cnt per (group, bucket)
+  //    ([[mergeHistograms]]) — per-day histograms roll up to any date range
+  //    without touching raw data, the property exact percentile_disc never
+  //    has;
+  //  - quantile estimates are EXACT-integer rank selection over the
+  //    cumulated buckets, answering with the bucket's lower bound — a
+  //    deterministic under-estimate with relative error < 2^-SubBits
+  //    (6.25 % at SubBits=4), which the spec pins against exact order
+  //    statistics;
+  //  - a streaming complete-mode groupBy-count over the same projection
+  //    produces the identical table (counting is associative-commutative) —
+  //    the q_stream_hist gate runs this exact function on a bounded stream.
+
+  /** Sub-bucket resolution bits: relative error < 2^-4 = 6.25 %. */
+  val SubBits = 4
+  private val Sub: Long = 1L << SubBits // 16 sub-buckets per octave
+
+  /** Bucket index for a non-negative long `v`: identity below 2^SubBits,
+    * then `(e - SubBits) * 2^SubBits + (v >> (e - SubBits))` where
+    * `e = 63 - clz64(v)` — continuous at every octave boundary, ≤ 976
+    * distinct buckets over the whole non-negative int64 range.
+    */
+  def histBucket(v: Column): Column = {
+    val e = lit(63) - HashExpressions.clz64(v)
+    when(v < lit(Sub), v).otherwise(
+      (e - lit(SubBits)).cast("long") * lit(Sub) +
+        call_function("shiftrightunsigned", v, e - lit(SubBits)))
+  }
+
+  /** Lower bound (the quantile representative) of bucket `id` — the exact
+    * integer inverse of [[histBucket]]: every value in the bucket is ≥ lb
+    * and < lb · (1 + 2^-SubBits), so rank-selection answers from lb with
+    * bounded relative error.
+    */
+  def histLowerBound(id: Column): Column =
+    when(id < lit(2L * Sub), id).otherwise(
+      call_function("shiftleft",
+        lit(Sub) + pmod(id, lit(Sub)),
+        (call_function("shiftrightunsigned", id, lit(SubBits)) - lit(1))
+          .cast("int")))
+
+  /** Histogram of `value` per `groupCols`: one row per (group, bucket) with
+    * `cnt`. Nulls and negative values are dropped explicitly (the bucket
+    * map is defined on non-negative measures only) — callers quantiling a
+    * column that may go negative must shift it into range first; silent
+    * clamping would corrupt the tails.
+    */
+  def logHistogram(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val v = value.cast("long")
+    df.where(v.isNotNull && v >= 0)
+      .select(groupCols.map(col) :+ histBucket(v).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histograms (same groupCols): sum per (group, bucket). */
+  def mergeHistograms(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a histogram: for each `(label, num, den)`
+    * target (e.g. ("p90", 9, 10)), the lower bound of the first bucket
+    * whose cumulative count reaches rank `ceil(N · num / den)` — the
+    * integer-exact rank-select both engines compute identically. Output is
+    * long-format `(group..., q_label, approx_value)`.
+    *
+    * The window cumulation runs over the histogram table (≤ ~976 rows per
+    * group), never the raw measures.
+    */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile target")
+    require(quantiles.forall { case (_, n, d) => n > 0 && n <= d },
+      s"quantile targets must satisfy 0 < num <= den, got $quantiles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .withColumn("_n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val targets = explode(array(quantiles.map { case (label, n, d) =>
+      struct(lit(label).as("q_label"), lit(n.toLong).as("_qn"),
+        lit(d.toLong).as("_qd"))
+    }: _*)).as("_t")
+    cum.select((groupCols.map(col) :+ col("bucket") :+ col("_cum") :+
+        col("_n") :+ targets): _*)
+      // cum ≥ ceil(N·num/den) ⇔ cum·den ≥ N·num — integer cross-multiply,
+      // no division anywhere in the estimator
+      .where(col("_cum") * col("_t._qd") >= col("_n") * col("_t._qn"))
+      .select(groupCols.map(col) :+ col("bucket") :+
+        col("_t.q_label").as("q_label"): _*)
+      .groupBy((groupCols :+ "q_label").map(col): _*)
+      .agg(min(col("bucket")).as("_b"))
+      .select(groupCols.map(col) :+ col("q_label") :+
+        histLowerBound(col("_b")).as("approx_value"): _*)
   }
 
   /** Raw-HLL estimate per group from a register table. */

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.LongType
 
 /** Schema-typed loaders for the driver test tables.
@@ -46,9 +46,16 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      // legacy generator: nanosecond INT64 read as plain bigint
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // micros with isAdjustedToUTC=false reads as NTZ; with the session
+      // timezone pinned to UTC the cast is the identity on wall values —
+      // the same instant DuckDB sees reading the file natively
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

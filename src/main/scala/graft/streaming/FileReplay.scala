@@ -35,7 +35,17 @@ object FileReplay {
     df.repartitionByRange(chunks, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
-    stampAscending(partFiles(dir))
+    val produced = partFiles(dir)
+    // range partitioning writes no part file for an empty range, so ties or
+    // low cardinality on orderCols can yield fewer files than requested —
+    // fail HERE with the cause, not downstream in a >=N-micro-batch assert
+    if (produced.length < chunks)
+      throw new IllegalStateException(
+        s"writeOrdered produced ${produced.length} part files but $chunks were requested: " +
+          s"the input has too few distinct values (or too much skew) on " +
+          s"${orderCols.mkString("(", ", ", ")")} to fill $chunks ranges — " +
+          s"lower the chunk count or add a finer tie-break column")
+    stampAscending(produced)
   }
 
   /** Append one more file (e.g. a sentinel batch) AFTER everything already

@@ -103,9 +103,13 @@ object StreamHeartbeat {
               val t = micros(e.ts)
               last match {
                 case Some(s) if t > s.tsMicros =>
-                  // start the closed increment where open increments stopped
+                  // start the closed increment where open increments stopped;
+                  // when the watermark landed exactly on t (from == t) the
+                  // closed row is ZERO-LENGTH — emitted anyway, because
+                  // [[mergeIncrements]]' chain-break between two adjacent
+                  // outages sharing this boundary heartbeat depends on it
                   val from = math.max(s.tsMicros, s.emittedOpenUntil)
-                  if (t - s.tsMicros > thresholdUs && t > from)
+                  if (t - s.tsMicros > thresholdUs && t >= from)
                     out += Gap(key, tsFromMicros(from), tsFromMicros(t), closed = true)
                   last = Some(LastSeen(t, 0L))
                 case None => last = Some(LastSeen(t, 0L))
