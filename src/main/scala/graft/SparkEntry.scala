@@ -260,6 +260,76 @@ object SparkEntry {
        |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Log-bucketed histogram replay (operators/Sketch.scala logHistogram)
+    * over documents(source, n_chars): binary exponent from an exact integer
+    * CASE chain (same no-floating-log2 rule as the HLL rank), then the
+    * HdrHistogram bucket map with 4 sub-bucket bits — ends in CTE
+    * `hist(source, bucket, cnt)`.
+    */
+  private lazy val HistCtes: String = {
+    val eCase = (62 to 4 by -1)
+      .map(k => s"WHEN v >= ${1L << k} THEN $k").mkString(" ")
+    s"""vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+       |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+       |ve AS (SELECT source, v, CASE $eCase ELSE 0 END AS e FROM vals),
+       |hist AS (SELECT source,
+       |    CASE WHEN v < 16 THEN v ELSE (e - 4) * 16 + (v >> (e - 4)) END AS bucket,
+       |    count(*) AS cnt
+       |  FROM ve GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Rank-select quantile finisher over CTE `hist`: integer cross-multiply
+    * rank rule (cum·den ≥ N·num, no division), answer = the bucket's exact
+    * integer lower bound. Ends in CTE `apx(source, q_label, approx_value)`.
+    */
+  private val HistQuantileCtes: String =
+    """cum AS (SELECT source, bucket,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+      |    sum(cnt) OVER (PARTITION BY source) AS n FROM hist),
+      |t(q_label, qn, qd) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+      |sel AS (SELECT source, q_label, min(bucket) AS b FROM cum CROSS JOIN t
+      |  WHERE c * qd >= n * qn GROUP BY 1, 2),
+      |apx AS (SELECT source, q_label,
+      |  CAST(CASE WHEN b < 32 THEN b
+      |    ELSE (16 + b % 16) * (CAST(1 AS BIGINT) << (b // 16 - 1)) END
+      |    AS BIGINT) AS approx_value FROM sel)""".stripMargin
+
+  /** Retrieval oracle core shared by q_bm25 / q_rrf_fusion: the five seeded
+    * queries, the tf/dl/df/corpus-constant folds over documents, query
+    * tokens, and the BM25 term/score/rank chain (operators/Ranking.scala
+    * bm25TopK) — ends in CTE `bmr(query_id, doc_id, score_q20,
+    * n_terms_hit, rn)`; `tf`, `dfc`, `qt` stay visible for the TF-IDF
+    * second ranker.
+    */
+  private lazy val RetrievalCtes: String =
+    s"""q(query_id, qtext) AS (VALUES
+       |  (CAST(1 AS BIGINT), 'spark window agg'),
+       |  (CAST(2 AS BIGINT), 'customer join order'),
+       |  (CAST(3 AS BIGINT), 'hash merge sort table'),
+       |  (CAST(4 AS BIGINT), 'slow scan'),
+       |  (CAST(5 AS BIGINT), 'vector stream batch data')),
+       |posting AS (SELECT doc_id, unnest($TokSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM posting GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |cs AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+       |qt AS (SELECT DISTINCT query_id, unnest(
+       |    list_distinct(list_filter(string_split_regex(lower(qtext), '\\s+'),
+       |      t -> len(t) > 0))) AS token FROM q),
+       |term AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor(
+       |      (CAST(2 * n - 2 * df + 1 AS DOUBLE) *
+       |       CAST(22 * tf * sumdl AS DOUBLE) /
+       |       (CAST(2 * df + 1 AS DOUBLE) *
+       |        CAST(10 * tf * sumdl + 3 * sumdl + 9 * dl * n AS DOUBLE)))
+       |      * 1048576.0) AS BIGINT) AS term_q20
+       |  FROM tf JOIN qt USING (token) JOIN dfc USING (token)
+       |    JOIN dl USING (doc_id) CROSS JOIN cs),
+       |pd AS (SELECT query_id, doc_id, sum(term_q20) AS score_q20,
+       |    count(*) AS n_terms_hit FROM term GROUP BY 1, 2),
+       |bmr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_q20 DESC, doc_id) AS rn FROM pd)""".stripMargin
+
   /** Segment-dedup oracle over table/CTE `from` cut into `segWords`-token
     * segments; `lead` prepends corpus-construction CTEs.
     */
@@ -1569,6 +1639,82 @@ object SparkEntry {
         col("reg").cast("long").as("reg"))
     }),
 
+    // §2#37f log-bucketed histogram — the QUANTILE member of the portable
+    // sketch family (HLL = cardinality, count-min = frequency): HdrHistogram-
+    // style integer bucketing (binary exponent + 4 sub-bucket bits, pure
+    // shifts, no log()), rank-select estimates with relative error < 2^-4.
+    // The approx quantile rides NEXT TO the exact order statistic computed
+    // by the same rank definition, so the emitted rel_err shows the sketch
+    // error directly — and every step replays in the oracle.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val targets = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val approx = Sketch.histQuantiles(
+        Sketch.logHistogram(docs, Seq("source"), col("n_chars")),
+        Seq("source"), targets)
+      // exact order statistic, SAME rank rule (min v with cum ≥ ceil(qN)) —
+      // not percentile_disc, whose tie handling varies across engines
+      val vc = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_cum", sum("_c").over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+        .withColumn("_n", sum("_c").over(Window.partitionBy(col("source"))))
+      val exact = vc
+        .select(col("source"), col("n_chars"), col("_cum"), col("_n"),
+          explode(array(targets.map { case (l, n, d) =>
+            struct(lit(l).as("q_label"), lit(n.toLong).as("_qn"),
+              lit(d.toLong).as("_qd"))
+          }: _*)).as("_t"))
+        .where(col("_cum") * col("_t._qd") >=
+          col("_n") * col("_t._qn")) // cum ≥ ceil(n·qn/qd) ⇔ cum·qd ≥ n·qn
+        .groupBy(col("source"), col("_t.q_label").as("q_label"))
+        .agg(min(col("n_chars")).as("exact_value"))
+      approx.join(exact, Seq("source", "q_label"))
+        .select(col("source"), col("q_label"), col("approx_value"),
+          col("exact_value"),
+          ((col("exact_value") - col("approx_value")).cast("double") /
+            col("exact_value").cast("double")).as("rel_err"))
+    }),
+
+    // §2#37g histogram MERGE algebra driver-gated: histograms built over two
+    // disjoint corpus halves, merged, then quantiled — hash-equal to the
+    // oracle's single-pass histogram over the whole corpus. This is the
+    // 100 TB mode: per-day/per-shard histograms persist and roll up to any
+    // range without touching raw data (exact percentiles can never do this).
+    "q_hist_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val half = (r: Int) => docs.where(pmod(col("doc_id"), lit(2)) === r)
+      val merged = Sketch.mergeHistograms(
+        Sketch.logHistogram(half(0), Seq("source"), col("n_chars")),
+        Sketch.logHistogram(half(1), Seq("source"), col("n_chars")),
+        Seq("source"))
+      Sketch.histQuantiles(merged, Seq("source"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+    }),
+
+    // §2#37h the SAME histogram built through the streaming stateful-agg
+    // path: bucket counting is associative-commutative, so the complete-mode
+    // final histogram must equal the batch one across real micro-batch
+    // boundaries — the quantile twin of q_stream_cm / q_stream_sketch.
+    "q_stream_hist" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"), "q_stream_hist")
+      val hist = Sketch.logHistogram(stream, Seq("source"), col("n_chars"))
+      val name = freshStreamTable(s, "q_stream_hist_")
+      val q = hist.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).select(col("source"), col("bucket"),
+        col("cnt").cast("long").as("cnt"))
+    }),
+
     // §2#19d the tumbling-window stream (S3) driver-gated through the REAL
     // Structured Streaming stateful-agg path: events streamed as a bounded
     // file source, StreamBucketAgg.tumbling's final window state must equal
@@ -2115,6 +2261,42 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", maxPostings = 50)),
 
+    // §2#36c BM25 ranked retrieval — the relevance stage over the inverted-
+    // index representation: rational log-free idf (TfIdf's device), k1=6/5
+    // b=3/4 folded into exact integer products, per-term scores quantized to
+    // 2^-20 before the sum (order-free), top-10 per query through bounded
+    // heaps. The query side broadcasts; only query-term postings ever flow.
+    "q_bm25" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark window agg"),
+        (2L, "customer join order"),
+        (3L, "hash merge sort table"),
+        (4L, "slow scan"),
+        (5L, "vector stream batch data"))).toDF("query_id", "qtext")
+      Ranking.bm25TopK(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    }),
+
+    // §2#36d reciprocal-rank fusion — the hybrid-retrieval combiner: BM25
+    // and the exact-integer TF-IDF scorer disagree by design (saturation +
+    // length norm vs raw tf·idf), and RRF fuses their top-10s with integer
+    // 2^30 div (60+rank) contributions. Fusion touches candidates only
+    // (queries × k rows per side), never the corpus.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark window agg"),
+        (2L, "customer join order"),
+        (3L, "hash merge sort table"),
+        (4L, "slow scan"),
+        (5L, "vector stream batch data"))).toDF("query_id", "qtext")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Ranking.rrfFuse(
+        Ranking.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10),
+        Ranking.tfidfTopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10),
+        "query_id", "doc_id", k = 10)
+    }),
+
     // §2#49b exact quantile curriculum phases WITHOUT a global sort:
     // thresholds from a bounded cell-table CDF (integer rank arithmetic),
     // assignment = scan-side count vs a broadcast threshold array
@@ -2323,6 +2505,21 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"))),
+
+    // §2#46c temperature-balanced downsampling (α = 1/2 via IEEE-exact
+    // sqrt): language shares flatten from ∝ n to ∝ √n — the multilingual
+    // balancing move — with the smallest language kept whole. Scan-side
+    // FnvMix keep decision; the corpus never shuffles. n_orig rides along
+    // so the flattening is visible in the gate output.
+    "q_temperature_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val orig = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      Sampling.temperatureBalance(docs, "doc_id", "lang", seed = 13L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .join(orig, "lang")
+        .select(col("lang"), col("n_orig"), col("n_kept"), col("id_sum"))
+    }),
 
     // §2#49c rolling z-score anomaly detection per entity (telemetry
     // monitoring): trailing-window mean/σ from exact quantized sums —
@@ -2794,6 +2991,46 @@ object SparkEntry {
          |  array_to_string(list_slice(post, 1, 50), ',') AS postings_csv,
          |  cast(CASE WHEN df_cnt > 50 THEN 1 ELSE 0 END AS bigint) AS truncated
          |FROM agg""".stripMargin),
+
+    // BM25: rational log-free idf (2N-2df+1)/(2df+1), k1=6/5 b=3/4 folded
+    // into exact integer products, each term one IEEE multiply per side +
+    // one divide, quantized to 2^-20 (floor) before the order-free integer
+    // sum — the SAME expression tree Spark evaluates, so scores hash-match
+    "q_bm25" -> (
+      s"""WITH $RetrievalCtes
+         |SELECT query_id, doc_id, CAST(score_q20 AS BIGINT) AS score_q20,
+         |  CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+         |FROM bmr WHERE rn <= 10""".stripMargin),
+
+    // RRF hybrid fusion: both scorers' top-10 tables re-ranked, each rank's
+    // contribution the exact integer 2^30 div (60 + rank), summed over a
+    // full-outer candidate join — bit-identical fused order
+    "q_rrf_fusion" -> (
+      s"""WITH $RetrievalCtes,
+         |nn2 AS (SELECT count(*) AS n2 FROM documents),
+         |tft AS (SELECT qt.query_id, tf.doc_id,
+         |    (tf * (n2 + 1) * 1048576) // (df + 1) AS term_q20
+         |  FROM tf JOIN qt USING (token) JOIN dfc USING (token) CROSS JOIN nn2),
+         |tfpd AS (SELECT query_id, doc_id, sum(term_q20) AS score_q20
+         |  FROM tft GROUP BY 1, 2),
+         |tfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_q20 DESC, doc_id) AS rn FROM tfpd),
+         |ra AS (SELECT query_id, doc_id, 1073741824 // (60 + rn) AS ca
+         |  FROM bmr WHERE rn <= 10),
+         |rb AS (SELECT query_id, doc_id, 1073741824 // (60 + rn) AS cb
+         |  FROM tfr WHERE rn <= 10),
+         |fused AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |    coalesce(ca, 0) + coalesce(cb, 0) AS rrf_q30,
+         |    (CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END +
+         |     CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS n_rankers
+         |  FROM ra FULL OUTER JOIN rb
+         |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_q30 DESC, doc_id) AS rn2 FROM fused)
+         |SELECT query_id, doc_id, CAST(rrf_q30 AS BIGINT) AS rrf_q30,
+         |  CAST(n_rankers AS BIGINT) AS n_rankers
+         |FROM fr WHERE rn2 <= 10""".stripMargin),
 
     // type-1 quantile: rank = ceil(p*n) in integer arithmetic, threshold =
     // rank-th smallest counting duplicates; phase = thresholds strictly
@@ -3275,6 +3512,35 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin
     },
 
+    // temperature balancing: rate = sqrt(n_min)/sqrt(n) — sqrt is the one
+    // power IEEE requires correctly rounded, so the rate doubles (and the
+    // keep decision) are bit-identical cross-engine; same FnvMix uniform
+    // replay as q_mixture_sample, seed 13
+    "q_temperature_sample" -> {
+      val seedGolden = (BigInt(13) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |mn AS (SELECT min(n) AS n_min FROM cnt),
+         |r AS (SELECT lang, n,
+         |    sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)) AS rate
+         |  FROM cnt CROSS JOIN mn),
+         |h0 AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS shingle
+         |  FROM documents),
+         |folded AS (SELECT doc_id, lang, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id, lang,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, lang, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, lang, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM z2),
+         |u AS (SELECT doc_id, lang,
+         |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS u FROM hv)
+         |SELECT u.lang, CAST(r.n AS BIGINT) AS n_orig,
+         |  cast(count(*) AS bigint) AS n_kept,
+         |  cast(sum(doc_id) AS bigint) AS id_sum
+         |FROM u JOIN r ON u.lang = r.lang WHERE u.u < r.rate
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     // count-min: full FnvMix replay per hash-family member (seed 17+r),
     // power-of-two bucket mod (signed pmod == unsigned % on low bits),
     // counters grouped, probe estimate = min over depth cells with absent
@@ -3367,6 +3633,40 @@ object SparkEntry {
          |  CAST(reg AS BIGINT) AS reg
          |FROM regs""".stripMargin
     ),
+
+    // log-histogram quantile sketch: exact integer bucket map (CASE-chain
+    // exponent, shifts), cross-multiply rank select, lower-bound answer —
+    // next to the exact order statistic by the SAME rank rule
+    "q_quantile_sketch" -> (
+      s"""WITH $HistCtes,
+         |$HistQuantileCtes,
+         |vcc AS (SELECT source, v, count(*) AS c2 FROM vals GROUP BY 1, 2),
+         |vcum AS (SELECT source, v,
+         |    sum(c2) OVER (PARTITION BY source ORDER BY v) AS c,
+         |    sum(c2) OVER (PARTITION BY source) AS n FROM vcc),
+         |ext AS (SELECT source, q_label, min(v) AS exact_value
+         |  FROM vcum CROSS JOIN t WHERE c * qd >= n * qn GROUP BY 1, 2)
+         |SELECT a.source, a.q_label, a.approx_value,
+         |  CAST(e.exact_value AS BIGINT) AS exact_value,
+         |  CAST(e.exact_value - a.approx_value AS DOUBLE) /
+         |    CAST(e.exact_value AS DOUBLE) AS rel_err
+         |FROM apx a JOIN ext e ON a.source = e.source
+         |  AND a.q_label = e.q_label""".stripMargin),
+
+    // merge gate: the oracle histograms the WHOLE corpus in one pass; the
+    // Spark side built two half-corpus histograms and merged — hash
+    // equality proves the merge algebra cross-engine
+    "q_hist_merge" -> (
+      s"""WITH $HistCtes,
+         |$HistQuantileCtes
+         |SELECT source, q_label, approx_value FROM apx""".stripMargin),
+
+    // the streaming twin compares at histogram grain: stream-final
+    // complete-mode state must equal the batch bucket counts row for row
+    "q_stream_hist" -> (
+      s"""WITH $HistCtes
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(cnt AS BIGINT) AS cnt FROM hist""".stripMargin),
 
     "q_quality_checks" ->
       """WITH seeded AS (

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval: score a (small) set of queries against the corpus
+  * and return the top-k documents per query — the retrieval stage on top of
+  * the [[Index]] posting representation, and the standard relevance baseline
+  * every search / RAG-retrieval / contamination-triage stack starts from
+  * (Robertson & Spärck Jones probabilistic relevance framework; the
+  * k1/b parametrisation of Okapi BM25).
+  *
+  * Engine-portable scoring, same discipline as [[TfIdf]]'s rational idf:
+  * `ln((N − df + 0.5)/(df + 0.5))` is NOT bit-portable across libm
+  * implementations, so the idf factor is the RATIONAL form
+  * `(2N − 2df + 1)/(2df + 1)` — the same quantity without the log. With
+  * k1 = 6/5 and b = 3/4 folded through, each per-term score is a ratio of
+  * two EXACT integer products:
+  *
+  *   term = (2N − 2df + 1)·22·tf·Σdl / ((2df + 1)·(10·tf·Σdl + 3·Σdl + 9·dl·N))
+  *
+  * evaluated as exactly two int→double casts, one IEEE multiply per side and
+  * one IEEE divide — bit-identical in any IEEE engine. Per-document scores
+  * sum the per-term values QUANTIZED to integers (`floor(term · 2^20)`), so
+  * the sum is association-order-free — the same order-free-quantized-sum
+  * device as [[NgramLM]] — and the final score hash-matches the oracle no
+  * matter how Spark schedules the aggregation.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - tf / dl / df are the same map-side-combined folds as [[TfIdf]] — the
+  *    raw token stream collapses per partition before any exchange;
+  *  - the query side is tiny and BROADCAST: postings semi-join against the
+  *    query-token set before anything else, so only postings of query terms
+  *    flow into scoring — the corpus is never shuffled on the token key for
+  *    terms nobody asked about;
+  *  - corpus constants (N, Σdl) ride along as a one-row broadcast;
+  *  - top-k per query runs through [[graft.plans.TopKPerKey]]'s bounded
+  *    heaps, never a global sort.
+  */
+object Ranking {
+
+  /** Exact integer floor-division `a div b` for non-negative operands:
+    * a − (a mod b) is a long multiple of b, its double image is exact for
+    * the magnitudes here (< 2^53 — term numerators cap at tf·N·2^20), and
+    * the division is then exact by construction. No `div` is exposed in
+    * the Column API; this avoids expr() string round-trips.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
+
+  /** Top-k BM25 results per query. `queries` must be small (it is collected
+    * into a broadcast join side): (qidCol, qtextCol) rows. Query terms are
+    * DISTINCT per query (standard bag-of-terms BM25 with query tf capped at
+    * 1 — repeated words in a query string do not double-score).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df_cnt"))
+    val consts = dl.agg(count(lit(1)).as("_n"), sum("dl").as("_sumdl"))
+    val qtok = queries.select(col(qidCol),
+        explode(array_distinct(Text.tokens(col(qtextCol)))).as("token"))
+    val scoredTerms = tf
+      .join(broadcast(qtok), "token") // only query-term postings survive
+      .join(broadcast(dfc.join(broadcast(qtok.select("token").distinct()),
+        "token")), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(consts))
+      .select(col(qidCol), col(idCol),
+        floor(
+          ((lit(2L) * col("_n") - lit(2L) * col("df_cnt") + lit(1L)).cast("double") *
+            (lit(22L) * col("tf") * col("_sumdl")).cast("double") /
+            ((lit(2L) * col("df_cnt") + lit(1L)).cast("double") *
+              (lit(10L) * col("tf") * col("_sumdl") + lit(3L) * col("_sumdl") +
+                lit(9L) * col("dl") * col("_n")).cast("double"))) *
+          lit(1048576.0)).cast("long").as("term_q20"))
+    val perDoc = scoredTerms
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum("term_q20").as("score_q20"), count(lit(1)).as("n_terms_hit"))
+    graft.plans.TopK.perKey(
+      perDoc, Seq(qidCol), Seq(col("score_q20").desc, col(idCol).asc), k)
+  }
+
+  /** Top-k TF-IDF retrieval — the second lexical ranker for [[rrfFuse]]:
+    * score = Σ_t tf · (N+1)/(df+1), the classic tf·idf retrieval sum with
+    * [[TfIdf]]'s rational idf, here kept ENTIRELY in integers:
+    * `term_q20 = (tf · (N+1) · 2^20) div (df+1)` — floor of the exact
+    * rational, no floating point anywhere, so scores (and the fused ranks
+    * downstream) are trivially engine-exact. Differs from BM25 by design:
+    * no tf saturation, no length normalization — which is exactly why the
+    * two disagree enough for fusion to be worth running.
+    *
+    * Same scale shape as [[bm25TopK]]: broadcast query-term semi-join, map-
+    * side-combined folds, bounded-heap top-k.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df_cnt"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val qtok = queries.select(col(qidCol),
+      explode(array_distinct(Text.tokens(col(qtextCol)))).as("token"))
+    val scored = tf
+      .join(broadcast(qtok), "token")
+      .join(broadcast(dfc.join(broadcast(qtok.select("token").distinct()),
+        "token")), "token")
+      .crossJoin(broadcast(n))
+      .select(col(qidCol), col(idCol),
+        floorDiv(col("tf") * (col("_n") + lit(1L)) * lit(1048576L),
+          col("df_cnt") + lit(1L)).as("term_q20"))
+    val perDoc = scored.groupBy(col(qidCol), col(idCol))
+      .agg(sum("term_q20").as("score_q20"), count(lit(1)).as("n_terms_hit"))
+    graft.plans.TopK.perKey(
+      perDoc, Seq(qidCol), Seq(col("score_q20").desc, col(idCol).asc), k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * rankings — the standard hybrid-retrieval combiner (lexical + dense, or
+    * any pair of scorers): each ranker contributes `1/(kRank + rank)` per
+    * document and the fused order is by the summed contribution. Kept in
+    * exact integers: `contrib = 2^30 div (kRank + rank)` (floor), so the
+    * fused score is an order-free integer sum, bit-identical anywhere —
+    * the same quantization discipline as the scorers.
+    *
+    * Inputs are the scorers' top-k tables (`(qidCol, idCol, score_q20)`),
+    * so fusion touches candidates only — queries × k rows per side, never
+    * the corpus. Ranks derive from (score_q20 desc, id asc) row_number on
+    * those tiny tables; ties inside a ranker get distinct ranks by id,
+    * deterministically.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
+      k: Int, kRank: Int = 60): DataFrame = {
+    require(k > 0 && kRank > 0, s"k and kRank must be positive: $k, $kRank")
+    def ranked(df: DataFrame, tag: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(qidCol))
+        .orderBy(col("score_q20").desc, col(idCol).asc)
+      df.select(col(qidCol), col(idCol),
+        floorDiv(lit(1073741824L),
+          row_number().over(w).cast("long") + lit(kRank.toLong))
+          .as(s"contrib_$tag"))
+    }
+    val fused = ranked(a, "a").join(ranked(b, "b"), Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        (coalesce(col("contrib_a"), lit(0L)) +
+          coalesce(col("contrib_b"), lit(0L))).as("rrf_q30"),
+        (when(col("contrib_a").isNotNull, 1L).otherwise(0L) +
+          when(col("contrib_b").isNotNull, 1L).otherwise(0L)).as("n_rankers"))
+    graft.plans.TopK.perKey(
+      fused, Seq(qidCol), Seq(col("rrf_q30").desc, col(idCol).asc), k)
+  }
+}

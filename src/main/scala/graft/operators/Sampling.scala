@@ -76,6 +76,43 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Temperature-balanced downsampling (α = 1/2): resample the corpus so
+    * class shares flatten from ∝ n_c to ∝ n_c^α — the standard multilingual
+    * data-balancing move (temperature / exponent-smoothed sampling as in
+    * multilingual LM and MT training), which up-weights tail languages
+    * without flattening to uniform. α is FIXED at 1/2 because `sqrt` is the
+    * one power IEEE-754 requires to be correctly rounded — `pow(x, α)` for
+    * general α is NOT bit-portable across libm implementations, so α = 1/2
+    * is the only temperature with an engine-exact, oracle-replayable rate.
+    *
+    * Rates: the smallest class keeps everything, and every class keeps
+    * `rate_c = sqrt(n_min) / sqrt(n_c)` — expected kept counts ∝ sqrt(n_c),
+    * i.e. shares ∝ n_c^(1/2), without replacement (no class oversamples).
+    *
+    * Scale shape, same as [[toMixture]]: class cardinalities are one
+    * map-side-combined count (a classes-sized table), n_min folds it to one
+    * broadcast row, and the keep decision is a scan-side filter on the
+    * portable FnvMix uniform — the corpus is never shuffled.
+    */
+  def temperatureBalance(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      seed: Long): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min("_n").as("_n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(classCol),
+        (sqrt(col("_n_min").cast("double")) /
+          sqrt(col("_n").cast("double"))).as("_rate"))
+    val u = shiftrightunsigned(
+        graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+      .cast("double") / lit(1099511627776.0)
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(u < col("_rate"))
+      .drop("_rate")
+  }
+
   /** Deterministic FIXED-SIZE sample per stratum: exactly `min(k, |stratum|)`
     * rows from each stratum, chosen as the k smallest portable-hash uniforms
     * — the eval-set / human-review draw ("500 docs per language, same 500

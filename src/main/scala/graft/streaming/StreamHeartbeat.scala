@@ -104,10 +104,14 @@ object StreamHeartbeat {
               last match {
                 case Some(s) if t > s.tsMicros =>
                   // start the closed increment where open increments stopped;
-                  // when the watermark landed exactly on t (from == t) the
-                  // closed row is ZERO-LENGTH — emitted anyway, because
-                  // [[mergeIncrements]]' chain-break between two adjacent
-                  // outages sharing this boundary heartbeat depends on it
+                  // if t == from the closed row is ZERO-LENGTH — emitted
+                  // anyway, because [[mergeIncrements]]' chain-break between
+                  // two adjacent outages sharing this boundary heartbeat
+                  // depends on it. (Unreachable through the real stream
+                  // path today: emittedOpenUntil only holds PAST watermark
+                  // values and Spark's late filter drops ts <= wm, so a
+                  // surviving heartbeat has t > from — spec-pinned; this is
+                  // defense in depth should those semantics ever change.)
                   val from = math.max(s.tsMicros, s.emittedOpenUntil)
                   if (t - s.tsMicros > thresholdUs && t >= from)
                     out += Gap(key, tsFromMicros(from), tsFromMicros(t), closed = true)

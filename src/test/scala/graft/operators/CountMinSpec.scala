@@ -67,4 +67,19 @@ class CountMinSpec extends SparkSpec {
       .select($"r", $"bucket", $"cnt").as[(Int, Long, Long)].collect().toSet
     assert(merged == whole, "merged half-corpus counters != whole-corpus counters")
   }
+
+  test("estimate drops null probes and collapses duplicates to distinct grain") {
+    val counters = Sketch.countMinCounters(items, Nil, $"token",
+      depth = 3, width = 64, seed = 5L)
+    // duplicated + null probes: the output grain contract is DISTINCT
+    // non-null probe values — an estimate is a property of the value
+    val probes = Seq(Some("tok1"), Some("tok1"), None, Some("tok2"), None)
+      .toDF("token")
+    val est = Sketch.countMinEstimate(counters, probes, Nil, "token",
+      depth = 3, width = 64, seed = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("tok1", "tok2"),
+      s"expected distinct non-null probes only, got ${est.keySet}")
+    assert(est("tok1") >= 200L && est("tok2") >= 100L)
+  }
 }

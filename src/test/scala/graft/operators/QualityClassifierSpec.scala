@@ -49,6 +49,19 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a.exists(_ > 0) && a.exists(_ < 0))
   }
 
+  test("non-power-of-two bucket counts are rejected (portable-mod contract)") {
+    // the bit-for-bit cross-engine replay reduces fnv_mix(f) mod B to a
+    // low-bit mask only when B is a power of two — anything else must fail
+    // loudly, not silently void the oracle guarantee
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.weightSum(lit("a b"), Array.fill(300)(1), 5L)
+    }
+    assert(e.getMessage.contains("power of two"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      QualityClassifier.weightSum(lit("a b"), Array.empty[Int], 5L)
+    }
+  }
+
   test("inference is scan-side: no Exchange anywhere in the plan") {
     val df = QualityClassifier.scored(
       Seq((1L, "a b c")).toDF("doc_id", "text"),

@@ -64,6 +64,40 @@ class SamplingSpec extends SparkSpec {
       s"corpus side must not shuffle for the join:\n$plan")
   }
 
+  // imbalanced classes: 640 / 160 / 40 / 10 rows — shares 79% / 20% / 5% / 1%
+  private def skewCorpus = spark.range(850).select(
+    col("id"),
+    when(col("id") < 640, "en").when(col("id") < 800, "de")
+      .when(col("id") < 840, "fr").otherwise("rm").as("lang"))
+
+  test("temperatureBalance keeps the smallest class whole, others ∝ sqrt(n)") {
+    val kept = Sampling.temperatureBalance(skewCorpus, "id", "lang", seed = 9L)
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("rm") == 10L, "smallest class must keep every row (rate 1)")
+    // expected kept_c = n_c · sqrt(n_min/n_c) = sqrt(n_min · n_c):
+    // en: sqrt(10·640) = 80, de: sqrt(10·160) = 40, fr: sqrt(10·40) = 20 —
+    // uniform-hash binomial noise, generous ±45% bounds
+    assert(counts("en") > 44 && counts("en") < 116, s"en: ${counts("en")}")
+    assert(counts("de") > 22 && counts("de") < 58, s"de: ${counts("de")}")
+    assert(counts("fr") > 8 && counts("fr") < 32, s"fr: ${counts("fr")}")
+    // the flattening property itself: kept shares are closer to uniform
+    // than original shares (max/min ratio shrinks from 64 toward sqrt(64)=8)
+    val ratio = counts.values.max.toDouble / counts.values.min
+    assert(ratio < 64.0 / 4, s"kept max/min ratio $ratio did not flatten")
+  }
+
+  test("temperatureBalance is deterministic and never shuffles the corpus") {
+    val a = Sampling.temperatureBalance(skewCorpus, "id", "lang", 9L)
+    val b = Sampling.temperatureBalance(skewCorpus.repartition(7), "id", "lang", 9L)
+    assert(a.select("id").exceptAll(b.select("id")).isEmpty &&
+      b.select("id").exceptAll(a.select("id")).isEmpty)
+    a.collect() // finalize the AQE plan before asserting on it
+    val plan = a.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
+
   test("fixedPerStratum draws exactly min(k, stratum size) rows per stratum") {
     val ds = ((1L to 100L).map(i => (i, "big")) ++ (101L to 103L).map(i => (i, "small")))
       .toDF("id", "cls")

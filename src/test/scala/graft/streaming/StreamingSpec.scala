@@ -115,6 +115,81 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 12:00:00", "2024-01-01 13:00:00", true)))
   }
 
+  test("heartbeat at exactly the watermark is LATE (pins the equality semantics)") {
+    // The r6-advice scenario — a closing heartbeat arriving with t == wm,
+    // making the closed increment zero-length — is UNREACHABLE through the
+    // real stream path: emittedOpenUntil only ever holds a PAST watermark
+    // value, watermarks are non-decreasing, and Spark's late filter drops
+    // rows with ts <= wm, so any heartbeat that survives the filter has
+    // t > wm_now >= emittedOpenUntil. The processor still emits the
+    // zero-length closed row if handed t == from (defense in depth; the
+    // merge unit test below pins its chain-break role). This test pins the
+    // equality-drop semantics the unreachability argument rests on — if a
+    // Spark upgrade starts admitting ts == wm, it fails and the boundary
+    // must be re-audited.
+    implicit val sqlCtx = spark.sqlContext
+    import StreamHeartbeat._
+    val input = MemoryStream[Heartbeat]
+    val out = StreamHeartbeat.gaps(input.toDS(), thresholdSeconds = 300L)
+    val query = out.writeStream.format("memory").queryName("hb_boundary")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 heartbeat 10:00; driver key 9 pushes max event time
+      // (and thus the post-batch watermark, delay 0s) to exactly 11:00
+      input.addData(
+        Heartbeat(1L, sqlTs("2024-01-01 10:00:00")),
+        Heartbeat(9L, sqlTs("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      // batch 2 (wm = 11:00): key 1's timeout fires — open [10:00, 11:00)
+      input.addData(Heartbeat(9L, sqlTs("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      // batch 3 (wm = 11:00): a heartbeat at EXACTLY the watermark — late
+      input.addData(Heartbeat(1L, sqlTs("2024-01-01 11:00:00")))
+      query.processAllAvailable()
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1,
+        "ts == watermark was ADMITTED: the zero-length closed-row boundary " +
+          "is now reachable end-to-end and needs a real stream-path test")
+      // and the open increment [10:00, 11:00) from the timeout is present
+      val rows = spark.table("hb_boundary").where($"key" === 1L)
+        .select($"from_ts".cast("string"), $"to_ts".cast("string"), $"closed")
+        .as[(String, String, Boolean)].collect().toSeq
+      assert(rows.contains(("2024-01-01 10:00:00", "2024-01-01 11:00:00", false)))
+    } finally query.stop()
+  }
+
+  test("mergeIncrements: a zero-length closed row breaks the chain") {
+    import StreamHeartbeat._
+    // open chain up to 11:00 terminated by the zero-length closed marker
+    // (the row the processor emits when handed t == from), then a second
+    // outage [11:00 → 11:45] — must remain TWO outages, not merge into one
+    val rows = Seq(
+      Gap(1L, sqlTs("2024-01-01 10:00:00"), sqlTs("2024-01-01 11:00:00"), closed = false),
+      Gap(1L, sqlTs("2024-01-01 11:00:00"), sqlTs("2024-01-01 11:00:00"), closed = true),
+      Gap(1L, sqlTs("2024-01-01 11:00:00"), sqlTs("2024-01-01 11:45:00"), closed = true))
+    val merged = StreamHeartbeat.mergeIncrements(rows.toDF())
+      .select($"from_ts".cast("string"), $"to_ts".cast("string"), $"closed")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(merged == Set(
+      ("2024-01-01 10:00:00", "2024-01-01 11:00:00", true),
+      ("2024-01-01 11:00:00", "2024-01-01 11:45:00", true)),
+      s"zero-length closed row failed to break the chain: $merged")
+  }
+
+  test("writeOrdered fails fast when ties underfill the requested chunks") {
+    // one distinct order value cannot fill 4 ranges — the gate must abort
+    // HERE with the cause, not downstream in an assertMultiBatch mystery
+    val dir = java.nio.file.Files.createTempDirectory("graft-underfill").toString
+    val df = Seq.fill(20)(("a", 1L)).toDF("k", "ord")
+    val e = intercept[IllegalStateException] {
+      FileReplay.writeOrdered(df, Seq("ord"), chunks = 4, dir = s"$dir/data")
+    }
+    assert(e.getMessage.contains("part files") &&
+      e.getMessage.contains("distinct"), e.getMessage)
+    FileReplay.deleteRecursively(new java.io.File(dir))
+  }
+
   test("StreamUptime accumulates per-day downtime from gap increments") {
     implicit val sqlCtx = spark.sqlContext
     import StreamHeartbeat._
