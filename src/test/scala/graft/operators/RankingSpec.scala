@@ -97,6 +97,28 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopK == rrfFuse of standalone scorers, with ONE corpus fold") {
+    val q = queries((1L, "alpha beta"), (2L, "delta epsilon"))
+    val hybrid = Ranking.hybridTopK(docs, "doc_id", "text",
+      q, "query_id", "qtext", k = 10)
+    val composed = Ranking.rrfFuse(
+      Ranking.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", 10),
+      Ranking.tfidfTopK(docs, "doc_id", "text", q, "query_id", "qtext", 10),
+      "query_id", "doc_id", k = 10)
+    assert(hybrid.exceptAll(composed).isEmpty && composed.exceptAll(hybrid).isEmpty)
+    // the reuse contract: the corpus fold is OUTSIDE the fused plan (the
+    // checkpointed tf shows up as ExistingRDD), so the only explodes left
+    // are the tiny query-token ones — the composed plan re-tokenizes the
+    // corpus per branch and carries strictly more explode generators
+    val hPlan = hybrid.queryExecution.executedPlan.toString
+    val cPlan = composed.queryExecution.executedPlan.toString
+    assert(hPlan.contains("ExistingRDD"),
+      s"hybrid must read the checkpointed tf, plan:\n$hPlan")
+    val explodes = (p: String) => "Generate explode".r.findAllIn(p).length
+    assert(explodes(hPlan) < explodes(cPlan),
+      s"hybrid still re-tokenizes the corpus: ${explodes(hPlan)} vs ${explodes(cPlan)}")
+  }
+
   test("the query side broadcasts; no sort-merge join on the token key") {
     val plan = Ranking.bm25TopK(docs, "doc_id", "text",
         queries((1L, "alpha beta")), "query_id", "qtext", 10)
