@@ -2297,6 +2297,36 @@ object SparkEntry {
         queries, "query_id", "qtext", k = 10)
     }),
 
+    // §2#36e retrieval evaluation — MRR / AP / recall@k of the BM25 ranking
+    // against rule-derived judgments (docs containing EVERY query token —
+    // conjunctive containment, computable in both engines), all metrics in
+    // floor-quantized exact integers. Closes the retrieval loop: rank →
+    // fuse → EVALUATE. nDCG is deliberately absent (log2 discount is not
+    // bit-portable); RR/AP/recall carry the ordering-quality signal.
+    "q_retrieval_eval" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark window agg"),
+        (2L, "customer join order"),
+        (3L, "hash merge sort table"),
+        (4L, "slow scan"),
+        (5L, "vector stream batch data"))).toDF("query_id", "qtext")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ranking = Ranking.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      val qtok = queries.select(col("query_id"),
+        explode(array_distinct(Text.tokens(col("qtext")))).as("token"))
+      val qsize = qtok.groupBy(col("query_id")).agg(count(lit(1)).as("_qn"))
+      val qrels = docs
+        .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text"))))
+          .as("token"))
+        .join(broadcast(qtok), "token")
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("_m"))
+        .join(broadcast(qsize), "query_id")
+        .where(col("_m") === col("_qn"))
+        .select(col("query_id"), col("doc_id"))
+      Ranking.evalRanking(ranking, qrels, "query_id", "doc_id")
+    }),
+
     // §2#49b exact quantile curriculum phases WITHOUT a global sort:
     // thresholds from a bounded cell-table CDF (integer rank arithmetic),
     // assignment = scan-side count vs a broadcast threshold array
@@ -3031,6 +3061,33 @@ object SparkEntry {
          |SELECT query_id, doc_id, CAST(rrf_q30 AS BIGINT) AS rrf_q30,
          |  CAST(n_rankers AS BIGINT) AS n_rankers
          |FROM fr WHERE rn2 <= 10""".stripMargin),
+
+    // retrieval eval: conjunctive-containment qrels, floor-quantized
+    // RR/AP, recall as an exact (hits, n_rel) pair — rank == the BM25
+    // chain's rn for the kept top-10 rows, so both engines agree on it
+    "q_retrieval_eval" -> (
+      s"""WITH $RetrievalCtes,
+         |qsz AS (SELECT query_id, count(*) AS qn FROM qt GROUP BY 1),
+         |dtok AS (SELECT DISTINCT doc_id, token FROM posting),
+         |qrels AS (SELECT q2.query_id, d.doc_id
+         |  FROM dtok d JOIN qt q2 ON d.token = q2.token
+         |  JOIN qsz ON q2.query_id = qsz.query_id
+         |  GROUP BY 1, 2, qsz.qn HAVING count(*) = qsz.qn),
+         |rk AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank
+         |  FROM bmr WHERE rn <= 10),
+         |h AS (SELECT r.query_id, r.rank,
+         |    count(*) OVER (PARTITION BY r.query_id ORDER BY r.rank) AS hsf
+         |  FROM rk r JOIN qrels USING (query_id, doc_id)),
+         |pq AS (SELECT query_id, min(rank) AS frr, count(*) AS nh,
+         |    sum((hsf * 1048576) // rank) AS apn FROM h GROUP BY 1),
+         |nr AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1)
+         |SELECT nr.query_id, CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(coalesce(nh, 0) AS BIGINT) AS n_hits_at_k,
+         |  CAST(coalesce(frr, -1) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN frr IS NOT NULL THEN 1073741824 // frr
+         |    ELSE 0 END AS BIGINT) AS rr_q30,
+         |  CAST(coalesce(apn, 0) // n_rel AS BIGINT) AS ap_q20
+         |FROM nr LEFT JOIN pq USING (query_id)""".stripMargin),
 
     // type-1 quantile: rank = ceil(p*n) in integer arithmetic, threshold =
     // rank-th smallest counting duplicates; phase = thresholds strictly

@@ -195,6 +195,59 @@ object Ranking {
     * those tiny tables; ties inside a ranker get distinct ranks by id,
     * deterministically.
     */
+  /** Retrieval-quality evaluation of a ranking against relevance judgments
+    * (`qrels`: one row per relevant (query, doc) pair) — the measurement
+    * stage that closes the retrieval loop (rank → fuse → EVALUATE), in the
+    * same exact-integer discipline as the scorers so the metrics replay
+    * cross-engine:
+    *
+    *  - `first_rel_rank`: rank of the first relevant hit (-1 when no
+    *    relevant doc appears in the ranking);
+    *  - `rr_q30 = 2^30 div first_rel_rank` — reciprocal rank, floor-
+    *    quantized (0 when no hit), so MRR is a later exact integer mean;
+    *  - `ap_q20 = (Σ_hits ⌊2^20 · hits_so_far / rank⌋) div n_rel` —
+    *    average precision from floor-quantized precision-at-hit terms
+    *    (n_rel from the judgments, so misses below the cutoff count
+    *    against AP, per the standard definition);
+    *  - `n_hits_at_k` / `n_rel` — recall@k as an exact pair, not a lossy
+    *    ratio.
+    *
+    * nDCG is deliberately absent: its 1/log2(r+1) discount is not
+    * bit-portable (libm), and RR/AP/recall cover the same ordering-quality
+    * signal in exact arithmetic.
+    *
+    * Scale shape: everything happens on the ranking table (queries × k
+    * rows) joined against qrels — window ranks over tiny per-query
+    * partitions; the corpus is never touched.
+    */
+  def evalRanking(ranking: DataFrame, qrels: DataFrame,
+      qidCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score_q20").desc, col(idCol).asc)
+    val ranked = ranking.select(col(qidCol), col(idCol),
+      row_number().over(w).cast("long").as("rank"))
+    val nRel = qrels.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.join(qrels.select(col(qidCol), col(idCol)),
+        Seq(qidCol, idCol))
+      .withColumn("hits_so_far", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(qidCol)).orderBy(col("rank"))))
+    val perQuery = hits.groupBy(col(qidCol)).agg(
+      min(col("rank")).as("first_rel_rank"),
+      count(lit(1)).as("n_hits_at_k"),
+      sum(floorDiv(col("hits_so_far") * lit(1048576L), col("rank")))
+        .as("_ap_num"))
+    nRel.join(perQuery, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_rel"),
+        coalesce(col("n_hits_at_k"), lit(0L)).as("n_hits_at_k"),
+        coalesce(col("first_rel_rank"), lit(-1L)).as("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          floorDiv(lit(1073741824L), col("first_rel_rank")))
+          .otherwise(lit(0L)).as("rr_q30"),
+        floorDiv(coalesce(col("_ap_num"), lit(0L)), col("n_rel")).as("ap_q20"))
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, qidCol: String, idCol: String,
       k: Int, kRank: Int = 60): DataFrame = {
     require(k > 0 && kRank > 0, s"k and kRank must be positive: $k, $kRank")

@@ -119,6 +119,28 @@ class RankingSpec extends SparkSpec {
       s"hybrid still re-tokenizes the corpus: ${explodes(hPlan)} vs ${explodes(cPlan)}")
   }
 
+  test("evalRanking computes exact quantized RR/AP/recall from judgments") {
+    // hand-built ranking for one query: ranks follow (score desc, id asc)
+    val ranking = Seq(
+      (1L, 2L, 500L), (1L, 1L, 400L), (1L, 3L, 300L), (1L, 4L, 200L),
+      (1L, 5L, 100L),
+      (2L, 7L, 900L)).toDF("query_id", "doc_id", "score_q20")
+    // q1: relevant {1, 3, 9} → hits at ranks 2 (doc 1) and 3 (doc 3), doc 9
+    // missed; q2: relevant {8} → zero hits
+    val qrels = Seq((1L, 1L), (1L, 3L), (1L, 9L), (2L, 8L))
+      .toDF("query_id", "doc_id")
+    val out = Ranking.evalRanking(ranking, qrels, "query_id", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nRel1, hits1, frr1, rr1, ap1) = out(1L)
+    assert(nRel1 == 3L && hits1 == 2L && frr1 == 2L)
+    assert(rr1 == 1073741824L / 2)
+    // AP = (⌊2^20·1/2⌋ + ⌊2^20·2/3⌋) div 3
+    assert(ap1 == (1048576L / 2 + 2 * 1048576L / 3) / 3)
+    val (_, nRel2, hits2, frr2, rr2, ap2) = out(2L)
+    assert(nRel2 == 1L && hits2 == 0L && frr2 == -1L && rr2 == 0L && ap2 == 0L)
+  }
+
   test("the query side broadcasts; no sort-merge join on the token key") {
     val plan = Ranking.bm25TopK(docs, "doc_id", "text",
         queries((1L, "alpha beta")), "query_id", "qtext", 10)
