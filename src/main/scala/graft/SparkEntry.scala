@@ -1715,6 +1715,80 @@ object SparkEntry {
         col("cnt").cast("long").as("cnt"))
     }),
 
+    // §2#3b stream-STATIC enrichment join — the one streaming operator
+    // class the board didn't yet gate: every micro-batch of the event
+    // stream joins the static customer dimension (broadcast, the same
+    // plan shape as the batch q_dim_join), then a stateful agg rolls the
+    // enriched stream up per segment. Complete-mode final state must
+    // equal the batch join+agg — gated across ≥5 real micro-batches.
+    "q_stream_enrich" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(col("ts"), col("user_id"), col("value")),
+        Seq("ts"), "q_stream_enrich")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val name = freshStreamTable(s, "q_stream_enrich_")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).select(col("c_mktsegment"), col("n_events"),
+        col("total_value"))
+    }),
+
+    // §2#11d STREAM-STREAM time-interval join — the hardest streaming
+    // operator class (two watermarked sides, range condition, state
+    // retention governed by the watermark): each view pairs with the same
+    // user's purchases within the next 30 minutes. Deterministic and
+    // batch-equivalent BY CONSTRUCTION here: the replay files are ordered
+    // by event time, and the 1 h watermark delay exceeds the 30 min join
+    // window, so neither side's state can be evicted before every
+    // possible partner has arrived — the final append output must equal
+    // the batch interval join, hash-checked.
+    "q_stream_join" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir)
+          .select(col("ts"), col("user_id"), col("event_id"), col("event_type")),
+        Seq("ts"), "q_stream_join")
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+          unix_micros(col("v_ts")).as("view_us"),
+          unix_micros(col("p_ts")).as("purchase_us"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      val name = freshStreamTable(s, "q_stream_join_")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name)
+    }),
+
     // §2#19d the tumbling-window stream (S3) driver-gated through the REAL
     // Structured Streaming stateful-agg path: events streamed as a bounded
     // file source, StreamBucketAgg.tumbling's final window state must equal
@@ -2311,14 +2385,18 @@ object SparkEntry {
         (4L, "slow scan"),
         (5L, "vector stream batch data"))).toDF("query_id", "qtext")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val ranking = Ranking.bm25TopK(docs, "doc_id", "text",
+      // ONE materialized posting fold feeds both the ranking under
+      // evaluation and the judgments: tf's grain IS the distinct
+      // (doc, token) pair set, so conjunctive containment derives from it
+      // without re-tokenizing the corpus (same reuse story as hybridTopK)
+      val folds = Ranking.postingFolds(docs, "doc_id", "text",
+        materialize = true)
+      val ranking = Ranking.bm25TopKOn(folds, "doc_id",
         queries, "query_id", "qtext", k = 10)
       val qtok = queries.select(col("query_id"),
         explode(array_distinct(Text.tokens(col("qtext")))).as("token"))
       val qsize = qtok.groupBy(col("query_id")).agg(count(lit(1)).as("_qn"))
-      val qrels = docs
-        .select(col("doc_id"), explode(array_distinct(Text.tokens(col("text"))))
-          .as("token"))
+      val qrels = folds.tf
         .join(broadcast(qtok), "token")
         .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("_m"))
         .join(broadcast(qsize), "query_id")
@@ -3724,6 +3802,26 @@ object SparkEntry {
       s"""WITH $HistCtes
          |SELECT source, CAST(bucket AS BIGINT) AS bucket,
          |  CAST(cnt AS BIGINT) AS cnt FROM hist""".stripMargin),
+
+    // stream-static enrichment: the stream-final complete-mode state must
+    // equal the batch join+agg (decimal-exact sum, cast to double at the
+    // very end like q_bucket15)
+    "q_stream_enrich" -> (
+      """SELECT c_mktsegment, cast(count(*) AS bigint) AS n_events,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin),
+
+    // stream-stream interval join: the final append output must equal the
+    // batch interval join (watermark delay > join window + ordered replay
+    // make eviction-before-match impossible)
+    "q_stream_join" -> (
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS view_us, epoch_us(b.ts) AS purchase_us,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin),
 
     "q_quality_checks" ->
       """WITH seeded AS (

@@ -146,6 +146,51 @@ class RocksDbSoakSpec extends SparkSpec {
     }
   }
 
+  test("streaming log-histogram on RocksDB: state capped at groups×buckets forever") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val groups = 4
+      val input = MemoryStream[(String, Long)]
+      val out = graft.operators.Sketch.logHistogram(
+        input.toDF().toDF("grp", "v"), Seq("grp"), col("v"))
+      val query = out.writeStream.format("memory").queryName("hist_soak")
+        .outputMode("complete").start()
+      try {
+        (0 until Batches).foreach { _ =>
+          // values span many octaves; an exact percentile would need
+          // O(rows) state, the histogram must stay within the fixed
+          // bucket domain (≤ ~976 per group). The same value set repeats
+          // per batch so the bucket set saturates after batch 1 and the
+          // settle assertion below can demand zero state growth
+          input.addData((0 until Entities).map(k =>
+            (s"g${k % groups}", (k.toLong * 997) % 1000000L)): _*)
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= groups.toLong * 976,
+          s"histogram state exceeded groups×976: ${stateRows.mkString(",")}")
+        // the value domain repeats across batches, so the bucket set
+        // saturates early and state growth stops — counts only increase
+        assert(stateRows.takeRight(2).distinct.size == 1,
+          s"histogram state not settled at soak end: ${stateRows.mkString(",")}")
+        // and the stream-final histogram == the batch histogram over the
+        // union of all batches, row for row
+        val streamed = spark.table("hist_soak")
+          .select($"grp", $"bucket", $"cnt").as[(String, Long, Long)]
+          .collect().toSet
+        val all = (0 until Batches).flatMap(_ => (0 until Entities).map(k =>
+          (s"g${k % groups}", (k.toLong * 997) % 1000000L)))
+        val batch = graft.operators.Sketch.logHistogram(
+            all.toDF("grp", "v"), Seq("grp"), col("v"))
+          .select($"grp", $"bucket", $"cnt").as[(String, Long, Long)]
+          .collect().toSet
+        assert(streamed == batch,
+          "streaming histogram must equal batch histogram over the same data")
+      } finally query.stop()
+    }
+  }
+
   test("S7 sketch registers on RocksDB: state capped at groups×256 forever") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDb {
