@@ -597,6 +597,19 @@ object SparkEntry {
           col("next_status"),
           unix_micros(col("next_ts")).as("next_ts_us"))),
 
+    // §2#7e SCD2 dimension history: the change stream as type-2 validity
+    // versions (valid_from/valid_to/version/is_current) — the warehouse dim
+    // build int_connector_latest_status.sql truncates to the argmax row of
+    "q_scd2" -> ((s, dir) =>
+      ChangeDetect.scd2(
+          Tables.events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+          Seq("user_id"), Seq("ts", "event_id"), "event_type")
+        .select(
+          col("user_id"), col("event_type").as("status"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("version"), col("is_current"))),
+
     // §2#8 gap-based sessionization — fact_visits.sql visit grouping
     "q_sessionize" -> ((s, dir) =>
       sessionized(s, dir).select(
@@ -1036,6 +1049,25 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // §2#22b multi-grain aggregation in ONE pass — GROUPING SETS
+    // ((flag,status),(flag),()) through Catalyst's Expand (each input row
+    // fans to its grains BEFORE the map-side partial agg, so the exchange
+    // carries one partial per (grain,key), never grains× the corpus); the
+    // standard grouping() flags disambiguate real NULL keys from rollup
+    // rows. Decimal sums keep the measure association-order-free.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          ((sum(col("l_quantity").cast("decimal(12,2)")) * lit(100L)).cast("long")
+            .cast("double") / lit(100.0)).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))),
+
     // §2#23 top-N per group — dbt "qualify rn" pattern
     "q_topn_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -1412,6 +1444,19 @@ object SparkEntry {
           multiProbe = false, hyperplanesOverride = Some(planes))
         .withColumn("rank", col("rank").cast("long"))
     }),
+
+    // §2#33g distributed Lloyd k-means over the WHOLE corpus (vs the
+    // bounded-sample driver trainer backing IVF): per iteration ONE
+    // corpus scan — scan-side argmin over literal centroids (no join, no
+    // corpus shuffle), centroid update = map-side-combined component agg
+    // whose exchange carries ≤ k·D parameter rows. Seeds = k smallest-id
+    // vectors; folds and quantized means are engine-exact, so the full
+    // 2-iteration trajectory AND final assignment hash-match the oracle.
+    "q_kmeans" -> ((s, dir) =>
+      KMeans.lloyd(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id"), col("cell"), col("dist2"))),
 
     // §2#33d IVF ANN with DETERMINISTIC integer centroids
     // (component(c,d) = (c*13 + d*7) % 5 - 2): cell assignment, nprobe cell
@@ -2247,6 +2292,31 @@ object SparkEntry {
         Text.redactLongNumbers(injected).as("redacted"))
     }),
 
+    // §2#40b typed PII scan/redaction — the full privacy pass: typed
+    // detectors (email → IPv4 → intl phone → residual long digit runs)
+    // applied in a FIXED chain, each counted on the text as the previous
+    // redactions left it (a phone's digits never double-count as a long
+    // number). Seeded deterministically from doc_id so every type fires.
+    "q_pii_scan" -> ((s, dir) => {
+      val injected = concat(
+        col("text"),
+        lit(" contact=u"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" ip=10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(expr("doc_id div 256"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(200L)).cast("string"),
+        lit(" tel=+"), (lit(490000000L) + col("doc_id") * lit(37L)).cast("string"))
+      val t1 = Text.redactPattern(injected, Text.EmailPattern, "[EMAIL]")
+      val t2 = Text.redactPattern(t1, Text.Ipv4Pattern, "[IP]")
+      val t3 = Text.redactPattern(t2, Text.PhonePattern, "[PHONE]")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.patternCount(injected, Text.EmailPattern).as("n_emails"),
+        Text.patternCount(t1, Text.Ipv4Pattern).as("n_ipv4"),
+        Text.patternCount(t2, Text.PhonePattern).as("n_phones"),
+        Text.longNumberCount(t3).cast("long").as("n_long_numbers"),
+        Text.redactLongNumbers(t3).as("redacted"))
+    }),
+
     // §2#41 data-quality assertion layer — marts.yml:10-31 schema tests
     // (not_null / unique / accepted_values / relationships) as production
     // operators emitting ONE violations report. Violations are seeded
@@ -2860,6 +2930,21 @@ object SparkEntry {
         |  epoch_us(lead(ts) OVER w2) AS next_ts_us
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
+    "q_scd2" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS previous_status
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT * FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type
+        |)
+        |SELECT user_id, event_type AS status,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER w2) AS valid_to_us,
+        |  cast(row_number() OVER w2 AS bigint) AS version,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
     // the streaming gate projects previous_ts/next_* out (see the query's
     // comment); otherwise the same transition set as q_status_changes
     "q_stream_changes" ->
@@ -3044,6 +3129,38 @@ object SparkEntry {
         |  cast(len(regexp_extract_all(t, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
         |  regexp_replace(t, '[0-9]{4,}', '[NUM]', 'g') AS redacted
         |FROM injected""".stripMargin,
+
+    // same fixed redaction chain; each stage's count runs on the previous
+    // stage's output, exactly like the Spark projection
+    "q_pii_scan" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    text || ' contact=u' || cast(doc_id AS varchar) || '@example.com'
+        |      || ' ip=10.' || cast(doc_id % 256 AS varchar)
+        |      || '.' || cast((doc_id // 256) % 256 AS varchar)
+        |      || '.' || cast(doc_id % 200 AS varchar)
+        |      || ' tel=+' || cast(490000000 + doc_id * 37 AS varchar) AS t0
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    cast(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint) AS n_emails,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM injected
+        |), s2 AS (
+        |  SELECT doc_id, n_emails,
+        |    cast(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS bigint) AS n_ipv4,
+        |    regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS t2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, n_emails, n_ipv4,
+        |    cast(len(regexp_extract_all(t2, '\+[0-9]{7,12}')) AS bigint) AS n_phones,
+        |    regexp_replace(t2, '\+[0-9]{7,12}', '[PHONE]', 'g') AS t3
+        |  FROM s2
+        |)
+        |SELECT doc_id, n_emails, n_ipv4, n_phones,
+        |  cast(len(regexp_extract_all(t3, '[0-9]{4,}')) AS bigint) AS n_long_numbers,
+        |  regexp_replace(t3, '[0-9]{4,}', '[NUM]', 'g') AS redacted
+        |FROM s3""".stripMargin,
 
     // every step is order-deterministic double arithmetic (0-decimal round
     // agrees between engines: shortest-repr vs binary rounding can only
@@ -4013,6 +4130,66 @@ object SparkEntry {
         |)
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // full Lloyd trajectory replay: seeds = 8 smallest-id vectors; each
+    // round is (sequential (x-c)^2 fold, argmin tie-broken on cell,
+    // 2^-40-quantized component means); the THIRD assignment against the
+    // twice-updated centroids is the emitted frame — identical IEEE ops in
+    // identical order on both engines, so cells AND distances hash-match
+    "q_kmeans" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings
+        |), w0 AS (
+        |  SELECT vec_id AS cell, v AS w FROM emb ORDER BY vec_id LIMIT 8
+        |), d0 AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.v) + 1),
+        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+        |  FROM emb e, w0 s
+        |), a0 AS (
+        |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
+        |  WHERE rn = 1
+        |), x1 AS (
+        |  SELECT a0.cell, unnest(list_transform(range(1, len(e.v) + 1),
+        |    i -> struct_pack(p := i - 1,
+        |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+        |  FROM a0 JOIN emb e USING (vec_id)
+        |), c1 AS (
+        |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x1 GROUP BY 1, 2
+        |), w1 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS w FROM c1 GROUP BY cell
+        |), d1 AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.v) + 1),
+        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+        |  FROM emb e, w1 s
+        |), a1 AS (
+        |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
+        |  WHERE rn = 1
+        |), x2 AS (
+        |  SELECT a1.cell, unnest(list_transform(range(1, len(e.v) + 1),
+        |    i -> struct_pack(p := i - 1,
+        |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+        |  FROM a1 JOIN emb e USING (vec_id)
+        |), c2 AS (
+        |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x2 GROUP BY 1, 2
+        |), w2 AS (
+        |  SELECT cell, list(m ORDER BY pos) AS w FROM c2 GROUP BY cell
+        |), df AS (
+        |  SELECT e.vec_id, s.cell,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.v) + 1),
+        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+        |  FROM emb e, w2 s
+        |)
+        |SELECT vec_id, cell, d2 AS dist2 FROM (SELECT vec_id, cell, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df)
+        |WHERE rn = 1""".stripMargin,
+
     "q_knn_ivf_det" ->
       """WITH cent AS (
         |  SELECT c, list_transform(range(0, 64),
@@ -4593,6 +4770,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(cast(sum(cast(l_quantity AS decimal(12,2))) * 100 AS bigint) AS double)
+        |    / 100.0 AS sum_qty,
+        |  cast(count(*) AS bigint) AS n_rows,
+        |  cast(grouping(l_returnflag) AS bigint) AS g_flag,
+        |  cast(grouping(l_linestatus) AS bigint) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "q_multi_join_agg" ->
       """SELECT r_name AS region_name, n_name AS nation_name,

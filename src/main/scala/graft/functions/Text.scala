@@ -144,6 +144,27 @@ object Text {
   def longNumberCount(text: Column, minRun: Int = 4): Column =
     size(regexp_extract_all(text, lit(s"[0-9]{$minRun,}"), lit(0)))
 
+  // ---- Typed PII scan/redaction ----------------------------------------
+  // The full curation-pipeline privacy pass: typed detectors applied in a
+  // FIXED order (email → IPv4 → intl phone → residual long digit runs),
+  // each type counted on the text AS THE PREVIOUS REDACTIONS LEFT IT so a
+  // phone's digits are never double-counted as a long number. All patterns
+  // are in the Java-regex ∩ RE2 common subset (no lookaround, no
+  // backreferences), so an external SQL engine replays both the counts and
+  // the redacted text byte-for-byte.
+
+  final val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  final val PhonePattern = "\\+[0-9]{7,12}"
+
+  /** Matches of `pattern` in `text`, as a count (codegen'd regexp scan). */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** One redaction stage: replace every match of `pattern` with `marker`. */
+  def redactPattern(text: Column, pattern: String, marker: String): Column =
+    regexp_replace(text, pattern, marker)
+
   /** BPE-ish token stream: maximal runs of word chars (with one inner
     * apostrophe group) or digit runs — `[a-z]+(?:'[a-z]+)?|[0-9]+` over the
     * lowercased text, as a native single-pass scanner

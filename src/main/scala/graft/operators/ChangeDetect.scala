@@ -34,6 +34,29 @@ object ChangeDetect {
       .withColumn("next_ts", lead(col(tsCol), 1).over(w))
   }
 
+  /** Type-2 slowly-changing dimension from a change-event stream: collapse
+    * consecutive equal-status runs ([[changes]]), then each surviving row
+    * becomes a validity version — `valid_from` = its ts, `valid_to` = the
+    * NEXT change's ts (null ⇒ open/current), `version` = 1-based change
+    * ordinal per key, `is_current` = open-ended flag. Re-expresses the
+    * warehouse dim-history build the reference's latest-status models
+    * truncate to version 1 of (int_connector_latest_status.sql:1 keeps only
+    * the argmax row; SCD2 keeps the whole lineage).
+    *
+    * Scale shape: the collapse window, the valid_to lead and the version
+    * row_number all share ONE (key, order) sort — Catalyst plans a single
+    * exchange+sort; output is change-grain (≪ event-grain), no self-joins.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], orderCols: Seq[String], statusCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    changes(df, keys, orderCols, statusCol)
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", col("next_ts"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("next_ts").isNull)
+      .drop("previous_status", "previous_ts", "next_status", "next_ts")
+  }
+
   /** Latest row per key (argmax by `orderCols`, lexicographic — add a
     * unique tiebreaker for determinism) — reference
     * int_connector_latest_status.sql:1. Implemented with a struct-max

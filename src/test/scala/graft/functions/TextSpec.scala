@@ -45,6 +45,27 @@ class TextSpec extends SparkSpec {
     assert(got == ("call 555 or [NUM], id [NUM]!", 2))
   }
 
+  test("typed PII chain redacts in order and never double-counts a type") {
+    val raw = "mail a.b+c@ex-1.org then 10.0.255.7 call +4912345678 ref 987654"
+    val got = Seq(raw).toDF("text")
+      .select {
+        val t1 = Text.redactPattern($"text", Text.EmailPattern, "[EMAIL]")
+        val t2 = Text.redactPattern(t1, Text.Ipv4Pattern, "[IP]")
+        val t3 = Text.redactPattern(t2, Text.PhonePattern, "[PHONE]")
+        struct(
+          Text.patternCount($"text", Text.EmailPattern).as("e"),
+          Text.patternCount(t1, Text.Ipv4Pattern).as("i"),
+          Text.patternCount(t2, Text.PhonePattern).as("p"),
+          Text.longNumberCount(t3).cast("long").as("n"),
+          Text.redactLongNumbers(t3).as("r")).as("s")
+      }
+      .select("s.*").as[(Long, Long, Long, Long, String)].head()
+    // the phone digits and ip octets must NOT survive into the long-number
+    // count (the chain counts each type on the previous stage's output)
+    assert(got == ((1L, 1L, 1L, 1L,
+      "mail [EMAIL] then [IP] call [PHONE] ref [NUM]")))
+  }
+
   test("native bpeTokens kernel matches the regexp_extract_all formulation") {
     val samples = Seq(
       "Hello, World! It's 42 degrees", "don't rock'n'roll '' 'leading trailing'",
