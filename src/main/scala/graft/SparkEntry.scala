@@ -177,6 +177,67 @@ object SparkEntry {
     (1 to 14).map(b => s"WHEN n <= ${64L << b} THEN $b")
       .mkString("CASE ", " ", " ELSE 15 END")
 
+  /** DuckDB CTE chain replaying `KMeans.lloyd(embeddings, k=8, iters=2)` —
+    * seeds = 8 smallest-id vectors, two (assign, quantized-mean-update)
+    * rounds, ending in CTE `af(vec_id, cell, d2)` = the final assignment.
+    * Shared by the q_kmeans gate and the q_semdedup composition.
+    */
+  private val KMeansCteSql =
+    """emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+      |  FROM embeddings
+      |), w0 AS (
+      |  SELECT vec_id AS cell, v AS w FROM emb ORDER BY vec_id LIMIT 8
+      |), d0 AS (
+      |  SELECT e.vec_id, s.cell,
+      |    list_reduce(list_prepend(cast(0.0 AS double),
+      |      list_transform(range(1, len(e.v) + 1),
+      |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+      |  FROM emb e, w0 s
+      |), a0 AS (
+      |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
+      |  WHERE rn = 1
+      |), x1 AS (
+      |  SELECT a0.cell, unnest(list_transform(range(1, len(e.v) + 1),
+      |    i -> struct_pack(p := i - 1,
+      |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+      |  FROM a0 JOIN emb e USING (vec_id)
+      |), c1 AS (
+      |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x1 GROUP BY 1, 2
+      |), w1 AS (
+      |  SELECT cell, list(m ORDER BY pos) AS w FROM c1 GROUP BY cell
+      |), d1 AS (
+      |  SELECT e.vec_id, s.cell,
+      |    list_reduce(list_prepend(cast(0.0 AS double),
+      |      list_transform(range(1, len(e.v) + 1),
+      |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+      |  FROM emb e, w1 s
+      |), a1 AS (
+      |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
+      |  WHERE rn = 1
+      |), x2 AS (
+      |  SELECT a1.cell, unnest(list_transform(range(1, len(e.v) + 1),
+      |    i -> struct_pack(p := i - 1,
+      |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+      |  FROM a1 JOIN emb e USING (vec_id)
+      |), c2 AS (
+      |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x2 GROUP BY 1, 2
+      |), w2 AS (
+      |  SELECT cell, list(m ORDER BY pos) AS w FROM c2 GROUP BY cell
+      |), dfin AS (
+      |  SELECT e.vec_id, s.cell,
+      |    list_reduce(list_prepend(cast(0.0 AS double),
+      |      list_transform(range(1, len(e.v) + 1),
+      |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+      |  FROM emb e, w2 s
+      |), af AS (
+      |  SELECT vec_id, cell, d2 FROM (SELECT vec_id, cell, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dfin)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
   private val FnvPrimeB = BigInt("1099511628211")          // 0x100000001b3
   private val GoldenB = BigInt("11400714819323198485")     // 0x9E3779B97F4A7C15
   private val Mix1B = BigInt("13787848793156543929")       // 0xBF58476D1CE4E5B9
@@ -1457,6 +1518,17 @@ object SparkEntry {
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", k = 8, iters = 2)
         .select(col("vec_id"), col("cell"), col("dist2"))),
+
+    // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
+    // DECISION (arXiv:2303.09540), composing three gated operators: the
+    // k-means assignment above, bit-exact FloatDot cosines on an equi-join
+    // bounded per cell (never a corpus self-join — k grows with the corpus
+    // so Σ n_c² stays linear), and pointer-jumping components. Keep rule =
+    // farthest-from-centroid member (the paper's), ties to smallest id.
+    "q_semdedup" -> ((s, dir) =>
+      SemDeDup.semDedup(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
 
     // §2#33d IVF ANN with DETERMINISTIC integer centroids
     // (component(c,d) = (c*13 + d*7) % 5 - 2): cell assignment, nprobe cell
@@ -4136,59 +4208,49 @@ object SparkEntry {
     // twice-updated centroids is the emitted frame — identical IEEE ops in
     // identical order on both engines, so cells AND distances hash-match
     "q_kmeans" ->
-      """WITH emb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-        |  FROM embeddings
-        |), w0 AS (
-        |  SELECT vec_id AS cell, v AS w FROM emb ORDER BY vec_id LIMIT 8
-        |), d0 AS (
-        |  SELECT e.vec_id, s.cell,
-        |    list_reduce(list_prepend(cast(0.0 AS double),
-        |      list_transform(range(1, len(e.v) + 1),
-        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
-        |  FROM emb e, w0 s
-        |), a0 AS (
-        |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
-        |  WHERE rn = 1
-        |), x1 AS (
-        |  SELECT a0.cell, unnest(list_transform(range(1, len(e.v) + 1),
-        |    i -> struct_pack(p := i - 1,
-        |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
-        |  FROM a0 JOIN emb e USING (vec_id)
-        |), c1 AS (
-        |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x1 GROUP BY 1, 2
-        |), w1 AS (
-        |  SELECT cell, list(m ORDER BY pos) AS w FROM c1 GROUP BY cell
-        |), d1 AS (
-        |  SELECT e.vec_id, s.cell,
-        |    list_reduce(list_prepend(cast(0.0 AS double),
-        |      list_transform(range(1, len(e.v) + 1),
-        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
-        |  FROM emb e, w1 s
-        |), a1 AS (
-        |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1)
-        |  WHERE rn = 1
-        |), x2 AS (
-        |  SELECT a1.cell, unnest(list_transform(range(1, len(e.v) + 1),
-        |    i -> struct_pack(p := i - 1,
-        |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
-        |  FROM a1 JOIN emb e USING (vec_id)
-        |), c2 AS (
-        |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM x2 GROUP BY 1, 2
-        |), w2 AS (
-        |  SELECT cell, list(m ORDER BY pos) AS w FROM c2 GROUP BY cell
-        |), df AS (
-        |  SELECT e.vec_id, s.cell,
-        |    list_reduce(list_prepend(cast(0.0 AS double),
-        |      list_transform(range(1, len(e.v) + 1),
-        |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
-        |  FROM emb e, w2 s
-        |)
-        |SELECT vec_id, cell, d2 AS dist2 FROM (SELECT vec_id, cell, d2,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df)
-        |WHERE rn = 1""".stripMargin,
+      (s"""WITH $KMeansCteSql
+         |SELECT vec_id, cell, d2 AS dist2 FROM af""".stripMargin),
+
+    // the SemDeDup composition over the SAME k-means replay: in-cell cosine
+    // pairs (sequential double folds), recursive-CTE transitive closure
+    // (the q_dedup_canonical shape), keep rule = max distance-to-centroid
+    // (exact doubles from af), ties to the smallest id
+    "q_semdedup" ->
+      (s"""WITH RECURSIVE $KMeansCteSql,
+         |nrm AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+         |    list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+         |    (acc, x) -> acc + x)) AS nv
+         |  FROM emb
+         |), prs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id
+         |  JOIN emb eb ON eb.vec_id = b.vec_id
+         |  JOIN nrm na ON na.vec_id = a.vec_id
+         |  JOIN nrm nb ON nb.vec_id = b.vec_id
+         |  WHERE CASE WHEN na.nv * nb.nv > 0 THEN
+         |      list_reduce(list_prepend(cast(0.0 AS double),
+         |        list_transform(range(1, len(ea.v) + 1), i -> ea.v[i] * eb.v[i])),
+         |        (acc, x) -> acc + x) / (na.nv * nb.nv)
+         |    ELSE 0.0 END >= 0.3
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY 1
+         |), allv AS (
+         |  SELECT af.vec_id, af.cell,
+         |    coalesce(c.component, af.vec_id) AS component, af.d2
+         |  FROM af LEFT JOIN comp c ON af.vec_id = c.id
+         |)
+         |SELECT vec_id, cell, component,
+         |  (row_number() OVER (PARTITION BY component ORDER BY d2 DESC, vec_id)) = 1
+         |    AS is_kept
+         |FROM allv""".stripMargin),
 
     "q_knn_ivf_det" ->
       """WITH cent AS (

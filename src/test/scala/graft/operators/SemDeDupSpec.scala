@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ids 0,1 seed two well-separated cells; 10/11/12 are scaled copies of a
+  // direction near seed 0 (cosine 1.0 to each other), 20 is a singleton
+  // near seed 1
+  private def vecs = Seq(
+    0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+    1L -> Array(0.0f, 10.0f, 0.0f, 0.0f),
+    10L -> Array(2.0f, 0.1f, 0.0f, 0.0f),
+    11L -> Array(4.0f, 0.2f, 0.0f, 0.0f),
+    12L -> Array(6.0f, 0.3f, 0.0f, 0.0f),
+    20L -> Array(0.1f, 8.0f, 0.0f, 0.0f)
+  ).toDF("vec_id", "embedding")
+
+  test("scaled copies collapse to one component; the farthest-from-centroid copy survives") {
+    val out = SemDeDup.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 2, tau = 0.95)
+      .select("vec_id", "component", "is_kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // the three scaled copies + seed 0 share a direction (cosine 1 > 0.95)
+    val dupComponent = byId(10L)._2
+    assert(Seq(0L, 11L, 12L).forall(byId(_)._2 == dupComponent))
+    assert(out.filter(_._2 == dupComponent).count(_._3) == 1,
+      "exactly one survivor per duplicate component")
+    // 1 and 20 share a direction too (cosine ≈ 0.9997 > 0.95): one survivor
+    assert(byId(1L)._2 == byId(20L)._2 && byId(1L)._2 != dupComponent)
+    // every vector got exactly one decision row
+    assert(out.length == 6 && out.map(_._1).toSet.size == 6)
+    assert(out.count(_._3) == 2, "one survivor per component, two components")
+  }
+
+  test("the pair join is an equi-join on cell, never a cartesian") {
+    val df = SemDeDup.semDedup(vecs, "vec_id", "embedding", k = 2, iters = 1, tau = 0.9)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"in-cell pairing must not plan a cartesian:\n$phys")
+  }
+}
