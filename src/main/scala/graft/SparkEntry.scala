@@ -2746,6 +2746,19 @@ object SparkEntry {
     // deterministic engine-portable FnvMix uniform — rates broadcast, the
     // corpus is never shuffled. Report: achieved per-domain counts plus an
     // id checksum proving the exact row selection.
+    // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
+    // vs raw models trained IN-PLAN (one map-side-combined bucket count,
+    // exchange ≤ B rows/partition), B-entry ratio table compiled into the
+    // scoring scan as a literal (zero-join scoring), global top-50 via
+    // TakeOrdered. Ratios quantized to the 2^-20 grid → order-free sums,
+    // hash-exact incl. the trained model (the oracle re-derives it in SQL).
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = Dsir.importanceWeights(docs, "text", col("lang") === "en",
+        buckets = 4096, seed = 41L)
+      Dsir.select(docs, "doc_id", "text", w, seed = 41L, k = 50)
+    }),
+
     "q_mixture_sample" -> ((s, dir) =>
       Sampling.toMixture(Tables.documents(s, dir), "doc_id", "source",
           weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.15,
@@ -5321,6 +5334,47 @@ object SparkEntry {
          |      AS logit
          |  FROM sc)
          |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
+    },
+
+    // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
+    // (seed 41), then the ratio table is re-derived IN SQL from the bucket
+    // counts — cast-to-double factors in exactly the operator's association
+    // so all three IEEE roundings match, floor-quantized to the 2^-20 grid
+    "q_dsir_select" -> {
+      val seedGolden = (BigInt(41) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |tl AS (SELECT doc_id, unnest(tk) AS shingle FROM toks),
+         |folded AS (SELECT doc_id, $FnvFoldSql AS h FROM tl),
+         |z0 AS (SELECT doc_id,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, xor(z, z >> 31) AS z FROM z2),
+         |bk AS (SELECT doc_id, cast(z % 4096 AS bigint) AS b FROM hv),
+         |tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |cnt AS (SELECT b,
+         |    sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS ct,
+         |    count(*) AS cr
+         |  FROM bk LEFT JOIN tgt t USING (doc_id) GROUP BY b),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+         |w AS (SELECT b,
+         |    floor(cast(ct + 1 AS double) * cast(nr + 4096 AS double)
+         |      / (cast(cr + 1 AS double) * cast(nt + 4096 AS double))
+         |      * 1048576) / 1048576 AS wt
+         |  FROM cnt, tot),
+         |ds AS (SELECT bk.doc_id, sum(w.wt) AS importance
+         |  FROM bk JOIN w USING (b) GROUP BY 1),
+         |base AS (SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens FROM toks),
+         |sc AS (SELECT base.doc_id, base.n_tokens,
+         |    coalesce(ds.importance, 0.0) AS importance,
+         |    coalesce(ds.importance, 0.0)
+         |      / cast(greatest(base.n_tokens, 1) AS double) AS avg_importance
+         |  FROM base LEFT JOIN ds USING (doc_id))
+         |SELECT doc_id, n_tokens, importance, avg_importance,
+         |  cast(row_number() OVER (ORDER BY avg_importance DESC, doc_id) AS bigint) AS rank
+         |FROM sc
+         |QUALIFY rank <= 50""".stripMargin
     },
 
     // segment-grain classifier: the q_segment_dedup segmenter CTEs feed
