@@ -238,6 +238,38 @@ object SparkEntry {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  /** DuckDB CTE chain replaying `Bpe.train(documents, "text", m)`: v0 is
+    * the sentinel-delimited character vocab; each round j emits pair counts
+    * `pj`, the argmax merge `bj`, and the merged vocab `vj`.
+    */
+  private def bpeOracleCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |tw AS (SELECT unnest(tk) AS word FROM toks),
+         |wv AS (SELECT word, count(*) AS cnt FROM tw
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+         |v0 AS (SELECT chr(1) || array_to_string(
+         |    list_transform(range(1, length(word) + 1), i -> word[i]),
+         |    chr(1) || chr(1)) || chr(1) AS s, cnt FROM wv)""".stripMargin)
+    for (j <- 1 to m) {
+      sb.append(
+        s""",
+           |p$j AS (SELECT u.a AS a, u.b AS b, sum(cnt) AS pcnt FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |      i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS u
+           |    FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+           |      chr(1) || chr(1)) AS sy, cnt FROM v${j - 1})
+           |  ) GROUP BY 1, 2),
+           |b$j AS (SELECT a, b, pcnt FROM p$j ORDER BY pcnt DESC, a, b LIMIT 1),
+           |v$j AS (SELECT replace(v${j - 1}.s,
+           |    chr(1) || b$j.a || chr(1) || chr(1) || b$j.b || chr(1),
+           |    chr(1) || b$j.a || b$j.b || chr(1)) AS s, v${j - 1}.cnt
+           |  FROM v${j - 1}, b$j)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private val FnvPrimeB = BigInt("1099511628211")          // 0x100000001b3
   private val GoldenB = BigInt("11400714819323198485")     // 0x9E3779B97F4A7C15
   private val Mix1B = BigInt("13787848793156543929")       // 0xBF58476D1CE4E5B9
@@ -1128,6 +1160,23 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"))),
+
+    // §2#23c analytic-rank ladder — ntile/percent_rank/cume_dist/dense_rank
+    // over ONE shared (partition, order) window: Catalyst plans a single
+    // exchange+sort for all four (the dbt "bucket customers into quartiles"
+    // mart shape). The order includes the unique key, so rank semantics are
+    // tie-free and engine-deterministic; percent_rank and cume_dist are one
+    // exact integer division each.
+    "q_rank_ladder" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).cast("long").as("drank"))
+    }),
 
     // §2#23 top-N per group — dbt "qualify rn" pattern
     "q_topn_group" -> ((s, dir) => {
@@ -2746,6 +2795,22 @@ object SparkEntry {
     // deterministic engine-portable FnvMix uniform — rates broadcast, the
     // corpus is never shuffled. Report: achieved per-domain counts plus an
     // id checksum proving the exact row selection.
+    // §2#36f distributed BPE tokenizer TRAINING: one corpus scan builds
+    // the word-count vocab; every merge round runs on the VOCAB table
+    // (corpus never rescanned — the classic trainer trick) with a 1-row
+    // parameter collect per round. Merge = one literal sentinel-delimited
+    // replace (left-to-right non-overlap = BPE greedy semantics = SQL
+    // replace semantics), so the full 6-round trajectory hash-matches.
+    "q_bpe_train" -> ((s, dir) =>
+      Bpe.mergeTable(s, Bpe.train(Tables.documents(s, dir), "text", m = 6))),
+
+    // §2#36g the trained tokenizer APPLIED: segmentation on the word vocab
+    // (per-word cost, weighted by count), global top-40 subwords
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
+    }),
+
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
     // vs raw models trained IN-PLAN (one map-side-combined bucket count,
     // exchange ≤ B rows/partition), B-entry ratio table compiled into the
@@ -4846,6 +4911,15 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
+    "q_rank_ladder" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  cast(ntile(4) OVER w AS bigint) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  cast(dense_rank() OVER w AS bigint) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  cast(cast(sum(cast(l_quantity AS decimal(12,2))) * 100 AS bigint) AS double)
@@ -5335,6 +5409,26 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
     },
+
+    // BPE trajectory replay: m rounds of (pair count over the delimited
+    // vocab, argmax with (count desc, pair asc) tie-break, one replace) —
+    // replace() has identical left-to-right non-overlap semantics in both
+    // engines, which IS the BPE greedy merge rule
+    "q_bpe_train" -> (
+      s"""WITH ${bpeOracleCtes(6)}
+         |${(1 to 6).map(j =>
+            s"SELECT cast($j AS bigint) AS step, a AS sym_a, b AS sym_b, " +
+              s"cast(pcnt AS bigint) AS pair_cnt FROM b$j")
+            .mkString("", "\nUNION ALL\n", "")}""".stripMargin),
+
+    "q_bpe_tokenize" -> (
+      s"""WITH ${bpeOracleCtes(6)},
+         |sw AS (SELECT unnest(string_split(substring(s, 2, length(s) - 2),
+         |    chr(1) || chr(1))) AS subword, cnt FROM v6),
+         |agg AS (SELECT subword, cast(sum(cnt) AS bigint) AS n_occurrences
+         |  FROM sw GROUP BY 1)
+         |SELECT subword, n_occurrences FROM agg
+         |ORDER BY n_occurrences DESC, subword LIMIT 40""".stripMargin),
 
     // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
     // (seed 41), then the ratio table is re-derived IN SQL from the bucket

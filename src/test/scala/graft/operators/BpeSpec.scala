@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the classic merge sequence on the textbook corpus") {
+    // "low" x3, "lowest" x2: pair (l,o) and (o,w) both occur 5 times —
+    // tie breaks lexicographically to (l,o); then (lo,w) occurs 5 times
+    val docs = Seq("low low low lowest lowest").toDF("text")
+    val merges = Bpe.train(docs, "text", m = 3)
+    assert(merges.length == 3)
+    assert(merges(0) == ((1, "l", "o", 5L)))
+    assert(merges(1) == ((2, "lo", "w", 5L)))
+    // after (lo, w): "low" = [low], "lowest" = [low, e, s, t] — best next
+    // pair is (low, e) 2 == (e, s) 2 == (s, t) 2, tie to (e, s)
+    assert(merges(2) == ((3, "e", "s", 2L)))
+  }
+
+  test("greedy left-to-right non-overlap: aaaa segments as [aa, aa]") {
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val merges = Bpe.train(docs, "text", m = 1)
+    assert(merges(0)._2 == "a" && merges(0)._3 == "a")
+    val subs = Bpe.subwordCounts(docs, "text", merges, k = 10)
+      .as[(String, Long)].collect().toMap
+    // one vocab word "aaaa" (count 2 collapses to one vocab entry of cnt 2)
+    // → two "aa" symbols per word occurrence: 2 words × 2 = 4
+    assert(subs == Map("aa" -> 4L))
+  }
+
+  test("segmentation respects word boundaries and non-ascii words are excluded") {
+    val docs = Seq("ab ab Über 42x").toDF("text")
+    val merges = Bpe.train(docs, "text", m = 1)
+    assert(merges(0) == ((1, "a", "b", 2L)))
+    val subs = Bpe.subwordCounts(docs, "text", merges, k = 10)
+      .as[(String, Long)].collect().toMap
+    // "über" (non-ascii after lowering) is filtered; "42x" contributes chars
+    assert(subs("ab") == 2L)
+    assert(subs("4") == 1L && subs("2") == 1L && subs("x") == 1L)
+    assert(!subs.keys.exists(_.contains("ü")))
+  }
+
+  test("training is invariant under input partitioning") {
+    val docs = (1 to 50).map(i => s"alpha beta gamma$i").toDF("text")
+    val m1 = Bpe.train(docs.repartition(7), "text", m = 4)
+    val m2 = Bpe.train(docs.coalesce(1), "text", m = 4)
+    assert(m1.toSeq == m2.toSeq)
+  }
+}
