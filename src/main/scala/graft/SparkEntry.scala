@@ -353,6 +353,55 @@ object SparkEntry {
        |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2)""".stripMargin
   }
 
+  /** FnvMix HLL register replay over a caller-provided CTE
+    * `hsrc(<groups>..., shingle)` → CTE chain ending in
+    * `regs(<groups>..., bucket, reg)` — the grouped generalization of
+    * [[CardRegsCtes]] (used by the q_agg_merge mergeable-state oracle,
+    * whose grouping carries a derived month column).
+    */
+  private def hllRegsCtesOver(groups: Seq[String], seed: Long): String = {
+    val g = groups.mkString(", ")
+    val seedGolden = (BigInt(seed) * GoldenB).mod(BigInt(2).pow(64))
+    val rhoCase = (1 to 56)
+      .map(r => s"WHEN rem >= ${BigInt(2).pow(64 - r)} THEN $r")
+      .mkString(" ")
+    s"""folded AS (SELECT $g, $FnvFoldSql AS h FROM hsrc),
+       |z0 AS (SELECT $g,
+       |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+       |      AS UBIGINT) AS z FROM folded),
+       |z1 AS (SELECT $g, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+       |z2 AS (SELECT $g, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+       |hv AS (SELECT $g, xor(z, z >> 31) AS z FROM z2),
+       |br AS (SELECT $g, z >> 56 AS bucket,
+       |    CAST((CAST(z AS HUGEINT) * 256) % 18446744073709551616 AS UBIGINT) AS rem
+       |  FROM hv),
+       |rho AS (SELECT $g, bucket, CASE $rhoCase ELSE 57 END AS rho FROM br),
+       |regs AS (SELECT $g, bucket, max(rho) AS reg FROM rho
+       |  GROUP BY $g, bucket)""".stripMargin
+  }
+
+  /** Count-min counter replay (depth 4) over a caller-provided CTE
+    * `$src(shingle)` → a counter CTE `$out(r, bucket, cnt)` with
+    * width-`$width` buckets — replays
+    * `Sketch.countMinCounters(..., depth = 4, width, seed)`; CTE names are
+    * caller-prefixed so two instances can coexist in one oracle (the
+    * join-size sketch needs one per join side).
+    */
+  private def cmCountersCtes(src: String, out: String, width: Int,
+      seed: Long): String = {
+    val p = out
+    s"""${p}_f AS (SELECT $FnvFoldSql AS h FROM $src),
+       |${p}_j AS (SELECT h, r FROM ${p}_f CROSS JOIN rs),
+       |${p}_z0 AS (SELECT r, CAST((CAST(h AS HUGEINT) +
+       |    ($seed + r) * CAST('$GoldenB' AS HUGEINT)) % 18446744073709551616
+       |    AS UBIGINT) AS z FROM ${p}_j),
+       |${p}_z1 AS (SELECT r, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM ${p}_z0),
+       |${p}_z2 AS (SELECT r, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM ${p}_z1),
+       |${p}_hv AS (SELECT r, xor(z, z >> 31) AS z FROM ${p}_z2),
+       |$out AS (SELECT r, cast(z % $width AS bigint) AS bucket, count(*) AS cnt
+       |  FROM ${p}_hv GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Log-bucketed histogram replay (operators/Sketch.scala logHistogram)
     * over documents(source, n_chars): binary exponent from an exact integer
     * CASE chain (same no-floating-log2 rule as the HLL rank), then the
@@ -2862,6 +2911,64 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           col("value"), col("z_score"), col("is_anomaly"))),
 
+    // §2#49d point-in-time rolling feature engineering: per-user 1 h / 24 h
+    // trailing count + decimal-exact value sum as of each event's own
+    // timestamp — leakage-free by construction (RANGE frames never look
+    // ahead), both windows stacked on ONE (key, ts) sort, no second
+    // exchange (operators/Features.scala)
+    "q_rolling_features" -> ((s, dir) =>
+      Features.rolling(
+          Tables.events(s, dir).select(
+            col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value")),
+          Seq("user_id"), col("ts_us"), col("value"),
+          Seq(Features.RollingWindow("1h", 3600000000L),
+            Features.RollingWindow("24h", 86400000000L)))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), col("v_1h"), col("n_24h"), col("v_24h"))),
+
+    // §2#49e incremental aggregate-state maintenance: facts fold ONCE into
+    // per-(type, day) monoid state (count / decimal sum / min / max / HLL
+    // registers); month metrics derive entirely from merged state — the
+    // materialized-rollup pattern that never re-scans facts. The oracle
+    // exploits register-merge associativity: max-merged daily registers ==
+    // registers built at month grain directly (operators/AggState.scala)
+    "q_agg_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val scalars = AggState.dailyScalarState(
+        ev, Seq("event_type"), col("ts"), col("value"))
+      val regs = AggState.dailyRegisterState(
+        ev, Seq("event_type"), col("ts"), col("user_id"))
+      AggState.mergeToGrain(scalars, regs, Seq("event_type"),
+          d => to_date(date_trunc("month", d)))
+        .select(col("event_type"), col("grain").as("month"),
+          col("n_events"), col("total_value"),
+          col("min_value"), col("max_value"),
+          col("approx_distinct").as("approx_users"))
+    }),
+
+    // §2#37i sketch-estimated equi-join cardinality (count-min inner
+    // product, Cormode & Muthukrishnan 2005 §4.2): |purchases ⋈ clicks on
+    // user| sized from two depth×width counter tables that build in each
+    // side's own scan — the optimizer-support op that prices a 100 TB join
+    // before running it. est ≥ true by construction (collisions only add)
+    "q_join_size_sketch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pur = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val clk = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val est = Sketch.countMinJoinSize(
+        Sketch.countMinCounters(pur, Nil, col("user_id"),
+          depth = 4, width = 1024, seed = 23L),
+        Sketch.countMinCounters(clk, Nil, col("user_id"),
+          depth = 4, width = 1024, seed = 23L))
+      val exact = pur.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+        .join(clk.groupBy(col("user_id")).agg(count(lit(1)).as("nb")), "user_id")
+        .agg(sum(col("na") * col("nb")).as("true_pairs"))
+      est.crossJoin(exact).select(
+        col("est_pairs"), col("true_pairs"),
+        (col("est_pairs") - col("true_pairs")).as("overcount"))
+    }),
+
     // §2#52 regular-grid resampling with linear interpolation (6-hour grid
     // per entity): union readings ∪ span-bounded grid, carry both
     // directions in one window pass — no self-join, bit-portable doubles
@@ -3687,6 +3794,79 @@ object SparkEntry {
         |        AND abs((q - mean) / sqrt(var)) > CAST(3.0 AS double)
         |    THEN 1 ELSE 0 END AS bigint) AS is_anomaly
         |FROM z""".stripMargin,
+
+    // rolling point-in-time features: the same RANGE frames over epoch
+    // micros — frames are [t-w, t] inclusive of timestamp peers in both
+    // engines (RANGE CURRENT ROW = end of peer group), so no tie-break
+    // column is needed; sums run in decimal so frame order can't move a bit
+    "q_rolling_features" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w1 AS n_1h,
+        |  cast(sum(cast(value AS decimal(18,2))) OVER w1 AS double) AS v_1h,
+        |  count(*) OVER w24 AS n_24h,
+        |  cast(sum(cast(value AS decimal(18,2))) OVER w24 AS double) AS v_24h
+        |FROM events
+        |WINDOW
+        |  w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        |  w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // mergeable-state rollup: the scalar monoids re-derive exactly at month
+    // grain; the register component exploits max-merge associativity —
+    // daily registers merged to month == registers built on the month
+    // directly, so the oracle builds them directly (seed 29) and applies
+    // the same exact-integer raw-HLL estimator as q_card_sketch
+    "q_agg_merge" -> {
+      s"""WITH exact AS (SELECT event_type,
+         |    date_trunc('month', cast(ts AS date)) AS month,
+         |    count(*) AS n_events,
+         |    cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+         |    min(value) AS min_value, max(value) AS max_value
+         |  FROM events GROUP BY 1, 2),
+         |hsrc AS (SELECT event_type, month, CAST(user_id AS VARCHAR) AS shingle
+         |  FROM (SELECT DISTINCT event_type,
+         |      date_trunc('month', cast(ts AS date)) AS month, user_id
+         |    FROM events WHERE user_id IS NOT NULL)),
+         |${hllRegsCtesOver(Seq("event_type", "month"), AggState.HllSeed)},
+         |est AS (SELECT event_type, month,
+         |    sum(CAST(power(2.0, 57 - reg) AS HUGEINT)) AS s_present,
+         |    count(*) AS nb
+         |  FROM regs GROUP BY 1, 2)
+         |SELECT x.event_type, x.month, x.n_events, x.total_value,
+         |  x.min_value, x.max_value,
+         |  CAST(${Sketch.Numer} AS double) /
+         |    (CAST(s_present + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+         |       AS double) / CAST(144115188075855872 AS double)) AS approx_users
+         |FROM exact x LEFT JOIN est e
+         |  ON x.event_type = e.event_type AND x.month = e.month""".stripMargin
+    },
+
+    // join-size sketch: one counter replay per join side (same seed so
+    // bucket ids align), bucket-wise inner product per hash row, min over
+    // rows; the exact pair count comes from the real per-user frequency
+    // join the sketch is pricing
+    "q_join_size_sketch" -> {
+      s"""WITH rs AS (SELECT unnest(range(4)) AS r),
+         |pa AS (SELECT CAST(user_id AS VARCHAR) AS shingle FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |pb AS (SELECT CAST(user_id AS VARCHAR) AS shingle FROM events
+         |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |${cmCountersCtes("pa", "cma", 1024, 23L)},
+         |${cmCountersCtes("pb", "cmb", 1024, 23L)},
+         |ipp AS (SELECT r, sum(cma.cnt * cmb.cnt) AS ip
+         |  FROM cma JOIN cmb USING (r, bucket) GROUP BY 1),
+         |est AS (SELECT min(ip) AS est_pairs FROM ipp),
+         |ex AS (SELECT sum(na * nb) AS true_pairs FROM
+         |    (SELECT user_id, count(*) AS na FROM events
+         |      WHERE event_type = 'purchase' GROUP BY 1) a
+         |  JOIN (SELECT user_id, count(*) AS nb FROM events
+         |      WHERE event_type = 'click' GROUP BY 1) b USING (user_id))
+         |SELECT cast(est_pairs AS bigint) AS est_pairs,
+         |  cast(true_pairs AS bigint) AS true_pairs,
+         |  cast(est_pairs - true_pairs AS bigint) AS overcount
+         |FROM est CROSS JOIN ex""".stripMargin
+    },
 
     // identical union-and-carry formulation: grid instants from integer
     // ceil/floor of the per-user span, readings ordered before coincident

@@ -154,6 +154,29 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Equi-join size estimate from two (ungrouped) count-min counter tables
+    * built with the SAME (depth, width, seed): for each hash row r the
+    * bucket-wise inner product Σ_b a_r[b]·b_r[b] over-estimates the true
+    * frequency inner product Σ_k fA(k)·fB(k) — which IS the row count of
+    * the equi-join A ⋈ B on k — and the estimate is the min over the depth
+    * rows (Cormode & Muthukrishnan 2005, §4.2). Collisions only ever ADD
+    * mass, so est ≥ true always.
+    *
+    * The 100 TB story: counter tables are depth×width rows however large
+    * the inputs, they build in each side's single map-side-combined pass,
+    * and the estimate itself is a join of two sketch tables — a planner can
+    * size (and decide to salt, broadcast, or refuse) a petabyte join for
+    * the price of two scans it was going to do anyway. Requiring the same
+    * seed on both sides is what makes bucket ids comparable.
+    */
+  def countMinJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("bucket"), col("cnt").as("_cnt_a"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("_cnt_b")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("_cnt_a") * col("_cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+
   // ---- log-bucketed histogram: the QUANTILE member of the sketch family --
   //
   // HdrHistogram-style bucketing (Tene's HdrHistogram; also the shape of

@@ -68,6 +68,23 @@ class CountMinSpec extends SparkSpec {
     assert(merged == whole, "merged half-corpus counters != whole-corpus counters")
   }
 
+  test("join-size estimate >= true inner product, exact when collision-free") {
+    // side A: tok_i × i for i in 1..10; side B: tok_i × (11-i)
+    // true |A ⋈ B| = Σ i·(11−i) = 220
+    val a = (for { i <- 1 to 10; _ <- 1 to i } yield s"tok$i").toDF("k")
+    val b = (for { i <- 1 to 10; _ <- 1 to (11 - i) } yield s"tok$i").toDF("k")
+    def cm(df: org.apache.spark.sql.DataFrame, width: Int) =
+      Sketch.countMinCounters(df, Nil, $"k", depth = 3, width = width, seed = 7L)
+    // wide sketch: 10 keys in 1024 buckets — collision-free with this seed,
+    // so the inner product is EXACT, pinning the estimator arithmetic
+    val wide = Sketch.countMinJoinSize(cm(a, 1024), cm(b, 1024))
+      .as[Long].head()
+    assert(wide == 220L, s"collision-free sketch must be exact, got $wide")
+    // narrow sketch: 4 buckets force collisions — still never underestimates
+    val narrow = Sketch.countMinJoinSize(cm(a, 4), cm(b, 4)).as[Long].head()
+    assert(narrow >= 220L, s"join-size sketch underestimated: $narrow")
+  }
+
   test("estimate drops null probes and collapses duplicates to distinct grain") {
     val counters = Sketch.countMinCounters(items, Nil, $"token",
       depth = 3, width = 64, seed = 5L)
