@@ -353,6 +353,36 @@ object SparkEntry {
        |regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Deterministic synthetic point set for the spatial/layout gates: each
+    * customer gets (lat_udeg, lon_udeg) uniform in [0, 10^7) microdegrees —
+    * a 10°×10° region — via the same engine-portable md5 20-bit draws as
+    * ZipfCorpus (u·10^7 >> 20 is exact int64 in both engines). The driver
+    * tables carry no coordinates; like the Zipf corpus, the construction is
+    * part of the gated plan, rebuilt byte-identically by the oracle.
+    */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZipfCorpus.u20
+    def coord(salt: String): Column = shiftright(
+      u20(concat(lit(s"g:$salt:"), col("c_custkey").cast("string"))) *
+        lit(10000000L), 20)
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      coord("lat").as("lat_udeg"),
+      coord("lon").as("lon_udeg"))
+  }
+
+  /** DuckDB replay of [[geoPoints]] → CTE `pts(c_custkey, lat_udeg,
+    * lon_udeg)`.
+    */
+  private lazy val GeoPtsCte: String = {
+    def coordSql(salt: String) =
+      s"(${graft.sources.ZipfCorpus.u20Sql(s"'g:$salt:' || CAST(c_custkey AS varchar)")} * 10000000) >> 20"
+    s"""pts AS (SELECT c_custkey,
+       |    ${coordSql("lat")} AS lat_udeg,
+       |    ${coordSql("lon")} AS lon_udeg
+       |  FROM customer)""".stripMargin
+  }
+
   /** FnvMix HLL register replay over a caller-provided CTE
     * `hsrc(<groups>..., shingle)` → CTE chain ending in
     * `regs(<groups>..., bucket, reg)` — the grouped generalization of
@@ -2969,6 +2999,128 @@ object SparkEntry {
         (col("est_pairs") - col("true_pairs")).as("overcount"))
     }),
 
+    // §2#54 spatial neighbor join by grid-cell blocking: all point pairs
+    // within 0.25° (flat-grid µdeg metric, exact int64 — no trig), cell =
+    // radius so the 3×3 neighborhood is a complete cover. The oracle is the
+    // EXHAUSTIVE cross-product answer, so the gate proves the cover: a pair
+    // the blocking missed would hash-mismatch (operators/Geo.scala)
+    "q_geo_join" -> ((s, dir) =>
+      Geo.neighborPairs(geoPoints(s, dir), "c_custkey",
+          cellUdeg = 250000L, radiusUdeg = 250000L)
+        .select(col("id_a"), col("id_b"), col("d2"))),
+
+    // §2#54b z-order (Morton) layout: bit-interleaved cell keys + the
+    // range-bucket assignment a layout write would partition by — the
+    // file-skipping device (Delta/Iceberg ZORDER BY) as pure int64
+    // arithmetic, zero shuffle (operators/Layout.scala; the bbox-tightness
+    // claim vs a single-column layout is spec-proven)
+    "q_zorder" -> ((s, dir) => {
+      val p = geoPoints(s, dir)
+      val (y, x) = Geo.cellOf(col("lat_udeg"), col("lon_udeg"), 10000L)
+      p.select(col("c_custkey"), x.as("x_cell"), y.as("y_cell"),
+          Layout.zValue(x, y).as("zval"))
+        .withColumn("bucket", shiftright(col("zval"), 15))
+    }),
+
+    // §2#55 fuzzy entity resolution (record linkage): misspelled names
+    // (one deterministic char deletion on 50% of customers) matched back to
+    // the canonical dim by blocked edit distance — head/tail blocks, union,
+    // levenshtein ≤ 1 verify. Oracle = exhaustive cross product, so the
+    // gate proves blocking completeness (operators/EntityResolution.scala)
+    "q_fuzzy_match" -> ((s, dir) => {
+      import graft.sources.ZipfCorpus.u20
+      val canon = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(col("n_name"), lit("-"), col("c_custkey").cast("string"))
+            .as("canon_name"))
+      val ck = col("c_custkey").cast("string")
+      val p = lit(1L) + shiftright(
+        u20(concat(lit("fp:"), ck)) * length(col("canon_name")), 20)
+      val dirty = canon
+        .where(u20(concat(lit("fz:"), ck)) < lit(524288L))
+        .select(col("c_custkey").as("dirty_id"),
+          concat(
+            col("canon_name").substr(lit(1), (p - 1L).cast("int")),
+            col("canon_name").substr((p + 1L).cast("int"), lit(200)))
+            .as("dirty_name"))
+      EntityResolution.matchByEditDistance(
+          dirty, "dirty_id", "dirty_name",
+          canon, "c_custkey", "canon_name", blockLen = 4, maxDist = 1)
+        .select(col("dirty_id"), col("c_custkey").as("match_key"),
+          col("edit_dist").cast("long").as("edit_dist"))
+    }),
+
+    // §2#56 small-file compaction: 64 micro-files rewritten into
+    // size-targeted files through the REAL write path; the gate is content
+    // identity (read-back of the compacted copy vs the oracle over the
+    // original table) — compaction must be a no-op on the row multiset
+    // (operators/Compaction.scala; file-count math is spec-pinned)
+    "q_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val small = s"$tmp/small"
+      val packed = s"$tmp/packed"
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(64).write.mode("overwrite").parquet(small)
+      val (nb, na, _) = Compaction.compact(s, small, packed,
+        targetBytes = 8L * 1024 * 1024)
+      require(na <= nb, s"compaction grew the file count: $nb -> $na")
+      s.read.parquet(packed)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+    }),
+
+    // §2#37j bitmap-index EXACT distinct (the roaring-bitmap device next
+    // to the HLL sketch): presence bits OR-folded into 63-key words
+    // (sign-bit-free, engine-portable), popcount sum == count_distinct —
+    // proven in-row by emitting both (operators/Bitmap.scala)
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Bitmap.cardinality(
+          Bitmap.words(ev, Seq("event_type"), col("user_id")),
+          Seq("event_type"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+        .select(col("event_type"), col("n_distinct"), col("n_exact"))
+    }),
+
+    // §2#37k bitmap set algebra — audience overlap/reach without touching
+    // raw events twice: |purchasers ∩ clickers| = popcount(AND) over word
+    // tables, |∪| = popcount of the OR-merge; the oracle re-derives all
+    // four from exact distinct sets, pinning the algebra
+    "q_bitmap_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def bm(t: String) = Bitmap.words(
+        ev.filter(col("event_type") === t), Nil, col("user_id"))
+      val (pur, clk) = (bm("purchase"), bm("click"))
+      Bitmap.cardinality(pur, Nil).withColumnRenamed("n_distinct", "n_purchase")
+        .crossJoin(Bitmap.cardinality(clk, Nil)
+          .withColumnRenamed("n_distinct", "n_click"))
+        .crossJoin(Bitmap.andCardinality(pur, clk)
+          .withColumnRenamed("n_and", "n_both"))
+        .crossJoin(Bitmap.orCardinality(pur, clk)
+          .withColumnRenamed("n_or", "n_either"))
+    }),
+
+    // §2#57 one-pass table statistics (ANALYZE): per-column null count,
+    // min/max, approx ndv from ONE scan — melt on the scan, one agg per
+    // statistic family; the double column hashes through decimal(18,2)
+    // (raw double→string is not engine-portable)
+    // (operators/TableStats.scala)
+    "q_table_stats" -> ((s, dir) => {
+      import TableStats.ProfiledCol
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      TableStats.profile(ev, Seq(
+        ProfiledCol("event_id", col("event_id"), Some(col("event_id"))),
+        ProfiledCol("ts_us", col("ts_us"), Some(col("ts_us"))),
+        ProfiledCol("user_id", col("user_id"), Some(col("user_id"))),
+        ProfiledCol("value", col("value").cast("decimal(18,2)"), Some(col("value"))),
+        ProfiledCol("event_type", col("event_type"), None)), seed = 31L)
+    }),
+
     // §2#52 regular-grid resampling with linear interpolation (6-hour grid
     // per entity): union readings ∪ span-bounded grid, carry both
     // directions in one window pass — no self-join, bit-portable doubles
@@ -3866,6 +4018,126 @@ object SparkEntry {
          |  cast(true_pairs AS bigint) AS true_pairs,
          |  cast(est_pairs - true_pairs AS bigint) AS overcount
          |FROM est CROSS JOIN ex""".stripMargin
+    },
+
+    // spatial neighbor join: the oracle is the EXHAUSTIVE answer (cross
+    // product + exact integer distance filter) — it contains every pair
+    // regardless of cells, so a candidate the blocking missed would
+    // hash-mismatch; the length prefilter is free exactness (d2 over a
+    // shared axis bounds nothing here, the cross join is simply affordable
+    // at gate scale)
+    "q_geo_join" -> {
+      s"""WITH $GeoPtsCte
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |  (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) +
+         |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg) AS d2
+         |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |WHERE (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) +
+         |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
+         |  <= ${250000L * 250000L}""".stripMargin
+    },
+
+    // z-order: the same mask-doubling Morton spread as int64 literals
+    "q_zorder" -> {
+      s"""WITH $GeoPtsCte,
+         |cells AS (SELECT c_custkey, lon_udeg // 10000 AS x_cell,
+         |    lat_udeg // 10000 AS y_cell FROM pts)
+         |SELECT c_custkey, x_cell, y_cell,
+         |  ${Layout.zValueSql("x_cell", "y_cell")} AS zval,
+         |  ${Layout.zValueSql("x_cell", "y_cell")} >> 15 AS bucket
+         |FROM cells""".stripMargin
+    },
+
+    // fuzzy match: the oracle brute-forces the full dirty × canon product
+    // (with the free |len diff| <= 1 prefilter, valid because distance >=
+    // length difference) — blocking completeness is exactly what the hash
+    // equality then proves
+    "q_fuzzy_match" -> {
+      val u20fp = graft.sources.ZipfCorpus.u20Sql(
+        "'fp:' || CAST(c_custkey AS varchar)")
+      val u20fz = graft.sources.ZipfCorpus.u20Sql(
+        "'fz:' || CAST(c_custkey AS varchar)")
+      s"""WITH canon AS (SELECT c_custkey,
+         |    n_name || '-' || CAST(c_custkey AS varchar) AS canon_name
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         |dd AS (SELECT c_custkey, canon_name,
+         |    1 + (($u20fp * length(canon_name)) >> 20) AS p
+         |  FROM canon WHERE $u20fz < 524288),
+         |dirty AS (SELECT c_custkey AS dirty_id,
+         |    substring(canon_name, 1, CAST(p - 1 AS int)) ||
+         |    substring(canon_name, CAST(p + 1 AS int), 200) AS dirty_name
+         |  FROM dd)
+         |SELECT d.dirty_id, c.c_custkey AS match_key,
+         |  cast(levenshtein(d.dirty_name, c.canon_name) AS bigint) AS edit_dist
+         |FROM dirty d JOIN canon c
+         |  ON abs(length(d.dirty_name) - length(c.canon_name)) <= 1
+         |WHERE levenshtein(d.dirty_name, c.canon_name) <= 1""".stripMargin
+    },
+
+    // compaction content identity: the oracle reads the ORIGINAL table —
+    // the rewrite must be a no-op on the row multiset
+    "q_compaction" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
+
+    // bitmap distinct: same 63-bit words (sign-free: engines range-check
+    // 1<<63), popcount sum next to the exact count — equality is visible
+    // in the row itself
+    "q_bitmap_distinct" ->
+      """WITH w AS (SELECT event_type, user_id // 63 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS int)) AS bits
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |bc AS (SELECT event_type, sum(bit_count(bits)) AS n_distinct FROM w GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT event_type, cast(n_distinct AS bigint) AS n_distinct,
+        |  cast(n_exact AS bigint) AS n_exact
+        |FROM bc JOIN ex USING (event_type)""".stripMargin,
+
+    // bitmap set algebra: the oracle derives all four cardinalities from
+    // exact distinct sets — the AND/OR word algebra must agree
+    "q_bitmap_setops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |c AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |SELECT
+        |  cast((SELECT count(*) FROM p) AS bigint) AS n_purchase,
+        |  cast((SELECT count(*) FROM c) AS bigint) AS n_click,
+        |  cast((SELECT count(*) FROM p JOIN c USING (user_id)) AS bigint) AS n_both,
+        |  cast((SELECT count(*) FROM (SELECT user_id FROM p
+        |     UNION SELECT user_id FROM c)) AS bigint) AS n_either""".stripMargin,
+
+    // table profile: melt via UNION ALL, exact scalar stats, ndv via the
+    // same register replay + exact-integer estimator as q_agg_merge
+    "q_table_stats" -> {
+      s"""WITH melted AS (
+         |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS sval,
+         |    CAST(event_id AS double) AS nval FROM events
+         |  UNION ALL SELECT 'ts_us', CAST(epoch_us(ts) AS VARCHAR),
+         |    CAST(epoch_us(ts) AS double) FROM events
+         |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR),
+         |    CAST(user_id AS double) FROM events
+         |  UNION ALL SELECT 'value', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+         |    CAST(value AS double) FROM events
+         |  UNION ALL SELECT 'event_type', event_type, NULL FROM events),
+         |sc AS (SELECT col_name, count(*) AS n_rows,
+         |    sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |    min(nval) AS min_num, max(nval) AS max_num
+         |  FROM melted GROUP BY 1),
+         |hsrc AS (SELECT col_name, sval AS shingle
+         |  FROM (SELECT DISTINCT col_name, sval FROM melted WHERE sval IS NOT NULL)),
+         |${hllRegsCtesOver(Seq("col_name"), 31L)},
+         |est AS (SELECT col_name,
+         |    sum(CAST(power(2.0, 57 - reg) AS HUGEINT)) AS s_present,
+         |    count(*) AS nb
+         |  FROM regs GROUP BY 1)
+         |SELECT s.col_name, cast(s.n_rows AS bigint) AS n_rows,
+         |  cast(s.n_nulls AS bigint) AS n_nulls, s.min_num, s.max_num,
+         |  CAST(${Sketch.Numer} AS double) /
+         |    (CAST(s_present + (256 - nb) * CAST(144115188075855872 AS HUGEINT)
+         |       AS double) / CAST(144115188075855872 AS double)) AS approx_ndv
+         |FROM sc s LEFT JOIN est e USING (col_name)""".stripMargin
     },
 
     // identical union-and-carry formulation: grid instants from integer

@@ -49,8 +49,11 @@ object ZipfCorpus {
   private val DupLt = 42000L     // ~4 %
   private val QuoteLt = 63000L   // ~2 % more
 
-  /** First 5 hex chars of md5(s) as a 20-bit long — Spark side. */
-  private def u20(s: Column): Column =
+  /** First 5 hex chars of md5(s) as a 20-bit long — Spark side. Public:
+    * this is the library's engine-portable uniform-draw primitive (also
+    * used by the synthetic geo-point construction in SparkEntry).
+    */
+  def u20(s: Column): Column =
     conv(substring(md5(s), 1, 5), 16, 10).cast("long")
 
   private def seed(salt: String): Column =
@@ -90,7 +93,7 @@ object ZipfCorpus {
   /** First 5 hex chars of md5(`a`) folded to a BIGINT — DuckDB side,
     * digit-for-digit the same value as [[u20]].
     */
-  private def u20Sql(a: String): String =
+  def u20Sql(a: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(split(substring(md5($a), 1, 5), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), " +
