@@ -64,17 +64,25 @@ object Sketch {
     */
   def registers(df: DataFrame, groupCols: Seq[String], value: Column,
       seed: Long): DataFrame = {
+    val (bucket, rho) = bucketRho(value, seed)
+    // null values do not count toward cardinality (count_distinct semantics)
+    df.where(value.isNotNull).select(
+        groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("rho").as("reg"))
+  }
+
+  /** The (bucket, rank) pair for one value — the scan-side core of
+    * [[registers]], exposed so callers fusing the sketch into a wider
+    * single-pass aggregation (e.g. [[TableStats.profile]]) compute the
+    * identical registers without a second scan.
+    */
+  def bucketRho(value: Column, seed: Long): (Column, Column) = {
     val h = HashExpressions.fnvMix(value.cast("string"), seed)
     val rem = shiftleft(h, P) // low W bits moved to the top; 0 iff all zero
     val rho = when(rem === 0L, lit(W + 1))
       .otherwise(HashExpressions.clz64(rem) + lit(1))
-    // null values do not count toward cardinality (count_distinct semantics)
-    df.where(value.isNotNull).select(
-        groupCols.map(col) :+
-          shiftrightunsigned(h, W).as("bucket") :+
-          rho.as("rho"): _*)
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(max("rho").as("reg"))
+    (shiftrightunsigned(h, W), rho)
   }
 
   /** Merge two register tables (same groupCols): max per (group, bucket).
