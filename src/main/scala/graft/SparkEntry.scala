@@ -354,18 +354,27 @@ object SparkEntry {
   }
 
   /** Deterministic synthetic point set for the spatial/layout gates: each
-    * customer gets (lat_udeg, lon_udeg) uniform in [0, 10^7) microdegrees —
-    * a 10°×10° region — via the same engine-portable md5 20-bit draws as
-    * ZipfCorpus (u·10^7 >> 20 is exact int64 in both engines). The driver
-    * tables carry no coordinates; like the Zipf corpus, the construction is
-    * part of the gated plan, rebuilt byte-identically by the oracle.
+    * customer gets (lat_udeg, lon_udeg) uniform in [0, side) microdegrees
+    * via the same engine-portable md5 20-bit draws as ZipfCorpus
+    * (u·side >> 20 is exact int64 in both engines). The region side is
+    * DENSITY-NORMALIZED: side = 250k µdeg · ⌈√N⌉, i.e. about one point per
+    * search cell at every SF — real geo data grows in AREA at roughly
+    * constant density, and this keeps the fixed-radius neighbor join's
+    * output (and candidate work) LINEAR in N; a fixed region would go N².
+    * ⌈√N⌉ via IEEE sqrt is portable: sqrt is correctly rounded and N ≪ the
+    * scale where ceil could land off by one. The driver tables carry no
+    * coordinates; like the Zipf corpus, the construction is part of the
+    * gated plan, rebuilt byte-identically by the oracle.
     */
   private def geoPoints(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ZipfCorpus.u20
+    val cust = Tables.customer(s, dir)
+    val side = cust.agg(
+      (ceil(sqrt(count(lit(1)).cast("double"))) * lit(250000L)).as("sz"))
     def coord(salt: String): Column = shiftright(
       u20(concat(lit(s"g:$salt:"), col("c_custkey").cast("string"))) *
-        lit(10000000L), 20)
-    Tables.customer(s, dir).select(
+        col("sz"), 20)
+    cust.crossJoin(broadcast(side)).select(
       col("c_custkey"),
       coord("lat").as("lat_udeg"),
       coord("lon").as("lon_udeg"))
@@ -376,11 +385,13 @@ object SparkEntry {
     */
   private lazy val GeoPtsCte: String = {
     def coordSql(salt: String) =
-      s"(${graft.sources.ZipfCorpus.u20Sql(s"'g:$salt:' || CAST(c_custkey AS varchar)")} * 10000000) >> 20"
-    s"""pts AS (SELECT c_custkey,
+      s"(${graft.sources.ZipfCorpus.u20Sql(s"'g:$salt:' || CAST(c_custkey AS varchar)")} * sz) >> 20"
+    s"""side AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS double))) AS bigint)
+       |    * 250000 AS sz FROM customer),
+       |pts AS (SELECT c_custkey,
        |    ${coordSql("lat")} AS lat_udeg,
        |    ${coordSql("lon")} AS lon_udeg
-       |  FROM customer)""".stripMargin
+       |  FROM customer CROSS JOIN side)""".stripMargin
   }
 
   /** FnvMix HLL register replay over a caller-provided CTE
@@ -3024,9 +3035,11 @@ object SparkEntry {
 
     // §2#55 fuzzy entity resolution (record linkage): misspelled names
     // (one deterministic char deletion on 50% of customers) matched back to
-    // the canonical dim by blocked edit distance — head/tail blocks, union,
-    // levenshtein ≤ 1 verify. Oracle = exhaustive cross product, so the
-    // gate proves blocking completeness (operators/EntityResolution.scala)
+    // the canonical dim by DELETION-NEIGHBORHOOD blocking (FastSS/SymSpell
+    // family — prefix blocking degenerates to O(N) blocks on shared-prefix
+    // names), levenshtein ≤ 1 verify. Oracle = exhaustive cross product, so
+    // the gate proves blocking completeness
+    // (operators/EntityResolution.scala)
     "q_fuzzy_match" -> ((s, dir) => {
       import graft.sources.ZipfCorpus.u20
       val canon = Tables.customer(s, dir)
@@ -3047,7 +3060,7 @@ object SparkEntry {
             .as("dirty_name"))
       EntityResolution.matchByEditDistance(
           dirty, "dirty_id", "dirty_name",
-          canon, "c_custkey", "canon_name", blockLen = 4, maxDist = 1)
+          canon, "c_custkey", "canon_name", maxDist = 1)
         .select(col("dirty_id"), col("c_custkey").as("match_key"),
           col("edit_dist").cast("long").as("edit_dist"))
     }),
@@ -4020,18 +4033,19 @@ object SparkEntry {
          |FROM est CROSS JOIN ex""".stripMargin
     },
 
-    // spatial neighbor join: the oracle is the EXHAUSTIVE answer (cross
-    // product + exact integer distance filter) — it contains every pair
-    // regardless of cells, so a candidate the blocking missed would
-    // hash-mismatch; the length prefilter is free exactness (d2 over a
-    // shared axis bounds nothing here, the cross join is simply affordable
-    // at gate scale)
+    // spatial neighbor join: the oracle is exhaustive MODULO A THEOREM —
+    // the join carries only the |Δlat| <= r band, which d² <= r² implies,
+    // so correctness equals the full cross product while DuckDB's IEJoin
+    // keeps the sf1 replay feasible; it knows nothing of cells, so a
+    // candidate the blocking missed would hash-mismatch
     "q_geo_join" -> {
       s"""WITH $GeoPtsCte
          |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
          |  (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) +
          |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg) AS d2
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         |  AND b.lat_udeg >= a.lat_udeg - 250000
+         |  AND b.lat_udeg <= a.lat_udeg + 250000
          |WHERE (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) +
          |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
          |  <= ${250000L * 250000L}""".stripMargin

@@ -3,10 +3,11 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Blocked edit-distance matching: equality with the exhaustive answer over
-  * a corpus that exercises every blocking case — head edits, tail edits,
-  * middle edits, short names, and the length band straddling the
-  * short/long boundary (where a single indel carries a name across it).
+/** Deletion-neighborhood matching: equality with the exhaustive answer over
+  * a corpus that exercises every edit kind (head/tail/middle substitution,
+  * deletion, insertion, equality, short strings), and the properties that
+  * make the blocking scale — linear key fan-out and block sizes that track
+  * matches, not table size, even on heavily shared-prefix names.
   */
 class EntityResolutionSpec extends SparkSpec {
   import spark.implicits._
@@ -21,28 +22,29 @@ class EntityResolutionSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
-  test("blocked match equals exhaustive match across all length regimes") {
+  test("blocked match equals exhaustive match across all edit kinds") {
     val canon = Seq(
       "alpha-1", "alpha-2", "beta-12", "gamma-123", "delta-1234",
-      "abcdefgh", "abcdefghi", "abcdeXgh", // len 8/9 boundary band (2*blockLen=8)
-      "shorty", "shor", "sh",
+      "abcdefgh", "abcdefghi", "abcdeXgh",
+      "shorty", "shor", "sh", "a",
       "verylongname-42", "verylongname-43").zipWithIndex
       .map { case (n, i) => (i.toLong, n) }.toDF("cid", "cname")
     val dirty = Seq(
-      "alpha-",      // tail deletion of alpha-1 / alpha-2 parent
-      "lpha-1",      // head deletion
-      "alpha-1",     // exact (distance 0)
-      "bcdefgh",     // len 7 from len-8 canon: crosses the boundary band
-      "abcdefghX",   // tail substitution of abcdefghi
-      "abXdefgh",    // head-region substitution
-      "abcdeYgh",    // middle substitution: matches abcdefgh AND abcdeXgh
-      "short",       // short regime
-      "verylongname-4", // tail deletion matching both -42 and -43? (dist 1 vs 1)
-      "zzzzzzzzzz")  // no match
+      "alpha-",         // tail deletion
+      "lpha-1",         // head deletion
+      "alpha-1",        // exact (distance 0)
+      "Xalpha-1",       // head insertion
+      "abcdefghX",      // tail substitution of abcdefghi
+      "Xbcdefgh",       // head substitution
+      "abcdeYgh",       // middle substitution: matches abcdefgh AND abcdeXgh
+      "short",          // short regime (matches shorty? dist 1 del)
+      "b",              // single char vs "a": substitution dist 1
+      "verylongname-4", // deletion matching both -42 and -43
+      "zzzzzzzzzz")     // no match
       .zipWithIndex.map { case (n, i) => (100L + i, n) }.toDF("did", "dname")
 
     val got = EntityResolution.matchByEditDistance(
-        dirty, "did", "dname", canon, "cid", "cname", blockLen = 4, maxDist = 1)
+        dirty, "did", "dname", canon, "cid", "cname", maxDist = 1)
       .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)]
       .collect().sorted
     val cs = canon.as[(Long, String)].collect()
@@ -53,17 +55,37 @@ class EntityResolutionSpec extends SparkSpec {
     } yield (did, cid, d)).sorted
     assert(got.toSeq == want.toSeq,
       s"blocked != exhaustive:\n got ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
-    // sanity: the boundary-band case actually matched (the bug this spec pins)
-    assert(want.exists { case (did, _, _) => did == 103L },
-      "len-7-vs-len-8 boundary pair must be in the expected set")
-    assert(!want.exists { case (did, _, _) => did == 109L }, "zzz… must not match")
+    assert(!want.exists { case (did, _, _) => did == 110L }, "zzz… must not match")
+    assert(want.exists { case (did, cid, d) => did == 108L && d == 1 },
+      "single-char substitution must match")
   }
 
-  test("only one edit is supported by 2-piece blocking") {
-    val df = Seq((1L, "x")).toDF("id", "n")
-    intercept[IllegalArgumentException] {
-      EntityResolution.matchByEditDistance(df, "id", "n", df, "id", "n",
-        blockLen = 4, maxDist = 2)
-    }
+  test("deletion keys: string itself plus each single deletion, deduped") {
+    val keys = Seq(Tuple1("abc")).toDF("n")
+      .select(array_distinct(EntityResolution.deletionKeys($"n"))).as[Seq[String]].head()
+    assert(keys.toSet == Set("abc", "bc", "ac", "ab"))
+    // repeated chars dedupe ("aa" -> deleting either char gives "a" once)
+    val dup = Seq(Tuple1("aa")).toDF("n")
+      .select(array_distinct(EntityResolution.deletionKeys($"n"))).as[Seq[String]].head()
+    assert(dup.toSet == Set("aa", "a"))
+  }
+
+  test("block sizes track matches, not table size, on shared-prefix names") {
+    // 2000 names all sharing a 12-char prefix — the distribution that made
+    // prefix blocking quadratic; deletion-neighborhood block sizes must
+    // stay tiny because the discriminating suffix enters every key
+    val canon = (1 to 2000).map(i => (i.toLong, f"SHARED-PREFIX-$i%06d")).toDF("cid", "cname")
+    val blocks = canon
+      .select(explode(array_distinct(EntityResolution.deletionKeys($"cname"))).as("k"))
+      .groupBy($"k").count()
+    val maxBlock = blocks.agg(max($"count")).as[Long].head()
+    // a key is shared only by names one deletion apart in the varying part
+    // (the digit neighborhood of a 6-digit suffix is a few dozen names —
+    // a constant of the name format, NOT of the table size)
+    assert(maxBlock <= 60L,
+      s"deletion-neighborhood blocks must stay bounded on shared prefixes, max=$maxBlock")
+    // fan-out is linear: exactly len+1 distinct keys per unique name here
+    val totalKeys = blocks.agg(sum($"count")).as[Long].head()
+    assert(totalKeys <= 2000L * 21L)
   }
 }
