@@ -73,6 +73,21 @@ object SparkEntry {
         .foreach(graft.streaming.FileReplay.deleteRecursively)
   }
 
+  /** Fresh temp dir for a batch write-path gate, deleting the dirs any
+    * PREVIOUS invocation of the same gate left behind — the median-of-3
+    * bench runs every gate three times, so an unmanaged
+    * `createTempDirectory` would leak three table copies per round.
+    * (Deleting after the read-back is not an option: the returned frame is
+    * lazy and the driver executes it later.)
+    */
+  private def gateTmpDir(prefix: String): String = {
+    cleanupTmp(prefix)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"$prefix${System.nanoTime()}")
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions=8`, restoring after.
     * Every stream gate runs inside it: a stateful operator commits one
     * state-store delta PER SHUFFLE PARTITION PER MICRO-BATCH, so at gate
@@ -1780,13 +1795,30 @@ object SparkEntry {
         aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("l1_q"))
     }),
 
-    // §2#35 multimodal binary plumbing (decode stubbed deterministically)
-    "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.extractMeta(
-        s,
-        Tables.documents(s, dir)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-        "doc_id", "payload")),
+    // §2#35 multimodal metadata: REAL byte-level container parse. The gate
+    // constructs real PNG/JPEG/GIF/BMP container bytes IN-PLAN from
+    // per-doc parameters (Multimodal.syntheticImage — spec-faithful
+    // headers via hex/unhex), then parses them back with the native
+    // ImageMeta expression; the oracle re-derives every field
+    // arithmetically from the same parameters, so the hash equality
+    // proves parse(construct(p)) == p through actual encoded bytes.
+    // Fully-valid golden files (CRC-correct PNG, camera-style JPEG,
+    // WebP) are pinned byte-for-byte in ImageMetaSpec.
+    "q_multimodal_meta" -> ((s, dir) => {
+      val params = Tables.documents(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("fmt"),
+        (lit(16) + pmod(col("doc_id") * 3, lit(1000))).cast("int").as("w"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(800))).cast("int").as("h"))
+      val withBytes = params.withColumn("payload",
+        Multimodal.syntheticImage(col("fmt"), col("w"), col("h"), col("doc_id")))
+      Multimodal.extractMeta(withBytes, "doc_id", "payload")
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("format"))
+    }),
 
     // §2#37 sketch aggregates: HLL distinct sketch (mergeable across
     // partitions/days — the scale path for distinct counts) next to the
@@ -2450,7 +2482,6 @@ object SparkEntry {
     // the raw-array path is exercised by MultimodalSpec + Similarity ops.
     "q_multimodal_patches" -> ((s, dir) =>
       Multimodal.extractPatchFeatures(
-          s,
           Tables.documents(s, dir)
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
           "doc_id", "payload")
@@ -3071,7 +3102,7 @@ object SparkEntry {
     // original table) — compaction must be a no-op on the row multiset
     // (operators/Compaction.scala; file-count math is spec-pinned)
     "q_compaction" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val tmp = gateTmpDir("graft_compact-")
       val small = s"$tmp/small"
       val packed = s"$tmp/packed"
       Tables.events(s, dir)
@@ -3239,7 +3270,7 @@ object SparkEntry {
     // two-step merge as one prioritized dedupe (provably equivalent: the
     // second merge's winner per key is the same row either way).
     "q_upsert_merge" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val tmp = gateTmpDir("graft_upsert-")
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
@@ -3262,7 +3293,7 @@ object SparkEntry {
     // read BACK from the written files so the gate checks what landed on
     // disk, manifest row counts cross-checked against the read-back
     "q_shard_export" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      val tmp = gateTmpDir("graft_shards-")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val manifest = Sink.writeShards(docs, tmp, "doc_id", 8)
         .select(col("shard"), col("n_rows"))
@@ -4046,6 +4077,8 @@ object SparkEntry {
          |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
          |  AND b.lat_udeg >= a.lat_udeg - 250000
          |  AND b.lat_udeg <= a.lat_udeg + 250000
+         |  AND b.lon_udeg >= a.lon_udeg - 250000
+         |  AND b.lon_udeg <= a.lon_udeg + 250000
          |WHERE (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) +
          |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
          |  <= ${250000L * 250000L}""".stripMargin
@@ -5806,12 +5839,24 @@ object SparkEntry {
          |${ngramPairCoreSql("zdocs")}
          |$ContainmentSelectSql""".stripMargin),
 
+    // arithmetic re-derivation of Multimodal.syntheticImage's parameters
+    // and serialized byte counts — the Spark side must recover them by
+    // PARSING the constructed container bytes (see the queries entry)
     "q_multimodal_meta" ->
-      """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,
-        |  cast(64 + octet_length(encode(text)) % 1024 AS bigint) AS width,
-        |  cast(64 + (octet_length(encode(text)) * 31) % 768 AS bigint) AS height,
-        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |    ELSE 'webp' END AS format
+      """SELECT doc_id,
+        |  cast(CASE doc_id % 4 WHEN 0 THEN 45
+        |    WHEN 1 THEN CASE WHEN doc_id % 5 = 0 THEN 35 ELSE 41 END
+        |    WHEN 2 THEN 14 ELSE 54 END AS bigint) AS n_bytes,
+        |  cast(16 + (doc_id * 3) % 1000 AS bigint) AS width,
+        |  cast(16 + (doc_id * 7) % 800 AS bigint) AS height,
+        |  cast(CASE doc_id % 4
+        |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+        |    WHEN 1 THEN CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END
+        |    WHEN 2 THEN 3
+        |    ELSE CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END END AS bigint)
+        |    AS channels,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' ELSE 'bmp' END AS format
         |FROM documents""".stripMargin,
 
     "q_token_hist" ->

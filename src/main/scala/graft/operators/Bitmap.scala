@@ -52,10 +52,14 @@ object Bitmap {
       .groupBy((groupCols :+ "word").map(col): _*)
       .agg(bit_or(col("bits")).as("bits"))
 
-  /** Exact distinct count per group: Σ popcount(bits). */
+  /** Exact distinct count per group: Σ popcount(bits). The global form
+    * (empty `groupCols`) coalesces to 0 on an empty word table so an
+    * absent slice counts as zero, matching `andCardinality`.
+    */
   def cardinality(words: DataFrame, groupCols: Seq[String]): DataFrame =
     words.groupBy(groupCols.map(col): _*)
-      .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct"))
+      .agg(coalesce(sum(bit_count(col("bits")).cast("long")), lit(0L))
+        .as("n_distinct"))
 
   /** Exact |A ∩ B| from two word tables: popcount of AND, joined on word
     * — absent words contribute nothing, so an inner join is exact.
