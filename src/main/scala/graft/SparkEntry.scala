@@ -1327,6 +1327,43 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
+    // §2#58 HTML boilerplate extraction, block grain: a realistic page is
+    // synthesized in-plan around each document's text (nav/share/aside/
+    // footer chrome, script/style/comment junk, entity escapes, an inline
+    // citation link), segmented at block tags, and scored by word count +
+    // link density — the jusText-family keep rule. The oracle re-runs the
+    // IDENTICAL pipeline in DuckDB (same RE2 patterns, same replace
+    // chains), so the hash pins every regex and threshold
+    // (operators/Html.scala)
+    "q_html_extract" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir).select(col("doc_id"),
+        Html.synthesizePage(col("doc_id"), col("text")).as("html"))
+      Html.blocks(pages, "doc_id", "html")
+        .select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+          col("text"), col("n_chars"), col("n_words"), col("link_chars"),
+          round(col("link_density"), 6).as("link_density"),
+          col("kept").cast("int").cast("long").as("kept"))
+    }),
+
+    // §2#58b HTML extraction composed into the text stack, doc grain: kept
+    // blocks joined in block order, then the SAME token counting as
+    // q_text_stats (Text.tokenCount) and a QualityFilter.decide verdict
+    // over extraction-derived signals — the gated ingest→clean→score chain
+    // of a web curation pipeline
+    "q_html_clean" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir).select(col("doc_id"),
+        Html.synthesizePage(col("doc_id"), col("text")).as("html"))
+      val cleaned = Html.extractText(pages, "doc_id", "html")
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      QualityFilter.decide(cleaned, Seq(
+          "too_short" -> (col("n_tokens") < 20),
+          "boiler_heavy" -> (col("n_blocks_dropped") >= 10)))
+        .select(col("doc_id"), col("text"), col("n_blocks_kept"),
+          col("n_blocks_dropped"), col("n_tokens"),
+          array_join(col("reasons"), ",").as("reasons"),
+          col("keep").cast("int").cast("long").as("keep"))
+    }),
+
     // §2#26 text quality stats via the native single-pass TokenStats
     // expression (graft.plans.TokenStats): one scan per document instead of
     // a tokenization per referenced statistic
@@ -5494,6 +5531,41 @@ object SparkEntry {
          |    CASE WHEN n_tokens > 0 THEN cast(stopword_cnt AS double) / n_tokens ELSE 0.0 END * 0.3,
          |    6) AS quality
          |FROM x""".stripMargin),
+
+    // full DuckDB replay of the HTML pipeline: same page construction,
+    // same non-content strip, same block split, same link extraction and
+    // text normalization, same keep rule — every regex/threshold pinned
+    "q_html_extract" -> (
+      s"""WITH ${Html.SynthesizePageSql},
+         |${Html.blocksCoreSql()}
+         |SELECT doc_id, block_idx, btext AS text, n_chars, n_words,
+         |  link_chars, round(link_density, 6) AS link_density,
+         |  cast(CASE WHEN kept THEN 1 ELSE 0 END AS bigint) AS kept
+         |FROM bk""".stripMargin),
+
+    "q_html_clean" -> (
+      s"""WITH ${Html.SynthesizePageSql},
+         |${Html.blocksCoreSql()},
+         |dg AS (SELECT doc_id,
+         |    string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY block_idx)
+         |      AS text,
+         |    cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint)
+         |      AS n_blocks_kept,
+         |    cast(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS bigint)
+         |      AS n_blocks_dropped
+         |  FROM bk GROUP BY 1
+         |  HAVING sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0),
+         |tok AS (SELECT *, cast(len(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), t -> len(t) > 0))
+         |    AS bigint) AS n_tokens FROM dg),
+         |r AS (SELECT *, list_filter([
+         |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+         |    CASE WHEN n_blocks_dropped >= 10 THEN 'boiler_heavy' END],
+         |    x -> x IS NOT NULL) AS rl FROM tok)
+         |SELECT doc_id, text, n_blocks_kept, n_blocks_dropped, n_tokens,
+         |  coalesce(array_to_string(rl, ','), '') AS reasons,
+         |  cast(CASE WHEN len(rl) = 0 THEN 1 ELSE 0 END AS bigint) AS keep
+         |FROM r""".stripMargin),
 
     "q_lang_id" -> {
       val langLists = Text.Langs.map { case (l, words) =>
