@@ -3133,6 +3133,42 @@ object SparkEntry {
           col("edit_dist").cast("long").as("edit_dist"))
     }),
 
+    // §2#55b fuzzy entity resolution at DISTANCE 2: depth-2 deletion
+    // neighborhoods both sides (fan-out ≈ len²/2 keys per row — still a
+    // per-name constant), thresholded-levenshtein verify. The corpus
+    // plants a mix of one-deletion (d=1) and two-deletion (d=2)
+    // corruptions; the exhaustive cross-product oracle again proves
+    // blocking completeness at the wider radius
+    "q_fuzzy_match2" -> ((s, dir) => {
+      import graft.sources.ZipfCorpus.u20
+      val canon = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(col("n_name"), lit("-"), col("c_custkey").cast("string"))
+            .as("canon_name"))
+      val ck = col("c_custkey").cast("string")
+      def del(nameCol: Column, p: Column): Column =
+        concat(nameCol.substr(lit(1), (p - 1L).cast("int")),
+          nameCol.substr((p + 1L).cast("int"), lit(200)))
+      val p1 = lit(1L) + shiftright(
+        u20(concat(lit("f2a:"), ck)) * length(col("canon_name")), 20)
+      val n1 = del(col("canon_name"), p1)
+      // second deletion position drawn over the ALREADY-SHORTENED name
+      val p2 = lit(1L) + shiftright(u20(concat(lit("f2b:"), ck)) * length(n1), 20)
+      val n2 = del(n1, p2)
+      val dirty = canon
+        .where(u20(concat(lit("fz2:"), ck)) < lit(524288L))
+        .select(col("c_custkey").as("dirty_id"),
+          when(pmod(u20(concat(lit("fn:"), ck)), lit(3L)) === 0L, n1)
+            .otherwise(n2).as("dirty_name"))
+      EntityResolution.matchByEditDistance(
+          dirty, "dirty_id", "dirty_name",
+          canon, "c_custkey", "canon_name", maxDist = 2)
+        .select(col("dirty_id"), col("c_custkey").as("match_key"),
+          col("edit_dist").cast("long").as("edit_dist"))
+    }),
+
     // §2#56 small-file compaction: 64 micro-files rewritten into
     // size-targeted files through the REAL write path; the gate is content
     // identity (read-back of the compacted copy vs the oracle over the
@@ -4156,6 +4192,45 @@ object SparkEntry {
          |FROM dirty d JOIN canon c
          |  ON abs(length(d.dirty_name) - length(c.canon_name)) <= 1
          |WHERE levenshtein(d.dirty_name, c.canon_name) <= 1""".stripMargin
+    },
+
+    // distance-2 fuzzy match: exhaustive cross product again (|len diff|
+    // <= 2 prefilter is free: distance >= length difference) — a
+    // distance-2 pair the depth-2 neighborhood blocking missed would
+    // hash-mismatch
+    "q_fuzzy_match2" -> {
+      val u2a = graft.sources.ZipfCorpus.u20Sql(
+        "'f2a:' || CAST(c_custkey AS varchar)")
+      val u2b = graft.sources.ZipfCorpus.u20Sql(
+        "'f2b:' || CAST(c_custkey AS varchar)")
+      val ufz = graft.sources.ZipfCorpus.u20Sql(
+        "'fz2:' || CAST(c_custkey AS varchar)")
+      val ufn = graft.sources.ZipfCorpus.u20Sql(
+        "'fn:' || CAST(c_custkey AS varchar)")
+      s"""WITH canon AS (SELECT c_custkey,
+         |    n_name || '-' || CAST(c_custkey AS varchar) AS canon_name
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         |dd AS (SELECT c_custkey, canon_name,
+         |    1 + (($u2a * length(canon_name)) >> 20) AS p1,
+         |    $ufn % 3 AS fn
+         |  FROM canon WHERE $ufz < 524288),
+         |d1 AS (SELECT c_custkey, fn,
+         |    substring(canon_name, 1, CAST(p1 - 1 AS int)) ||
+         |    substring(canon_name, CAST(p1 + 1 AS int), 200) AS n1
+         |  FROM dd),
+         |d2 AS (SELECT c_custkey, fn, n1,
+         |    1 + (($u2b * length(n1)) >> 20) AS p2
+         |  FROM d1),
+         |dirty AS (SELECT c_custkey AS dirty_id,
+         |    CASE WHEN fn = 0 THEN n1
+         |    ELSE substring(n1, 1, CAST(p2 - 1 AS int)) ||
+         |      substring(n1, CAST(p2 + 1 AS int), 200) END AS dirty_name
+         |  FROM d2)
+         |SELECT d.dirty_id, c.c_custkey AS match_key,
+         |  cast(levenshtein(d.dirty_name, c.canon_name) AS bigint) AS edit_dist
+         |FROM dirty d JOIN canon c
+         |  ON abs(length(d.dirty_name) - length(c.canon_name)) <= 2
+         |WHERE levenshtein(d.dirty_name, c.canon_name) <= 2""".stripMargin
     },
 
     // compaction content identity: the oracle reads the ORIGINAL table —

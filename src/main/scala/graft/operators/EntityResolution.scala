@@ -49,23 +49,42 @@ object EntityResolution {
         concat(n.substr(lit(1), (i - 1).cast("int")),
           n.substr((i + 1).cast("int"), length(n)))))
 
+  /** Depth-`d` deletion neighborhood (FastSS `U_d`): every string
+    * obtainable by deleting up to `d` characters, the string itself
+    * included. Depth 2 composes [[deletionKeys]] with itself and dedups —
+    * fan-out 1 + len + len·(len−1)/2 keys per row (≈ len²/2: still LINEAR
+    * per row, a per-name constant), all inside codegen'd higher-order
+    * functions. The FastSS cover theorem generalizes: ed(a,b) ≤ d ⟹
+    * U_d(a) ∩ U_d(b) ≠ ∅, so blocking at depth d is complete for
+    * distance ≤ d.
+    */
+  def deletionNeighborhood(n: Column, depth: Int): Column = {
+    require(depth >= 1 && depth <= 2,
+      s"deletion neighborhoods implemented for depth 1 and 2; got $depth")
+    if (depth == 1) array_distinct(deletionKeys(n))
+    else array_distinct(flatten(transform(deletionKeys(n), s => deletionKeys(s))))
+  }
+
   /** Match `dirty(idCol, nameCol)` against `canon(canonIdCol, canonNameCol)`
-    * with edit distance ≤ 1 via deletion-neighborhood blocking. Output: one
-    * row per (dirty id, canonical id) match with the distance.
+    * with edit distance ≤ `maxDist` (1 or 2) via deletion-neighborhood
+    * blocking at the same depth. Output: one row per (dirty id, canonical
+    * id) match with the distance. The verify uses Spark's THRESHOLDED
+    * levenshtein (bounded-band DP, O(len·maxDist) per candidate instead of
+    * O(len²)), computed once and reused for filter and projection.
     */
   def matchByEditDistance(dirty: DataFrame, idCol: String, nameCol: String,
       canon: DataFrame, canonIdCol: String, canonNameCol: String,
       maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1,
-      s"the 1-deletion neighborhood covers one edit; got maxDist=$maxDist")
     def keyed(df: DataFrame, name: String): DataFrame =
-      df.withColumn("_bk", explode(array_distinct(deletionKeys(col(name)))))
+      df.withColumn("_bk",
+        explode(deletionNeighborhood(col(name), maxDist)))
     keyed(dirty.select(col(idCol), col(nameCol)), nameCol)
       .join(keyed(canon.select(col(canonIdCol), col(canonNameCol)), canonNameCol), "_bk")
-      .where(levenshtein(col(nameCol), col(canonNameCol)) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col(nameCol), col(canonNameCol), maxDist))
+      .where(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
       // a pair sharing several neighborhood members collapses to one row
-      .select(col(idCol), col(canonIdCol),
-        levenshtein(col(nameCol), col(canonNameCol)).as("edit_dist"))
+      .select(col(idCol), col(canonIdCol), col("edit_dist"))
       .distinct()
   }
 }

@@ -88,4 +88,71 @@ class EntityResolutionSpec extends SparkSpec {
     val totalKeys = blocks.agg(sum($"count")).as[Long].head()
     assert(totalKeys <= 2000L * 21L)
   }
+
+  test("depth-2 neighborhood: up to two deletions, deduped") {
+    val keys = Seq(Tuple1("abcd")).toDF("n")
+      .select(EntityResolution.deletionNeighborhood($"n", 2)).as[Seq[String]].head()
+    val want = Set("abcd",
+      "bcd", "acd", "abd", "abc",
+      "cd", "bd", "bc", "ad", "ac", "ab")
+    assert(keys.toSet == want)
+    assert(keys.length == want.size) // properly deduped
+  }
+
+  test("distance-2 blocked match equals exhaustive match across edit kinds") {
+    val canon = Seq(
+      "alpha-1", "alpha-2", "beta-12", "gamma-123",
+      "abcdefgh", "abcdefghi", "abcdeXgh",
+      "shorty", "shor", "sh",
+      "verylongname-42", "verylongname-43").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("cid", "cname")
+    val dirty = Seq(
+      "alpha",          // two tail deletions of alpha-1/-2
+      "lpha1",          // head + middle deletion
+      "Xlpha-Y",        // two substitutions
+      "XYalpha-1",      // two head insertions
+      "abcdYgZ",        // deletion + two subs vs abcdefgh (d=3: no match to it)
+      "abcdeg",         // two middle deletions of abcdefgh (d=2)
+      "sorty",          // one deletion (d=1 to shorty): still reported at depth 2
+      "s",              // vs "sh": d=1
+      "verylongname-",  // matches -42/-43 at d=2
+      "zzzzzzzzzz")     // no match
+      .zipWithIndex.map { case (n, i) => (100L + i, n) }.toDF("did", "dname")
+    val got = EntityResolution.matchByEditDistance(
+        dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
+      .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)]
+      .collect().sorted
+    val cs = canon.as[(Long, String)].collect()
+    val ds = dirty.as[(Long, String)].collect()
+    val want = (for {
+      (did, dn) <- ds; (cid, cn) <- cs
+      d = lev(dn, cn) if d <= 2
+    } yield (did, cid, d)).sorted
+    assert(got.toSeq == want.toSeq,
+      s"blocked != exhaustive:\n got ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 2),
+      "corpus must exercise both distances")
+    assert(!want.exists { case (did, _, _) => did == 109L }, "zzz… must not match")
+  }
+
+  test("randomized: depth-2 blocking never misses a distance-<=2 pair") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    def word(): String =
+      (0 until (4 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cs = (1 to 60).map(i => (i.toLong, word())).distinct
+    val ds = (1 to 60).map(i => (1000L + i, word())).distinct
+    val canon = cs.toDF("cid", "cname")
+    val dirty = ds.toDF("did", "dname")
+    val got = EntityResolution.matchByEditDistance(
+        dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
+      .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val want = (for {
+      (did, dn) <- ds; (cid, cn) <- cs
+      d = lev(dn, cn) if d <= 2
+    } yield (did, cid, d)).toSet
+    assert(got == want, s"missing: ${(want -- got).take(5)}; extra: ${(got -- want).take(5)}")
+    assert(want.nonEmpty, "small alphabet should produce close pairs")
+  }
 }
