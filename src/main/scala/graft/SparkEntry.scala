@@ -3078,6 +3078,34 @@ object SparkEntry {
         (col("est_pairs") - col("true_pairs")).as("overcount"))
     }),
 
+    // §2#37l join-strategy ADVICE consuming the join-size sketches: three
+    // scenarios through Skew.adviseJoin — a dimension-sized side
+    // (broadcast), two fact sides with no hot key (shuffle), and a planted
+    // hot key taking 25% of one side (salt, with the bucket count sized
+    // from the sketch's hot-key upper bound). Every threshold is an
+    // integer comparison over sketch-derived numbers, so the whole
+    // decision table hash-matches the DuckDB replay
+    // (operators/Skew.scala:adviseJoin)
+    "q_join_advise" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def cm(df: DataFrame, v: Column) =
+        Sketch.countMinCounters(df, Nil, v, depth = 4, width = 4096, seed = 23L)
+      val pur = cm(ev.filter(col("event_type") === "purchase"), col("user_id"))
+      val clk = cm(ev.filter(col("event_type") === "click"), col("user_id"))
+      val dim = cm(Tables.nation(s, dir), col("n_nationkey"))
+      val hotv = cm(ev.filter(col("event_type") === "view"),
+        when(pmod(col("user_id"), lit(4L)) < 1L, lit(-1L))
+          .otherwise(col("user_id")))
+      def one(name: String, a: DataFrame, b: DataFrame) =
+        Skew.adviseJoin(a, b, broadcastMaxRows = 1000L, hotKeyThreshold = 500L)
+          .select(lit(name).as("scenario"), col("est_pairs"), col("n_rows_a"),
+            col("n_rows_b"), col("hot_a"), col("hot_b"), col("decision"),
+            col("broadcast_side"), col("salt_buckets"))
+      one("dim_join", pur, dim)
+        .unionByName(one("fact_fact", pur, clk))
+        .unionByName(one("skewed", hotv, clk))
+    }),
+
     // §2#54 spatial neighbor join by grid-cell blocking: all point pairs
     // within 0.25° (flat-grid µdeg metric, exact int64 — no trig), cell =
     // radius so the 3×3 neighborhood is a complete cover. The oracle is the
@@ -4135,6 +4163,54 @@ object SparkEntry {
          |  cast(true_pairs AS bigint) AS true_pairs,
          |  cast(est_pairs - true_pairs AS bigint) AS overcount
          |FROM est CROSS JOIN ex""".stripMargin
+    },
+
+    // join advice: same sketch replay (4 scenarios' worth of counter
+    // tables), then the identical integer decision chain per scenario
+    "q_join_advise" -> {
+      def adviseCtes(p: String, scenario: String, cma: String, cmb: String) =
+        s"""${p}_sa AS (SELECT min(s) AS n_rows_a, min(mx) AS hot_a FROM
+           |  (SELECT r, sum(cnt) AS s, max(cnt) AS mx FROM $cma GROUP BY 1)),
+           |${p}_sb AS (SELECT min(s) AS n_rows_b, min(mx) AS hot_b FROM
+           |  (SELECT r, sum(cnt) AS s, max(cnt) AS mx FROM $cmb GROUP BY 1)),
+           |${p}_ip AS (SELECT r, sum($cma.cnt * $cmb.cnt) AS ip
+           |  FROM $cma JOIN $cmb USING (r, bucket) GROUP BY 1),
+           |${p}_e AS (SELECT min(ip) AS est_pairs FROM ${p}_ip),
+           |${p}_adv AS (SELECT '$scenario' AS scenario,
+           |  cast(est_pairs AS bigint) AS est_pairs,
+           |  cast(n_rows_a AS bigint) AS n_rows_a,
+           |  cast(n_rows_b AS bigint) AS n_rows_b,
+           |  cast(hot_a AS bigint) AS hot_a, cast(hot_b AS bigint) AS hot_b,
+           |  CASE WHEN least(n_rows_a, n_rows_b) <= 1000 THEN 'broadcast'
+           |    WHEN greatest(hot_a, hot_b) > 500 THEN 'salt'
+           |    ELSE 'shuffle' END AS decision,
+           |  CASE WHEN least(n_rows_a, n_rows_b) <= 1000 THEN
+           |      (CASE WHEN n_rows_a <= n_rows_b THEN 'a' ELSE 'b' END)
+           |    ELSE 'none' END AS broadcast_side,
+           |  cast(CASE WHEN least(n_rows_a, n_rows_b) <= 1000 THEN 1
+           |    WHEN greatest(hot_a, hot_b) > 500
+           |      THEN (greatest(hot_a, hot_b) + 499) // 500
+           |    ELSE 1 END AS bigint) AS salt_buckets
+           |  FROM ${p}_e CROSS JOIN ${p}_sa CROSS JOIN ${p}_sb)""".stripMargin
+      s"""WITH rs AS (SELECT unnest(range(4)) AS r),
+         |p1a AS (SELECT CAST(user_id AS VARCHAR) AS shingle FROM events
+         |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |p1b AS (SELECT CAST(n_nationkey AS VARCHAR) AS shingle FROM nation),
+         |p2b AS (SELECT CAST(user_id AS VARCHAR) AS shingle FROM events
+         |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |p3a AS (SELECT CAST(CASE WHEN user_id % 4 < 1 THEN -1 ELSE user_id
+         |    END AS VARCHAR) AS shingle FROM events
+         |  WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |${cmCountersCtes("p1a", "cm1a", 4096, 23L)},
+         |${cmCountersCtes("p1b", "cm1b", 4096, 23L)},
+         |${cmCountersCtes("p2b", "cm2b", 4096, 23L)},
+         |${cmCountersCtes("p3a", "cm3a", 4096, 23L)},
+         |${adviseCtes("s1", "dim_join", "cm1a", "cm1b")},
+         |${adviseCtes("s2", "fact_fact", "cm1a", "cm2b")},
+         |${adviseCtes("s3", "skewed", "cm3a", "cm2b")}
+         |SELECT * FROM s1_adv UNION ALL
+         |SELECT * FROM s2_adv UNION ALL
+         |SELECT * FROM s3_adv""".stripMargin
     },
 
     // spatial neighbor join: the oracle is exhaustive MODULO A THEOREM —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins: salting. AQE's skew-join handles sort-merge
@@ -25,5 +25,64 @@ object Skew {
     val l = left.withColumn("_salt", pmod(xxhash64(col(leftRowId)), lit(saltBuckets.toLong)))
     val r = right.withColumn("_salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
+  private def exactDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Join-strategy ADVICE from two count-min counter tables (same
+    * depth/width/seed, built by [[Sketch.countMinCounters]] in each side's
+    * single map-side-combined pass): broadcast / shuffle / salt plus the
+    * estimated output cardinality — the planner decision a petabyte join
+    * needs BEFORE committing to a physical strategy, for the price of two
+    * scans each side was going to do anyway.
+    *
+    * Derivations (all from the sketch tables, nothing re-touches data):
+    *  - `n_rows_*`: Σ_b cnt[r][b] is exactly the item count for every hash
+    *    row r (each item increments one cell per row) — exact, not an
+    *    estimate.
+    *  - `hot_*`: min_r (max_b cnt[r][b]) — an UPPER bound on the hottest
+    *    key's frequency (every key's cell is ≤ the row max; collisions only
+    *    add). A planted hot key pushes this up; a uniform side keeps it
+    *    near n/width.
+    *  - `est_pairs`: [[Sketch.countMinJoinSize]] (Cormode–Muthukrishnan
+    *    inner-product estimate, always ≥ the true join size).
+    *
+    * Decision (integer comparisons, engine-portable): smaller side within
+    * `broadcastMaxRows` → broadcast it; else a hot-key upper bound past
+    * `hotKeyThreshold` → salt, with `salt_buckets = ceil(hot /
+    * hotKeyThreshold)` spreading the hot key to ~threshold-sized slices;
+    * else plain shuffle. Everything lands in one row — cheap enough to
+    * compute per pipeline stage and log next to the plan.
+    */
+  def adviseJoin(
+      aCounters: DataFrame,
+      bCounters: DataFrame,
+      broadcastMaxRows: Long,
+      hotKeyThreshold: Long): DataFrame = {
+    def sideStats(c: DataFrame, n: String, hot: String): DataFrame =
+      c.groupBy(col("r"))
+        .agg(sum(col("cnt")).as("_s"), max(col("cnt")).as("_m"))
+        .agg(min(col("_s")).as(n), min(col("_m")).as(hot))
+    val est = Sketch.countMinJoinSize(aCounters, bCounters)
+    val joined = est
+      .crossJoin(sideStats(aCounters, "n_rows_a", "hot_a"))
+      .crossJoin(sideStats(bCounters, "n_rows_b", "hot_b"))
+    val hot = greatest(col("hot_a"), col("hot_b"))
+    val decision = when(
+        least(col("n_rows_a"), col("n_rows_b")) <= broadcastMaxRows,
+        lit("broadcast"))
+      .when(hot > hotKeyThreshold, lit("salt"))
+      .otherwise(lit("shuffle"))
+    joined.select(
+      col("est_pairs"), col("n_rows_a"), col("n_rows_b"),
+      col("hot_a"), col("hot_b"),
+      decision.as("decision"),
+      when(decision === "broadcast",
+        when(col("n_rows_a") <= col("n_rows_b"), lit("a")).otherwise(lit("b")))
+        .otherwise(lit("none")).as("broadcast_side"),
+      when(decision === "salt",
+        exactDiv(hot + lit(hotKeyThreshold - 1), hotKeyThreshold))
+        .otherwise(lit(1L)).as("salt_buckets"))
   }
 }

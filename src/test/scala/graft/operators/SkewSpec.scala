@@ -51,4 +51,48 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("adviseJoin: broadcast for a dim-sized side, shuffle when balanced, salt on a hot key") {
+    import org.apache.spark.sql.functions._
+    def cm(df: org.apache.spark.sql.DataFrame) =
+      Sketch.countMinCounters(df, Nil, col("k"), depth = 4, width = 1024, seed = 5L)
+    val uniformA = cm(spark.range(5000).select(pmod(col("id"), lit(500)).as("k")))
+    val uniformB = cm(spark.range(6000).select(pmod(col("id"), lit(600)).as("k")))
+    val dim = cm(spark.range(40).select(col("id").as("k")))
+    // hot key: 3000 of 5000 rows land on key -1
+    val hot = cm(spark.range(5000).select(
+      when(col("id") < 3000, lit(-1L)).otherwise(col("id")).as("k")))
+
+    val b = Skew.adviseJoin(uniformA, dim, broadcastMaxRows = 100L,
+      hotKeyThreshold = 500L).collect().head
+    assert(b.getAs[String]("decision") == "broadcast")
+    assert(b.getAs[String]("broadcast_side") == "b")
+    assert(b.getAs[Long]("n_rows_a") == 5000L && b.getAs[Long]("n_rows_b") == 40L)
+
+    val sh = Skew.adviseJoin(uniformA, uniformB, broadcastMaxRows = 100L,
+      hotKeyThreshold = 500L).collect().head
+    assert(sh.getAs[String]("decision") == "shuffle")
+    assert(sh.getAs[Long]("salt_buckets") == 1L)
+
+    val sa = Skew.adviseJoin(hot, uniformB, broadcastMaxRows = 100L,
+      hotKeyThreshold = 500L).collect().head
+    assert(sa.getAs[String]("decision") == "salt")
+    // hot_a is an upper bound on the hottest key (3000 repeats)
+    assert(sa.getAs[Long]("hot_a") >= 3000L)
+    // ceil(hot / threshold) buckets: at least 6
+    assert(sa.getAs[Long]("salt_buckets") >= 6L)
+  }
+
+  test("adviseJoin cardinalities: n_rows exact, est_pairs >= true join size") {
+    import org.apache.spark.sql.functions._
+    val a = spark.range(2000).select(pmod(col("id"), lit(100)).as("k"))
+    val b = spark.range(3000).select(pmod(col("id"), lit(150)).as("k"))
+    def cm(df: org.apache.spark.sql.DataFrame) =
+      Sketch.countMinCounters(df, Nil, col("k"), depth = 4, width = 1024, seed = 5L)
+    val adv = Skew.adviseJoin(cm(a), cm(b), 10L, 1000000L).collect().head
+    assert(adv.getAs[Long]("n_rows_a") == 2000L)
+    assert(adv.getAs[Long]("n_rows_b") == 3000L)
+    val truePairs = a.join(b, "k").count()
+    assert(adv.getAs[Long]("est_pairs") >= truePairs)
+  }
 }
