@@ -2185,6 +2185,44 @@ object SparkEntry {
         col("previous_status"))
     }),
 
+    // §2#7f streaming SCD2 (live dimension history — the one batch
+    // operator whose streaming twin is obviously useful): per-key state =
+    // only the CURRENT open version (O(keys), history lives in emissions);
+    // append mode emits a version when it opens and re-emits it when it
+    // closes — the stream-to-dim-merge feed. The gate collapses emissions
+    // (closed supersedes open per (key, version)) and the result must
+    // equal the batch ChangeDetect.scd2 replay exactly, across ≥5 REAL
+    // micro-batch boundaries (streaming/StreamScd2.scala)
+    "q_stream_scd2" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(
+          col("user_id").cast("long").as("key"), col("ts"),
+          col("event_type").as("status"), col("event_id").cast("long").as("event_id")),
+        Seq("ts", "event_id"), "q_stream_scd2")
+      val evts = stream.as(org.apache.spark.sql.Encoders.product[
+        graft.streaming.StreamChangeDetect.StatusEvent])
+      val vers = graft.streaming.StreamScd2.versions(evts)
+      val name = freshStreamTable(s, "q_stream_scd2_")
+      val q = vers.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name)
+        .groupBy(col("key"), col("version"))
+        .agg(max(struct(col("valid_to").isNotNull.as("_closed"),
+          col("status"), col("valid_from"), col("valid_to"),
+          col("is_current"))).as("_m"))
+        .select(col("key").as("user_id"), col("_m.status").as("status"),
+          unix_micros(col("_m.valid_from")).as("valid_from_us"),
+          unix_micros(col("_m.valid_to")).as("valid_to_us"),
+          col("version"), col("_m.is_current").as("is_current"))
+    }),
+
     // §2#8f the sessionization stream (S1) driver-gated through the REAL
     // session_window state-merge path: events streamed as a bounded file
     // source, StreamSessionize's complete-mode final table must equal the
@@ -3485,6 +3523,23 @@ object SparkEntry {
         |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_scd2" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS previous_status
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT * FROM lagged WHERE previous_status IS NULL OR previous_status <> event_type
+        |)
+        |SELECT user_id, event_type AS status,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER w2) AS valid_to_us,
+        |  cast(row_number() OVER w2 AS bigint) AS version,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // streaming SCD2: identical to the batch q_scd2 oracle — collapsing
+    // the stream's open/closed emissions must reproduce the batch table
+    "q_stream_scd2" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    lag(event_type) OVER w AS previous_status

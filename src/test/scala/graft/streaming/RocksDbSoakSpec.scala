@@ -231,4 +231,133 @@ class RocksDbSoakSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("stream-static enrich on RocksDB: agg state capped at the group domain") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val groups = 5
+      val dim = (0 until Entities).map(k => (k.toLong, s"seg${k % groups}"))
+        .toDF("cust_id", "segment")
+      val input = MemoryStream[(Long, Double)]
+      val enriched = input.toDF().toDF("user_id", "value")
+        .join(broadcast(dim), $"user_id" === $"cust_id")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      val query = enriched.writeStream.format("memory").queryName("enrich_soak")
+        .outputMode("complete").start()
+      try {
+        (0 until Batches).foreach { b =>
+          input.addData((0 until Entities).map(k => (k.toLong, (k + b).toDouble)))
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        // one state row per segment — the dimension is broadcast, never
+        // stateful; unbounded stream, constant state
+        assert(stateRows.max <= groups.toLong,
+          s"enrich agg state exceeded the group domain: ${stateRows.mkString(",")}")
+        assert(stateRows.takeRight(2).distinct.size == 1,
+          s"enrich state not settled: ${stateRows.mkString(",")}")
+        // stream-final == batch join+agg over the union of all batches
+        val all = (0 until Batches).flatMap(b =>
+          (0 until Entities).map(k => (k.toLong, (k + b).toDouble)))
+        val batch = all.toDF("user_id", "value")
+          .join(broadcast(dim), $"user_id" === $"cust_id")
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+          .as[(String, Long, Double)].collect().toSet
+        val streamed = spark.table("enrich_soak")
+          .as[(String, Long, Double)].collect().toSet
+        assert(streamed == batch, "stream-final enrich must equal the batch join+agg")
+      } finally query.stop()
+    }
+  }
+
+  test("stream-stream interval join on RocksDB: watermark evicts both sides' state") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val views = MemoryStream[(Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+      val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "10 minutes")
+      val pu = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      val joined = v.join(pu,
+        $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+          $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"))
+      val query = joined.writeStream.format("memory").queryName("ssj_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // batches advance 20 min; the range window is 30 min and the
+        // watermark 10 min, so a side's rows are joinable by the next
+        // batch but MUST leave the store two batches on — state is
+        // bounded by the (window + delay) horizon, not the soak length
+        (0 until Batches).foreach { b =>
+          val t = base + b * 1200000L
+          views.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(t))))
+          purchases.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(t + 300000L))))
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= 6L * Entities,
+          s"join state exceeded the watermark horizon: ${stateRows.mkString(",")}")
+        // steady state oscillates (rows join next batch, evict the one
+        // after) — compare the last third against the middle third, both
+        // past the ramp-up, to prove the plateau is flat, not growing
+        val third = stateRows.length / 3
+        assert(stateRows.takeRight(third).max <= stateRows.slice(third, 2 * third).max,
+          s"join state still growing at soak end: ${stateRows.mkString(",")}")
+        // emitted pairs == batch interval join over the union of all data
+        // (modulo the final batch's rows whose partners were all seen —
+        // replay order guarantees that here, so equality is exact)
+        val allV = (0 until Batches).flatMap(b => (0 until Entities).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L))))
+        val allP = (0 until Batches).flatMap(b => (0 until Entities).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L + 300000L))))
+        val batchN = allV.toDF("v_user", "v_ts").join(allP.toDF("p_user", "p_ts"),
+          $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+            $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES")).count()
+        assert(spark.table("ssj_soak").count() == batchN,
+          "stream-stream join output must equal the batch interval join")
+      } finally query.stop()
+    }
+  }
+
+  test("streaming SCD2 on RocksDB: state is one open version per key, flat forever") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamChangeDetect.StatusEvent
+    withRocksDb {
+      val input = MemoryStream[StatusEvent]
+      val query = StreamScd2.versions(input.toDS())
+        .writeStream.format("memory").queryName("scd2_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // alternating status every batch: every key transitions every
+        // batch — history grows in the SINK; state must stay at one
+        // CurrentVersion row per key however long the soak runs
+        (0 until Batches).foreach { b =>
+          input.addData((0 until Entities).map(k =>
+            StatusEvent(k.toLong, new java.sql.Timestamp(base + b * 600000L),
+              if (b % 2 == 0) "on" else "off", b.toLong)))
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max == Entities.toLong,
+          s"SCD2 state must be one row per key: ${stateRows.mkString(",")}")
+        val settled = stateRows.dropWhile(_ < Entities.toLong)
+        assert(settled.nonEmpty && settled.forall(_ == Entities.toLong),
+          s"SCD2 state grew across batches: ${stateRows.mkString(",")}")
+        // emissions: 1 open (batch 0) + 2 per later batch (close + open)
+        val n = spark.table("scd2_soak").count()
+        assert(n == Entities.toLong * (1 + 2 * (Batches - 1)),
+          s"expected ${Entities * (1 + 2 * (Batches - 1))} emissions, got $n")
+      } finally query.stop()
+    }
+  }
 }
