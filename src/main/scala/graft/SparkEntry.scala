@@ -253,6 +253,33 @@ object SparkEntry {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  /** Exact sequential (e.v − s.v)² fold — the KMeans distance discipline,
+    * as one expression over correlated tables `e` and `s` (both with a
+    * double-list column `v`).
+    */
+  private val D2FoldSql =
+    "list_reduce(list_prepend(CAST(0.0 AS double), " +
+      "list_transform(range(1, len(e.v) + 1), " +
+      "i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]))), (acc, x) -> acc + x)"
+
+  /** FnvMix-uniform draw replay over CTE `emb(vec_id, …)` with CTE-name
+    * prefix `pfx`, ending in `${pfx}u(vec_id, u)` — one k-means|| round's
+    * draws (the q_split_assign chain, parameterized so the q_kmeans_pp
+    * oracle can instantiate it once per round with the round's seed).
+    */
+  private def kmppDrawCtes(pfx: String, seed: Long): String = {
+    val seedGolden = (BigInt(seed) * GoldenB).mod(BigInt(2).pow(64))
+    s"""${pfx}h0 AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS shingle FROM emb),
+       |${pfx}f AS (SELECT vec_id, $FnvFoldSql AS h FROM ${pfx}h0),
+       |${pfx}z0 AS (SELECT vec_id, CAST((CAST(h AS HUGEINT) + $seedGolden)
+       |    % 18446744073709551616 AS UBIGINT) AS z FROM ${pfx}f),
+       |${pfx}z1 AS (SELECT vec_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM ${pfx}z0),
+       |${pfx}z2 AS (SELECT vec_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM ${pfx}z1),
+       |${pfx}hv AS (SELECT vec_id, xor(z, z >> 31) AS z FROM ${pfx}z2),
+       |${pfx}u AS (SELECT vec_id,
+       |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS u FROM ${pfx}hv)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying `Bpe.train(documents, "text", m)`: v0 is
     * the sentinel-delimited character vocab; each round j emits pair counts
     * `pj`, the argmax merge `bj`, and the merged vocab `vj`.
@@ -1709,6 +1736,28 @@ object SparkEntry {
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", k = 8, iters = 2)
         .select(col("vec_id"), col("cell"), col("dist2"))),
+
+    // §2#33i k-means|| seeding (Bahmani et al., VLDB 2012) with every
+    // random draw a portable FnvMix uniform: start = smallest (u, id)
+    // draw, two oversampling rounds select x where u_r·φ < ℓ·d²(x,C)
+    // over the 2^-30-quantized cost (φ sums association-order-free),
+    // candidate weight = points nearest (assign's tie rule). The gate
+    // emits the k heaviest candidates — the seeds lloydPp trains from —
+    // and the ENTIRE construction (draws, distance folds, φ, selection,
+    // weights, top-k) replays hash-exact in DuckDB. Fixes smallest-id
+    // seeding's quality failure on adversarially ordered ids
+    // (spec-pinned SSE comparison) while keeping the external replay.
+    "q_kmeans_pp" -> ((s, dir) => {
+      import s.implicits._
+      KMeans.kmeansParallelCandidates(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", rounds = 2, ell = 16, seed = 29L)
+        .sortBy { case (id, _, w) => (-w, id) }
+        .take(8)
+        .zipWithIndex
+        .map { case ((id, _, w), i) => (i + 1L, id, w) }
+        .toSeq.toDF("rank", "cell", "weight")
+    }),
 
     // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
     // DECISION (arXiv:2303.09540), composing three gated operators: the
@@ -5030,6 +5079,45 @@ object SparkEntry {
     "q_kmeans" ->
       (s"""WITH $KMeansCteSql
          |SELECT vec_id, cell, d2 AS dist2 FROM af""".stripMargin),
+
+    // full k-means|| construction replay: per-round FnvMix draws (seeds
+    // 29/30/31), exact sequential distance folds, 2^-30-quantized φ sums,
+    // the u·φ < ℓ·d² selections, nearest-candidate weights (argmin ties
+    // toward the smaller candidate id), top-8 by (weight desc, id)
+    "q_kmeans_pp" ->
+      (s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v
+         |  FROM embeddings
+         |),
+         |${kmppDrawCtes("u0", 29)},
+         |${kmppDrawCtes("u1", 30)},
+         |${kmppDrawCtes("u2", 31)},
+         |c0 AS (SELECT vec_id FROM u0u ORDER BY u, vec_id LIMIT 1),
+         |cand0 AS (SELECT e.vec_id, e.v FROM emb e JOIN c0 USING (vec_id)),
+         |d1 AS (SELECT e.vec_id, min($D2FoldSql) AS d2 FROM emb e, cand0 s GROUP BY 1),
+         |q1 AS (SELECT vec_id, floor(d2 * 1073741824) / 1073741824 AS qd FROM d1),
+         |p1 AS (SELECT sum(qd) AS phi FROM q1),
+         |s1 AS (SELECT q1.vec_id FROM q1 JOIN u1u USING (vec_id) CROSS JOIN p1
+         |  WHERE u1u.u * p1.phi < CAST(16 AS double) * q1.qd),
+         |cand1 AS (SELECT * FROM cand0 UNION ALL
+         |  SELECT e.vec_id, e.v FROM emb e JOIN s1 USING (vec_id)),
+         |d2r AS (SELECT e.vec_id, min($D2FoldSql) AS d2 FROM emb e, cand1 s GROUP BY 1),
+         |q2 AS (SELECT vec_id, floor(d2 * 1073741824) / 1073741824 AS qd FROM d2r),
+         |p2 AS (SELECT sum(qd) AS phi FROM q2),
+         |s2 AS (SELECT q2.vec_id FROM q2 JOIN u2u USING (vec_id) CROSS JOIN p2
+         |  WHERE u2u.u * p2.phi < CAST(16 AS double) * q2.qd),
+         |cand2 AS (SELECT * FROM cand1 UNION ALL
+         |  SELECT e.vec_id, e.v FROM emb e JOIN s2 USING (vec_id)),
+         |dfp AS (SELECT e.vec_id, s.vec_id AS cid, $D2FoldSql AS d2 FROM emb e, cand2 s),
+         |af2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dfp)
+         |  WHERE rn = 1),
+         |wt AS (SELECT cid AS cell, count(*) AS w FROM af2 GROUP BY 1),
+         |wc AS (SELECT c.vec_id AS cell, coalesce(wt.w, 0) AS w
+         |  FROM cand2 c LEFT JOIN wt ON wt.cell = c.vec_id)
+         |SELECT cast(row_number() OVER (ORDER BY w DESC, cell) AS bigint) AS rank,
+         |  cast(cell AS bigint) AS cell, cast(w AS bigint) AS weight
+         |FROM wc ORDER BY w DESC, cell LIMIT 8""".stripMargin),
 
     // the SemDeDup composition over the SAME k-means replay: in-cell cosine
     // pairs (sequential double folds), recursive-CTE transitive closure

@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   private val Q = 1099511627776.0 // 2^40
+  private val Q30 = 1073741824.0  // 2^30 (cost grid: see seedKmeansParallel)
 
   /** Squared L2 distance of `vec` (array<float/double>) to a constant
     * centroid, as one sequential fold.
@@ -58,14 +59,118 @@ object KMeans {
       .orderBy(col(idCol).cast("long"))
       .limit(k)
       .collect()
-      .map { r =>
-        (r.getLong(0), r.getAs[scala.collection.Seq[Any]](1).iterator.map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case other => throw new IllegalArgumentException(
-            s"$vecCol must be array<float>/array<double>, found element $other")
-        }.toArray)
+      .map(r => (r.getLong(0), rowVec(r, 1)))
+
+  private def rowVec(r: org.apache.spark.sql.Row, at: Int): Array[Double] =
+    r.getAs[scala.collection.Seq[Any]](at).iterator.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"vector column must be array<float>/array<double>, found element $other")
+    }.toArray
+
+  /** Portable uniform [0,1) per row: top 40 bits of `fnvMix(id, seed)` —
+    * the [[Sampling]] draw discipline, replayable by an external engine.
+    */
+  private def fnvU(idCol: String, seed: Long): Column =
+    shiftrightunsigned(
+      graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+      .cast("double") / lit(Q)
+
+  /** Minimum squared distance of `vecCol` to a bounded candidate set —
+    * scan-side, zero shuffle (min of exact per-candidate folds).
+    */
+  private def minDist2(
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])]): Column =
+    array_min(array(centroids.map { case (_, c) => dist2To(col(vecCol), c) }: _*))
+
+  /** k-means|| oversampling (Bahmani et al., VLDB 2012) with every random
+    * draw replaced by a portable FnvMix uniform, so the whole candidate
+    * construction is deterministic AND hash-replayable by an external SQL
+    * engine (the q_kmeans_pp gate replays it in DuckDB end to end):
+    *
+    *   - the start center is the row with the smallest (u, id) under
+    *     `fnvMix(id, seed)` — a portable "uniform random" pick;
+    *   - each of `rounds` passes computes d²(x, C) as a scan-side min of
+    *     exact sequential folds, quantizes it to the 2^-30 grid (so the
+    *     cost φ = Σ d² sums association-order-free: exact while
+    *     φ < 2^23, which unit-norm embedding corpora satisfy to ~2M rows;
+    *     larger corpora only lose replay exactness, not correctness), and
+    *     selects x where u_r · φ < ℓ · d²(x) — expectation ℓ new
+    *     candidates per round, independent of corpus size;
+    *   - candidate weights = how many corpus points each candidate is
+    *     nearest to (ties toward the smaller candidate id, the [[assign]]
+    *     rule).
+    *
+    * Returns (id, vector, weight) for ALL candidates — O(1 + rounds·ℓ)
+    * parameter rows. Per round the corpus is scanned twice (φ, then the
+    * selection filter) and never shuffled; every collect is candidate-
+    * sized, never data-sized.
+    */
+  def kmeansParallelCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rounds: Int,
+      ell: Int,
+      seed: Long): Array[(Long, Array[Double], Long)] = {
+    require(rounds >= 0 && ell > 0, s"need rounds >= 0, ell > 0 (got $rounds, $ell)")
+    val ids = col(idCol).cast("long")
+    val first = df
+      .select(ids.as("_id"), col(vecCol).as("_v"), fnvU(idCol, seed).as("_u"))
+      .orderBy(col("_u"), col("_id"))
+      .limit(1)
+      .collect()
+    require(first.nonEmpty, "cannot seed k-means|| from an empty frame")
+    var cands = first.map(r => (r.getLong(0), rowVec(r, 1)))
+    var r = 1
+    while (r <= rounds) {
+      val qd = floor(minDist2(vecCol, cands) * lit(Q30)) / lit(Q30)
+      val withQ = df.select(ids.as("_id"), col(vecCol).as("_v"),
+        qd.as("_qd"), fnvU(idCol, seed + r).as("_u"))
+      val phi = withQ.agg(sum(col("_qd"))).head().getDouble(0)
+      if (phi > 0.0) {
+        val sel = withQ
+          .filter(col("_u") * lit(phi) < lit(ell.toDouble) * col("_qd"))
+          .select(col("_id"), col("_v"))
+          .collect()
+          .map(row => (row.getLong(0), rowVec(row, 1)))
+        cands = cands ++ sel
       }
+      r += 1
+    }
+    val weights = assign(df.select(ids.as("_id"), col(vecCol)), "_id", vecCol, cands)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("w"))
+      .collect()
+      .map(row => row.getLong(0) -> row.getLong(1))
+      .toMap
+    cands.map { case (id, v) => (id, v, weights.getOrElse(id, 0L)) }
+  }
+
+  /** k-means|| seeds: reduce the candidate set to the k heaviest (weight
+    * desc, id asc — deterministic greedy in place of the paper's weighted
+    * reclustering: replay-exact, and on ℓ ≫ k oversampled candidates the
+    * heaviest-k are the cluster cores the recluster would find). Returns
+    * ≤ k seeds sorted by id (fewer only if the corpus yielded fewer
+    * candidates than k — mirror MLlib's fallback).
+    */
+  def seedKmeansParallel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int,
+      ell: Int,
+      seed: Long): Array[(Long, Array[Double])] = {
+    require(k > 0, s"need k > 0 (got $k)")
+    kmeansParallelCandidates(df, idCol, vecCol, rounds, ell, seed)
+      .sortBy { case (id, _, w) => (-w, id) }
+      .take(k)
+      .map { case (id, v, _) => (id, v) }
+      .sortBy(_._1)
+  }
 
   /** Assignment frame (`idCol`, `cell`, `dist2`) of every vector to its
     * nearest centroid — scan-side argmin, zero shuffle.
@@ -118,7 +223,20 @@ object KMeans {
       k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k, iters=$iters)")
-    var centroids = seedSmallestIds(df, idCol, vecCol, k)
+    lloydFrom(df, idCol, vecCol, seedSmallestIds(df, idCol, vecCol, k), iters)
+  }
+
+  /** Lloyd loop from caller-provided seeds (the [[lloyd]] body, seeding
+    * factored out).
+    */
+  def lloydFrom(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Array[(Long, Array[Double])],
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"need iters >= 0 (got $iters)")
+    var centroids = seeds
     var it = 0
     while (it < iters) {
       centroids = updateCentroids(assign(df, idCol, vecCol, centroids), vecCol)
@@ -126,4 +244,20 @@ object KMeans {
     }
     assign(df, idCol, vecCol, centroids)
   }
+
+  /** Lloyd with k-means|| seeding — the quality path when smallest-id
+    * seeds would land in one region (adversarially ordered ids); same
+    * engine-exact discipline end to end.
+    */
+  def lloydPp(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      rounds: Int,
+      ell: Int,
+      seed: Long): DataFrame =
+    lloydFrom(df, idCol, vecCol,
+      seedKmeansParallel(df, idCol, vecCol, k, rounds, ell, seed), iters)
 }

@@ -37,6 +37,63 @@ class KMeansSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"assign must not shuffle the corpus:\n$phys")
   }
 
+  // ten tight planted clusters with ids ORDERED BY CLUSTER, so the ten
+  // smallest ids all sit in cluster 0 — the adversarial case for
+  // smallest-id seeding (every seed lands in one region)
+  private def adversarial = (0L until 300L).map { i =>
+    val c = (i / 30L).toDouble
+    (i, Array.tabulate(4)(d => (10.0 * c + (i % 7) * 0.01 + d * 0.001).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def sse(assigned: org.apache.spark.sql.DataFrame): Double =
+    assigned.agg(sum(col("dist2"))).head().getDouble(0)
+
+  test("k-means|| seeding beats smallest-id seeding on adversarially ordered ids") {
+    val smallest = sse(KMeans.lloyd(adversarial, "vec_id", "embedding", k = 10, iters = 3))
+    val kmpp = sse(KMeans.lloydPp(adversarial, "vec_id", "embedding", k = 10, iters = 3,
+      rounds = 3, ell = 20, seed = 29L))
+    // smallest-id puts all ten seeds in cluster 0; D²-oversampling spreads
+    // candidates across clusters and the heaviest-k reduction keeps the
+    // cores, so the SSE gap is an order of magnitude, not a margin
+    assert(kmpp < smallest / 5.0,
+      s"k-means|| SSE $kmpp should be far below smallest-id SSE $smallest")
+  }
+
+  test("k-means|| candidate construction is partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      KMeans.kmeansParallelCandidates(df, "vec_id", "embedding",
+        rounds = 2, ell = 8, seed = 29L)
+        .map { case (id, v, w) => (id, v.toSeq, w) }.sortBy(_._1).toSeq
+    assert(run(adversarial.repartition(7)) == run(adversarial.coalesce(1)))
+  }
+
+  test("k-means|| candidates are corpus members and their weights cover the corpus") {
+    val byId = (0L until 300L).map { i =>
+      val c = (i / 30L).toDouble
+      i -> Array.tabulate(4)(d => (10.0 * c + (i % 7) * 0.01 + d * 0.001).toFloat)
+    }.toMap
+    val cands = KMeans.kmeansParallelCandidates(adversarial, "vec_id", "embedding",
+      rounds = 2, ell = 8, seed = 29L)
+    assert(cands.nonEmpty)
+    cands.foreach { case (id, v, _) =>
+      assert(v.toSeq == byId(id).map(_.toDouble).toSeq, s"candidate $id not a corpus vector")
+    }
+    assert(cands.map(_._3).sum == 300L, "every corpus point weighs exactly one candidate")
+    val ids = cands.map(_._1)
+    assert(ids.distinct.length == ids.length, "a candidate may only be selected once")
+  }
+
+  test("seedKmeansParallel returns at most k seeds, heaviest candidates first") {
+    val cands = KMeans.kmeansParallelCandidates(adversarial, "vec_id", "embedding",
+      rounds = 3, ell = 20, seed = 29L)
+    val seeds = KMeans.seedKmeansParallel(adversarial, "vec_id", "embedding",
+      k = 10, rounds = 3, ell = 20, seed = 29L)
+    assert(seeds.length == math.min(10, cands.length))
+    val expected = cands.sortBy { case (id, _, w) => (-w, id) }.take(10)
+      .map(_._1).sorted.toSeq
+    assert(seeds.map(_._1).toSeq == expected)
+  }
+
   test("updateCentroids averages exactly per cell and drops unassigned cells") {
     val assigned = Seq(
       (1L, Array(1.0f, 3.0f), 0L),
