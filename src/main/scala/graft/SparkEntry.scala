@@ -197,12 +197,21 @@ object SparkEntry {
     * rounds, ending in CTE `af(vec_id, cell, d2)` = the final assignment.
     * Shared by the q_kmeans gate and the q_semdedup composition.
     */
-  private val KMeansCteSql =
-    """emb AS (
+  private val KMeansCteSql = kMeansCtes("8")
+
+  /** The [[KMeansCteSql]] trajectory with a parameterizable seed count —
+    * `kSql` is a DuckDB integer expression (a literal for q_kmeans, the
+    * corpus-scaled `max(8, ⌈n/1024⌉)` for q_semdedup, whose operator
+    * contract is k ∝ corpus size).
+    */
+  private def kMeansCtes(kSql: String): String =
+    s"""emb AS (
       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
       |  FROM embeddings
       |), w0 AS (
-      |  SELECT vec_id AS cell, v AS w FROM emb ORDER BY vec_id LIMIT 8
+      |  SELECT vec_id AS cell, v AS w FROM (
+      |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM emb)
+      |  WHERE rn <= ($kSql)
       |), d0 AS (
       |  SELECT e.vec_id, s.cell,
       |    list_reduce(list_prepend(cast(0.0 AS double),
@@ -1391,6 +1400,47 @@ object SparkEntry {
           col("keep").cast("int").cast("long").as("keep"))
     }),
 
+    // §2#58b URL normalization — the web-curation stage before URL-level
+    // dedup / per-domain weighting: scheme+host lowering, default-port
+    // strip, tracking-param drop, bytewise param sort, path + fragment
+    // canonicalization, registered-domain extraction (multi-label
+    // public-suffix rule). Pure scan-side string/array functions (no UDF,
+    // no shuffle); the messy-URL corpus is synthesized in-plan from
+    // doc_id (the Zipf/HTML discipline) and the oracle rebuilds it
+    // byte-identically, then replays every rule
+    "q_url_normalize" -> ((s, dir) =>
+      Url.normalize(
+          Tables.documents(s, dir).select(col("doc_id"),
+            Url.synthesizeUrl(col("doc_id")).as("url")),
+          "doc_id", "url")
+        .select(col("doc_id"), col("url"), col("url_canonical"),
+          col("host"), col("registered_domain"), col("n_params_kept"))),
+
+    // §2#59 link-graph PageRank (Brin & Page 1998) — the authority signal
+    // curation pipelines weight quality by: 2 power iterations over an
+    // in-plan synthesized link graph (≤3 u20-drawn out-edges per doc;
+    // every 4th candidate edge dropped so out-degrees vary, and every
+    // 10th doc emits NONE so it can only appear as a target — a genuine
+    // dangling node, exercising the uniform mass redistribution). Per
+    // iteration one shuffle (contribution sum on dst), map-side combined,
+    // 2^-40-quantized sums → association-order-free, replayed exactly
+    "q_pagerank" -> ((s, dir) => {
+      import graft.sources.ZipfCorpus.u20
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = docs.agg(count(lit(1)).as("n_docs"))
+      val edges = docs.crossJoin(broadcast(cnt))
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L), lit(2L))).as("i"))
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id") + col("i"), lit(4)) =!= 0)
+        .select(col("doc_id").as("src"),
+          shiftright(
+            u20(concat(lit("pr:"), col("i").cast("string"), lit(":"),
+              col("doc_id").cast("string"))) * col("n_docs"), 20).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 2)
+        .select(col("node"), col("rank"))
+    }),
+
     // §2#26 text quality stats via the native single-pass TokenStats
     // expression (graft.plans.TokenStats): one scan per document instead of
     // a tokenization per referenced statistic
@@ -1765,10 +1815,16 @@ object SparkEntry {
     // bounded per cell (never a corpus self-join — k grows with the corpus
     // so Σ n_c² stays linear), and pointer-jumping components. Keep rule =
     // farthest-from-centroid member (the paper's), ties to smallest id.
-    "q_semdedup" -> ((s, dir) =>
-      SemDeDup.semDedup(
-          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)),
+    // k scales with the corpus (max(8, ⌈n/1024⌉) — identical to the
+    // pinned k=8 at every driver SF, k=196 at the sf10 decade): SemDeDup's
+    // only quadratic term is per-cell, so the CELL SIZE must be held
+    // roughly constant as the corpus grows — the paper's own contract; a
+    // fixed k would go quadratic at scale (caught by the r8 sf10 decade)
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val k = math.max(8L, (emb.count() + 1023L) / 1024L).toInt
+      SemDeDup.semDedup(emb, "vec_id", "embedding", k = k, iters = 2, tau = 0.3)
+    }),
 
     // §2#33d IVF ANN with DETERMINISTIC integer centroids
     // (component(c,d) = (c*13 + d*7) % 5 - 2): cell assignment, nprobe cell
@@ -3035,6 +3091,21 @@ object SparkEntry {
     "q_ngram_lm" -> ((s, dir) =>
       NgramLM.selfScoreBigram(Tables.documents(s, dir), "doc_id", "text")),
 
+    // §2#45c CCNet-style perplexity bucketing (Wenzek et al. 2020):
+    // LM-score every doc, cut the corpus into head/middle/tail thirds at
+    // exact rational quantiles of the score, assign each doc its bucket
+    // scan-side — the chain COMPOSES two gated operators (selfScoreBigram
+    // + quantileThresholds/assignQuantileBucket); bucket 0 = lowest
+    // avg_prob = highest perplexity = the tail CCNet drops first
+    "q_ppl_bucket" -> ((s, dir) => {
+      val scored = NgramLM
+        .selfScoreBigram(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("avg_prob"))
+      val thr = Stats.quantileThresholds(scored, "avg_prob", Seq((1, 3), (2, 3)))
+      Stats.assignQuantileBucket(scored, "avg_prob", thr, "ppl_bucket")
+        .select(col("doc_id"), col("avg_prob"), col("ppl_bucket"))
+    }),
+
     // §2#46 target-mixture downsampling (DoReMi-style static domain
     // weights): per-class rate min(1, budget·w/n), keep decision from a
     // deterministic engine-portable FnvMix uniform — rates broadcast, the
@@ -3362,6 +3433,23 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "value", 21600L, Seq("event_id"))),
 
+    // §2#53d last-touch attribution (click/view → purchase, 7-day
+    // lookback): the latest in-window touch carried to each conversion by
+    // last(ignoreNulls) over ONE (user, ts, id)-sorted pass, plus the
+    // lookback touch count (range frame on event-time micros) a
+    // linear-credit model divides by; conversions with no in-window touch
+    // keep NULL touch columns (the direct/unattributed bucket). One
+    // shuffle, one shared sort, no self-join (operators/Attribution.scala)
+    "q_attribution" -> ((s, dir) =>
+      Attribution.lastTouch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          isTouch = col("event_type").isin("click", "view"),
+          isConversion = col("event_type") === "purchase",
+          lookbackUs = 604800000000L)
+        .select(col("conversion_id"), col("user").as("user_id"),
+          col("conv_ts_us"), col("touch_id"), col("touch_ts_us"),
+          col("touch_type"), col("age_us"), col("n_touches_window"))),
+
     // §2#53 ordered funnel (view → click → purchase within 24 h): earliest
     // qualifying event per stage, one row per user, ONE exchange for all
     // stage windows
@@ -3491,6 +3579,36 @@ object SparkEntry {
         .join(manifest, Seq("shard"))
         .select(col("shard"), col("n_rows_read"), col("n_rows").as("n_rows_manifest"),
           col("id_sum"))
+    }),
+
+    // §2#47c multi-format source/sink roundtrip — ORC, JSON lines and CSV
+    // through the REAL write+read paths (schema-steered reads, header CSV):
+    // one signature row per format (count, id/ts sums, decimal-exact value
+    // sum) that must equal the parquet source exactly — the interchange
+    // guarantee a pipeline needs before handing data to tools that don't
+    // speak parquet. Doubles survive text formats via shortest-roundtrip
+    // printing; the oracle derives the same signature from the source table
+    "q_format_roundtrip" -> ((s, dir) => {
+      val tmp = gateTmpDir("graft_fmt-")
+      val base = Tables.events(s, dir).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      base.write.mode("overwrite").orc(s"$tmp/orc")
+      base.write.mode("overwrite").json(s"$tmp/json")
+      base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      // ts checksum mod a prime: a raw µs sum overflows int64 past ~5k rows
+      def sig(df: DataFrame, fmt: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("id_sum"),
+          sum(pmod(col("ts_us"), lit(1000000007L))).as("ts_check"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("id_sum"),
+            col("ts_check"), col("value_sum"))
+      sig(s.read.orc(s"$tmp/orc"), "orc")
+        .unionAll(sig(s.read.schema(base.schema).json(s"$tmp/json"), "json"))
+        .unionAll(sig(s.read.schema(base.schema).option("header", "true")
+          .csv(s"$tmp/csv"), "csv"))
     })
   )
 
@@ -4167,6 +4285,39 @@ object SparkEntry {
          |  sum(p) / count(*) AS avg_prob, min(p) AS min_prob
          |FROM sc GROUP BY 1""".stripMargin,
 
+    // the LM-score replay feeding the exact rational-quantile cut: both
+    // stages reuse their own gates' oracle shapes; avg_prob doubles are
+    // identical (quantized-p sums), so the threshold comparison is exact
+    "q_ppl_bucket" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |big AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM toks),
+         |c12 AS (SELECT bigram, count(*) AS c12 FROM big GROUP BY 1),
+         |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS c1
+         |  FROM c12 GROUP BY 1),
+         |v AS (SELECT cast(count(DISTINCT t) AS bigint) AS v
+         |  FROM (SELECT unnest(tk) AS t FROM toks)),
+         |sc AS (SELECT doc_id,
+         |    floor(cast(c12.c12 + 1 AS double) / cast(c1.c1 + v.v AS double)
+         |      * 1099511627776) / 1099511627776 AS p
+         |  FROM big JOIN c12 USING (bigram)
+         |  JOIN c1 ON split_part(big.bigram, ' ', 1) = c1.w1
+         |  CROSS JOIN v),
+         |scored AS (SELECT doc_id, sum(p) / count(*) AS avg_prob
+         |  FROM sc GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM scored),
+         |ranks AS (SELECT q_num, q_den, (n * q_num + q_den - 1) // q_den AS rk
+         |  FROM (VALUES (1, 3), (2, 3)) AS q(q_num, q_den), n),
+         |cells AS (SELECT avg_prob AS v, count(*) AS cnt FROM scored GROUP BY 1),
+         |cdf AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |    AS cum FROM cells),
+         |thr AS (SELECT q_num, q_den, min(v) AS threshold
+         |  FROM cdf JOIN ranks ON cum >= rk GROUP BY 1, 2)
+         |SELECT doc_id, avg_prob,
+         |  cast((SELECT count(*) FROM thr WHERE scored.avg_prob > thr.threshold)
+         |    AS bigint) AS ppl_bucket
+         |FROM scored""".stripMargin,
+
     // full FnvMix replay on CAST(doc_id AS VARCHAR) (ASCII digits, so
     // unicode(c) == UTF-8 byte); seed 7 enters as +7·golden mod 2^64; the
     // uniform is the top 40 bits. Weights/budget forced to double so both
@@ -4517,6 +4668,40 @@ object SparkEntry {
         |    ELSE pv + (nv - pv) *
         |      (CAST(t - pt AS double) / CAST(nt - pt AS double)) END AS value
         |FROM w WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL""".stripMargin,
+
+    // identical window semantics both engines: last_value IGNORE NULLS
+    // over the (ts, id)-ordered rows-preceding frame; the range frame
+    // counts touches in [conv−7d, conv−1µs]; ages in integer µs
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    event_type IN ('click', 'view') AS is_touch,
+        |    event_type = 'purchase' AS is_conv
+        |  FROM events),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN is_touch THEN ts_us END IGNORE NULLS)
+        |      OVER w1 AS touch_ts_us,
+        |    last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
+        |      OVER w1 AS touch_id,
+        |    last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+        |      OVER w1 AS touch_type,
+        |    coalesce(sum(CASE WHEN is_touch THEN 1 END) OVER w2, 0)
+        |      AS n_touches_window
+        |  FROM e
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_id END
+        |    AS touch_id,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_ts_us END
+        |    AS touch_ts_us,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_type END
+        |    AS touch_type,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN ts_us - touch_ts_us
+        |    END AS age_us,
+        |  cast(n_touches_window AS bigint) AS n_touches_window
+        |FROM c WHERE is_conv""".stripMargin,
 
     // earliest-qualifying-event funnel semantics are tie-independent (min ts
     // is a total choice); gap compared in integer µs. The rn=1 trick picks
@@ -5124,7 +5309,8 @@ object SparkEntry {
     // (the q_dedup_canonical shape), keep rule = max distance-to-centroid
     // (exact doubles from af), ties to the smallest id
     "q_semdedup" ->
-      (s"""WITH RECURSIVE $KMeansCteSql,
+      (s"""WITH RECURSIVE ${kMeansCtes(
+             "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings")},
          |nrm AS (
          |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
          |    list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
@@ -5828,6 +6014,36 @@ object SparkEntry {
 
     // full DuckDB replay of the HTML pipeline: same page construction,
     // same non-content strip, same block split, same link extraction and
+    // full URL-normalization replay: byte-identical in-plan URL corpus,
+    // then the same RE2 splitter, lowering, default-port strip,
+    // tracking-param filter + bytewise sort, path/fragment rules, and the
+    // multi-label public-suffix registered-domain rule
+    "q_url_normalize" -> (
+      s"""WITH ${graft.operators.Url.SynthesizeUrlSql},
+         |${graft.operators.Url.NormalizeSql}
+         |SELECT doc_id, url, url_canonical, host, registered_domain,
+         |  n_params_kept
+         |FROM urlnorm""".stripMargin),
+
+    // PageRank replay: the same u20-drawn edge set (every 4th candidate
+    // dropped), then 2 power iterations with identical IEEE op order —
+    // init 1/N, 2^-40-quantized contribution/dangling sums,
+    // (1-d)/N + d*(S + D/N) update; ranks match hash-exact
+    "q_pagerank" -> {
+      import graft.sources.ZipfCorpus.u20Sql
+      s"""WITH ecnt AS (SELECT count(*) AS n_docs FROM documents),
+         |eraw AS (SELECT doc_id, n_docs,
+         |    'pr:' || CAST(i AS varchar) || ':' || CAST(doc_id AS varchar) AS ekey
+         |  FROM documents CROSS JOIN ecnt
+         |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+         |  WHERE doc_id % 10 <> 0 AND (doc_id + i) % 4 <> 0),
+         |predges AS (SELECT doc_id AS src,
+         |    (${u20Sql("ekey")} * n_docs) >> 20 AS dst
+         |  FROM eraw),
+         |${graft.operators.Graph.pageRankCtes("predges", iters = 2, damping = 0.85)}
+         |SELECT node, rank FROM pr_r2""".stripMargin
+    },
+
     // text normalization, same keep rule — every regex/threshold pinned
     "q_html_extract" -> (
       s"""WITH ${Html.SynthesizePageSql},
@@ -6411,6 +6627,17 @@ object SparkEntry {
     // unsigned z mod 8 (power-of-two count, so it equals Spark's pmod of
     // the signed value). The Spark side reads the written files back, so a
     // match here proves the on-disk layout, not just the plan.
+    // the roundtrip signature must equal the source table's, once per
+    // format — identity through each write/read path is the claim
+    "q_format_roundtrip" ->
+      """WITH s AS (SELECT cast(count(*) AS bigint) AS n_rows,
+        |    cast(sum(event_id) AS bigint) AS id_sum,
+        |    cast(sum(epoch_us(ts) % 1000000007) AS bigint) AS ts_check,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double) AS value_sum
+        |  FROM events)
+        |SELECT f.format, s.n_rows, s.id_sum, s.ts_check, s.value_sum
+        |FROM s CROSS JOIN (VALUES ('orc'), ('json'), ('csv')) AS f(format)""".stripMargin,
+
     "q_shard_export" -> {
       val seedGolden = (BigInt(13) * GoldenB).mod(BigInt(2).pow(64))
       s"""WITH h0 AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS shingle FROM documents),
