@@ -36,16 +36,6 @@ object KMeans {
   private val Q = 1099511627776.0 // 2^40
   private val Q30 = 1073741824.0  // 2^30 (cost grid: see seedKmeansParallel)
 
-  /** Squared L2 distance of `vec` (array<float/double>) to a constant
-    * centroid, as one sequential fold.
-    */
-  private def dist2To(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, typedLit(centroid.toSeq),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0),
-      (acc, d) => acc + d)
-
   /** Deterministic seeds: the k smallest-`idCol` vectors, cell id = their
     * id. Bounded collect of k parameter vectors (production k-means|| would
     * sample by portable hash; smallest-id keeps the external replay exact).
@@ -78,12 +68,14 @@ object KMeans {
       .cast("double") / lit(Q)
 
   /** Minimum squared distance of `vecCol` to a bounded candidate set —
-    * scan-side, zero shuffle (min of exact per-candidate folds).
+    * scan-side, zero shuffle; one 2-D array literal, the [[assign]]
+    * expression-size discipline.
     */
   private def minDist2(
       vecCol: String,
       centroids: Array[(Long, Array[Double])]): Column =
-    array_min(array(centroids.map { case (_, c) => dist2To(col(vecCol), c) }: _*))
+    graft.plans.VectorExpressions.nearestCentroid(col(vecCol), centroids)
+      .getField("d2")
 
   /** k-means|| oversampling (Bahmani et al., VLDB 2012) with every random
     * draw replaced by a portable FnvMix uniform, so the whole candidate
@@ -174,6 +166,13 @@ object KMeans {
 
   /** Assignment frame (`idCol`, `cell`, `dist2`) of every vector to its
     * nearest centroid — scan-side argmin, zero shuffle.
+    *
+    * The model rides along as ONE 2-D array literal and the argmin loops
+    * over it inside a single higher-order expression — expression size
+    * O(1) in k. (The first implementation expanded k per-centroid struct
+    * subtrees; at k=196 the generated code blew the 64 KB JVM method
+    * limit, fell back to interpreted eval, and the sf10 decade went 28×.
+    * Same IEEE fold order and tie rule, so results are bit-identical.)
     */
   def assign(
       df: DataFrame,
@@ -181,10 +180,8 @@ object KMeans {
       vecCol: String,
       centroids: Array[(Long, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val pairs = array(centroids.map { case (cell, c) =>
-      struct(dist2To(col(vecCol), c).as("d2"), lit(cell).as("cell"))
-    }: _*)
-    df.withColumn("_best", array_min(pairs))
+    df.withColumn("_best",
+        graft.plans.VectorExpressions.nearestCentroid(col(vecCol), centroids))
       .withColumn("cell", col("_best.cell"))
       .withColumn("dist2", col("_best.d2"))
       .drop("_best")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -89,10 +89,133 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Native argmin-over-centroids for k-means assignment: given a vector
+  * column and a BOUNDED model (cell ids + centroid vectors, baked into the
+  * expression as reference objects, ordered by ascending cell id), returns
+  * `struct(d2: double, cell: bigint)` — the nearest centroid under exact
+  * sequential (x−c)² folds with ties toward the smaller cell id.
+  *
+  * Semantically identical to `array_min(zip_with(centroids, cells, ...))`
+  * over per-centroid folds (same IEEE op order, same tie rule — the
+  * [[graft.operators.KMeans]] replay contract), but those higher-order
+  * functions are CodegenFallback: at k=196, D=64 the interpreted argmin
+  * dominated the sf10 SemDeDup decade. This compiles to two nested
+  * primitive loops over the `ArrayData` buffer and a `double[][]` model —
+  * n·k·D multiply-adds with no allocation per row.
+  *
+  * Nulls: a null vector, a dimension mismatch with any centroid, or a null
+  * element yields null (surface the bug, don't truncate — the [[FloatDot]]
+  * rule).
+  */
+case class NearestCentroid(
+    child: Expression,
+    cells: Array[Long],
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+
+  require(cells.nonEmpty && cells.length == centroids.length,
+    "need one cell id per centroid, at least one centroid")
+
+  private def isSupported(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isSupported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires an array<float>/array<double> input, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "nearest_centroid"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val isF = elemIsFloat
+    var best = Double.PositiveInfinity
+    var bestCell = 0L
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      if (c.length != n) return null
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (vec.isNullAt(i)) return null
+        val x = if (isF) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val d = x - c(i)
+        s += d * d
+        i += 1
+      }
+      // strict < + ascending-cell iteration == array_min's (d2, cell) order
+      if (s < best) { best = s; bestCell = cells(k) }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestCell)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cellsRef = ctx.addReferenceObj("ncCells", cells, "long[]")
+    val centRef = ctx.addReferenceObj("ncCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $v.numElements();
+         |double $best = Double.POSITIVE_INFINITY;
+         |long $bestCell = 0L;
+         |for (int $k = 0; $k < $centRef.length && !${ev.isNull}; $k++) {
+         |  double[] $c = $centRef[$k];
+         |  if ($c.length != $n) { ${ev.isNull} = true; break; }
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $v.$get($i) - $c[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull} && $s < $best) { $best = $s; $bestCell = $cellsRef[$k]; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $best, $bestCell });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatDot]] — usable in any session, no registration
     * needed (see [[GraftExtensions]] for the SQL-name route).
     */
   def floatDot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[NearestCentroid]]; the model is sorted by cell id so
+    * the strict-< scan reproduces the (d2, cell) tie rule.
+    */
+  def nearestCentroid(vec: Column, model: Array[(Long, Array[Double])]): Column = {
+    val sorted = model.sortBy(_._1)
+    Bridge.column(NearestCentroid(Bridge.expression(vec),
+      sorted.map(_._1), sorted.map(_._2)))
+  }
 }
