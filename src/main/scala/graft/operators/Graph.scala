@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * fit), contributions map-side combined, rank state O(nodes) — the edge
   * set is scanned, never materialized per iteration. Driver state is two
   * scalars (node count, per-iteration dangling mass): parameters, not
-  * data. Lineage is localCheckpoint-truncated every `checkpointEvery`
-  * iterations (the [[Dedup]] pointer-jumping discipline), so deep
-  * iteration counts do not stack Catalyst plans.
+  * data. Edges, degrees and each iteration's ranks are eagerly
+  * localCheckpoint'ed (the [[Dedup]] pointer-jumping discipline): every
+  * iteration anchors a driver action (the dangling sum), so without
+  * materialization each round would re-execute the whole lineage from the
+  * source — and deep iteration counts would stack Catalyst plans.
   *
   * Engine-exactness (the q_pagerank gate replays 2 iterations in DuckDB
   * hash-exact): per-edge contributions rank/out_deg are quantized to the
@@ -39,20 +41,27 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      damping: Double = 0.85,
-      checkpointEvery: Int = 5): DataFrame = {
+      damping: Double = 0.85): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 1,
       s"need iters >= 0, 0 < damping < 1 (got $iters, $damping)")
+    // edges and degrees are re-read twice per iteration and ranks anchor a
+    // per-iteration driver action (the dangling sum) — materialize all
+    // three so each iteration reads a checkpoint instead of re-executing
+    // the whole lineage from the source (the Dedup pointer-jump round
+    // discipline)
     val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "cannot rank an empty graph")
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
     var it = 0
     while (it < iters) {
       // mass parked on dangling nodes, redistributed uniformly — one
@@ -75,8 +84,10 @@ object Graph {
           (lit(base) + lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dShare)))
             .as("rank"))
       it += 1
-      if (it % checkpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint()
+      // the NEXT round's dangling action would re-execute this round's
+      // lineage; an O(nodes) eager checkpoint is cheaper than one
+      // re-execution
+      if (it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -50,7 +50,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("deep iteration counts do not stack plans (localCheckpoint truncation)") {
-    val r = Graph.pageRank(edges, "src", "dst", iters = 12, checkpointEvery = 3)
+    val r = Graph.pageRank(edges, "src", "dst", iters = 12)
     // would blow the planner well before 12 iterations if lineage stacked;
     // the assertion is that it completes and stays normalized
     val total = r.agg(sum("rank")).head().getDouble(0)
