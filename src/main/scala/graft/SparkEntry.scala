@@ -2298,6 +2298,40 @@ object SparkEntry {
     // (closed supersedes open per (key, version)) and the result must
     // equal the batch ChangeDetect.scd2 replay exactly, across ≥5 REAL
     // micro-batch boundaries (streaming/StreamScd2.scala)
+    // §2#53e STREAMING last-touch attribution — conversions credited as
+    // they arrive, per-key state = only the touches inside the lookback
+    // window (pruned as event time advances, O(window) per user; empty
+    // state removed). Append mode emits one row per conversion in its
+    // arrival micro-batch; over the ordered replay the emission set must
+    // equal the batch Attribution.lastTouch frame hash-exact across ≥5
+    // real micro-batches (streaming/StreamAttribution.scala)
+    "q_stream_attribution" -> ((s, dir) => withGateShuffle(s) {
+      val (rdir, stream) = orderedReplay(s,
+        Tables.events(s, dir).select(
+          col("user_id").cast("long").as("key"), col("ts"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type").as("etype"),
+          col("event_type").isin("click", "view").as("is_touch"),
+          (col("event_type") === "purchase").as("is_conv")),
+        Seq("ts", "event_id"), "q_stream_attribution")
+      val evts = stream.as(org.apache.spark.sql.Encoders.product[
+        graft.streaming.StreamAttribution.TouchStreamEvent])
+      val att = graft.streaming.StreamAttribution.attributed(evts, 604800000000L)
+      val name = freshStreamTable(s, "q_stream_attribution_")
+      val q = att.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).select(col("conversion_id"), col("key").as("user_id"),
+        col("conv_ts_us"), col("touch_id"), col("touch_ts_us"),
+        col("touch_type"), col("age_us"), col("n_touches_window"))
+    }),
+
     "q_stream_scd2" -> ((s, dir) => withGateShuffle(s) {
       val (rdir, stream) = orderedReplay(s,
         Tables.events(s, dir).select(
@@ -3636,6 +3670,42 @@ object SparkEntry {
          |  cast(max(n_overlap) AS bigint) AS max_overlap
          |FROM o GROUP BY 1""".stripMargin
 
+  /** Last-touch attribution replay — shared VERBATIM by q_attribution
+    * and q_stream_attribution: the streaming twin's contract is exact
+    * equality with the batch frame, so both gates compare against one
+    * string (the decontaminate/bloom precedent).
+    */
+  private lazy val AttributionOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    event_type IN ('click', 'view') AS is_touch,
+        |    event_type = 'purchase' AS is_conv
+        |  FROM events),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN is_touch THEN ts_us END IGNORE NULLS)
+        |      OVER w1 AS touch_ts_us,
+        |    last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
+        |      OVER w1 AS touch_id,
+        |    last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+        |      OVER w1 AS touch_type,
+        |    coalesce(sum(CASE WHEN is_touch THEN 1 END) OVER w2, 0)
+        |      AS n_touches_window
+        |  FROM e
+        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_id END
+        |    AS touch_id,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_ts_us END
+        |    AS touch_ts_us,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_type END
+        |    AS touch_type,
+        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN ts_us - touch_ts_us
+        |    END AS age_us,
+        |  cast(n_touches_window AS bigint) AS n_touches_window
+        |FROM c WHERE is_conv""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_stg_cast" ->
       """SELECT DISTINCT cast(c_custkey AS varchar) AS customer_id, trim(c_name) AS name,
@@ -4671,37 +4741,13 @@ object SparkEntry {
 
     // identical window semantics both engines: last_value IGNORE NULLS
     // over the (ts, id)-ordered rows-preceding frame; the range frame
-    // counts touches in [conv−7d, conv−1µs]; ages in integer µs
-    "q_attribution" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |    event_type IN ('click', 'view') AS is_touch,
-        |    event_type = 'purchase' AS is_conv
-        |  FROM events),
-        |c AS (SELECT *,
-        |    last_value(CASE WHEN is_touch THEN ts_us END IGNORE NULLS)
-        |      OVER w1 AS touch_ts_us,
-        |    last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
-        |      OVER w1 AS touch_id,
-        |    last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
-        |      OVER w1 AS touch_type,
-        |    coalesce(sum(CASE WHEN is_touch THEN 1 END) OVER w2, 0)
-        |      AS n_touches_window
-        |  FROM e
-        |  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    w2 AS (PARTITION BY user_id ORDER BY ts_us
-        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
-        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_id END
-        |    AS touch_id,
-        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_ts_us END
-        |    AS touch_ts_us,
-        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN touch_type END
-        |    AS touch_type,
-        |  CASE WHEN touch_ts_us >= ts_us - 604800000000 THEN ts_us - touch_ts_us
-        |    END AS age_us,
-        |  cast(n_touches_window AS bigint) AS n_touches_window
-        |FROM c WHERE is_conv""".stripMargin,
+    // counts touches in [conv−7d, conv−1µs]; ages in integer µs.
+    // Shared VERBATIM with the streaming twin — the stream's per-key
+    // touch-window state must reproduce the batch frame exactly
+    "q_attribution" -> AttributionOracleSql,
+
+    "q_stream_attribution" -> AttributionOracleSql,
+
 
     // earliest-qualifying-event funnel semantics are tie-independent (min ts
     // is a total choice); gap compared in integer µs. The rn=1 trick picks
