@@ -1441,6 +1441,42 @@ object SparkEntry {
         .select(col("node"), col("rank"))
     }),
 
+    // §2#60 the COMPOSED batch curation pipeline — boilerplate extraction
+    // → language id → quality decision → exact dedup (min-id winner), ONE
+    // declarative plan with no materialization between stages: the
+    // web-curation chain every corpus build runs, gated end-to-end at
+    // surviving-doc grain (the batch counterpart of q_stream_ingest's
+    // streaming composition). Catalyst fuses the scan-side stages
+    // (extraction, lang-id, quality, fingerprint) into the same scan
+    // tasks; the only exchange is the dedup window's hash partition
+    "q_curation_pipeline" -> ((s, dir) => {
+      val names = Text.Langs.map(_._1)
+      val pages = Tables.documents(s, dir).select(col("doc_id"),
+        Html.synthesizePage(col("doc_id"), col("text")).as("html"))
+      val cleaned = Html.extractText(pages, "doc_id", "html")
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("long"))
+      val hits = cleaned.withColumn("_lh",
+        graft.plans.TextExpressions.langHits(col("text"), Text.Langs))
+      val best = names.map(l => col(s"_lh.${l}_hits")).reduce(greatest(_, _))
+      val pick = names.foldRight(lit("und"): Column) { (l, rest) =>
+        when(col(s"_lh.${l}_hits") === best, lit(l)).otherwise(rest)
+      }
+      val lang = hits
+        .withColumn("predicted_lang", when(best > 0, pick).otherwise(lit("und")))
+        .drop("_lh")
+      val decided = QualityFilter.decide(lang, Seq(
+        "too_short" -> (col("n_tokens") < 20),
+        "boiler_heavy" -> (col("n_blocks_dropped") >= 10)))
+      val keepers = decided.filter(col("keep"))
+        .withColumn("fingerprint", Text.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+      keepers
+        .withColumn("_winner", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("_winner"))
+        .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+          col("n_blocks_kept"), col("n_blocks_dropped"), col("fingerprint"))
+    }),
+
     // §2#26 text quality stats via the native single-pass TokenStats
     // expression (graft.plans.TokenStats): one scan per document instead of
     // a tokenization per referenced statistic
@@ -6122,6 +6158,54 @@ object SparkEntry {
          |  coalesce(array_to_string(rl, ','), '') AS reasons,
          |  cast(CASE WHEN len(rl) = 0 THEN 1 ELSE 0 END AS bigint) AS keep
          |FROM r""".stripMargin),
+
+    // the full chain replay: extraction (q_html_clean's dg), lang-id over
+    // the CLEANED text (q_lang_id's hit ladder), the two quality rules,
+    // the fingerprint normalization, min-id dedup winner per fingerprint
+    "q_curation_pipeline" -> {
+      val langLists = Text.Langs.map { case (l, words) =>
+        l -> words.map(w => s"'$w'").mkString("[", ",", "]")
+      }
+      val hitCols = langLists.map { case (l, arr) =>
+        s"cast(len(list_filter(tk, t -> list_contains($arr, t))) AS bigint) AS ${l}_hits"
+      }.mkString(",\n  ")
+      val names = Text.Langs.map(_._1)
+      val best = "greatest(" + names.map(l => s"${l}_hits").mkString(", ") + ")"
+      val pick = names.reverse.foldLeft("'und'") { (rest, l) =>
+        s"CASE WHEN ${l}_hits = best THEN '$l' ELSE $rest END"
+      }
+      s"""WITH ${Html.SynthesizePageSql},
+         |${Html.blocksCoreSql()},
+         |dg AS (SELECT doc_id,
+         |    string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY block_idx)
+         |      AS text,
+         |    cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint)
+         |      AS n_blocks_kept,
+         |    cast(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS bigint)
+         |      AS n_blocks_dropped
+         |  FROM bk GROUP BY 1
+         |  HAVING sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0),
+         |ctok AS (SELECT *, cast(len($TokSql) AS bigint) AS n_tokens,
+         |    $TokSql AS tk FROM dg),
+         |ch AS (SELECT doc_id,
+         |  $hitCols
+         |  FROM ctok),
+         |cb AS (SELECT *, $best AS best FROM ch),
+         |clang AS (SELECT doc_id,
+         |    CASE WHEN best > 0 THEN $pick ELSE 'und' END AS predicted_lang
+         |  FROM cb),
+         |cq AS (SELECT ctok.doc_id, ctok.text, ctok.n_tokens,
+         |    ctok.n_blocks_kept, ctok.n_blocks_dropped, clang.predicted_lang
+         |  FROM ctok JOIN clang USING (doc_id)
+         |  WHERE NOT (n_tokens < 20) AND NOT (n_blocks_dropped >= 10)),
+         |cfp AS (SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint FROM cq),
+         |cwin AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS w
+         |  FROM cfp)
+         |SELECT doc_id, predicted_lang, n_tokens, n_blocks_kept,
+         |  n_blocks_dropped, fingerprint
+         |FROM cwin WHERE doc_id = w""".stripMargin
+    },
 
     "q_lang_id" -> {
       val langLists = Text.Langs.map { case (l, words) =>
