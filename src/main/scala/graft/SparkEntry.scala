@@ -289,6 +289,38 @@ object SparkEntry {
        |    CAST(z >> 24 AS double) / CAST(1099511627776 AS double) AS u FROM ${pfx}hv)""".stripMargin
   }
 
+  /** One PQ subspace's replay (q_pq_adc): subvector slice `[lo..hi]`,
+    * k smallest-id seeds, ONE quantized-mean update, final assignment as
+    * `code$sub(vec_id, cell)`, trained model as `w1$sub(cell, w)` — the
+    * [[KMeansCteSql]] shape with one round and per-subspace CTE names.
+    * Expects CTE `emb(vec_id, v)` in scope.
+    */
+  private def pqSubspaceCtes(sub: Int, lo: Int, hi: Int, k: Int): String = {
+    val fold =
+      "list_reduce(list_prepend(cast(0.0 AS double), " +
+        "list_transform(range(1, len(e.v) + 1), " +
+        "i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x)"
+    s"""sv$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM emb),
+       |w0$sub AS (SELECT vec_id AS cell, v AS w FROM (
+       |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM sv$sub)
+       |  WHERE rn <= $k),
+       |d0$sub AS (SELECT e.vec_id, s.cell, $fold AS d2 FROM sv$sub e, w0$sub s),
+       |a0$sub AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0$sub)
+       |  WHERE rn = 1),
+       |x1$sub AS (SELECT a.cell, unnest(list_transform(range(1, len(e.v) + 1),
+       |    i -> struct_pack(p := i - 1,
+       |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+       |  FROM a0$sub a JOIN sv$sub e USING (vec_id)),
+       |c1$sub AS (SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m
+       |  FROM x1$sub GROUP BY 1, 2),
+       |w1$sub AS (SELECT cell, list(m ORDER BY pos) AS w FROM c1$sub GROUP BY cell),
+       |df$sub AS (SELECT e.vec_id, s.cell, $fold AS d2 FROM sv$sub e, w1$sub s),
+       |code$sub AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df$sub)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying `Bpe.train(documents, "text", m)`: v0 is
     * the sentinel-delimited character vocab; each round j emits pair counts
     * `pj`, the argmax merge `bj`, and the merged vocab `vj`.
@@ -1843,6 +1875,31 @@ object SparkEntry {
         .zipWithIndex
         .map { case ((id, _, w), i) => (i + 1L, id, w) }
         .toSeq.toDF("rank", "cell", "weight")
+    }),
+
+    // §2#33j product quantization + ADC search (Jégou et al. 2011) — the
+    // compression layer of IVF-PQ, the standard disk-scale ANN layout:
+    // 4 subspaces × k=4 codebooks trained per-subspace (smallest-id
+    // seeds, ONE quantized-mean Lloyd round — fully SQL-replayable),
+    // every vector encoded to 4 codes scan-side (native NearestCentroid,
+    // zero shuffle), then ADC distances to a probe via broadcast
+    // distance-table literals (M map lookups + a fixed-order sum per
+    // row, D-independent search cost). Full corpus emitted: codes AND
+    // ADC distances hash-match the DuckDB replay of training, encoding
+    // and search end to end
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val books = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 4, iters = 1)
+      val probe = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+        .getAs[scala.collection.Seq[Any]](1).iterator.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalArgumentException(s"bad element $other")
+        }.toArray
+      val codes = Pq.encode(emb, "vec_id", "embedding", books)
+      Pq.adcDistances(codes, "vec_id", probe, books)
+        .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
+          col("code_3"), col("adc_d2"))
     }),
 
     // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
@@ -5385,6 +5442,36 @@ object SparkEntry {
          |SELECT cast(row_number() OVER (ORDER BY w DESC, cell) AS bigint) AS rank,
          |  cast(cell AS bigint) AS cell, cast(w AS bigint) AS weight
          |FROM wc ORDER BY w DESC, cell LIMIT 8""".stripMargin),
+
+    // PQ replay: per-subspace training (seeds → one quantized-mean round
+    // → assignment), probe distance tables from the trained centroids,
+    // ADC = fixed-order ((t0+t1)+t2)+t3 sum — training, encoding and
+    // search all hash-exact
+    "q_pq_adc" -> {
+      val probeFold =
+        "list_reduce(list_prepend(cast(0.0 AS double), " +
+          "list_transform(range(1, len(p.v) + 1), " +
+          "i -> (p.v[i] - w.w[i]) * (p.v[i] - w.w[i]))), (acc, x) -> acc + x)"
+      val subs = (0 until 4).map(s => pqSubspaceCtes(s, s * 16 + 1, (s + 1) * 16, 4))
+      val probes = (0 until 4).map(s =>
+        s"""probe$s AS (SELECT v FROM sv$s ORDER BY vec_id LIMIT 1),
+           |tab$s AS (SELECT w.cell, $probeFold AS d FROM w1$s w, probe$s p)""".stripMargin)
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |  FROM embeddings
+         |),
+         |${subs.mkString(",\n")},
+         |${probes.mkString(",\n")}
+         |SELECT c0.vec_id,
+         |  cast(c0.cell AS bigint) AS code_0, cast(c1.cell AS bigint) AS code_1,
+         |  cast(c2.cell AS bigint) AS code_2, cast(c3.cell AS bigint) AS code_3,
+         |  (((t0.d + t1.d) + t2.d) + t3.d) AS adc_d2
+         |FROM code0 c0
+         |JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
+         |JOIN code3 c3 USING (vec_id)
+         |JOIN tab0 t0 ON t0.cell = c0.cell JOIN tab1 t1 ON t1.cell = c1.cell
+         |JOIN tab2 t2 ON t2.cell = c2.cell JOIN tab3 t3 ON t3.cell = c3.cell""".stripMargin
+    },
 
     // the SemDeDup composition over the SAME k-means replay: in-cell cosine
     // pairs (sequential double folds), recursive-CTE transitive closure

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) — the vector
+  * compression behind IVF-PQ, the standard disk-scale ANN layout: split
+  * each D-dim vector into M subspaces, k-means each subspace, store a
+  * vector as M small codes (k ≤ 256 → one byte per subspace — a 64-dim
+  * float vector compresses 256 B → M B), and answer queries with
+  * asymmetric distance computation (ADC): per-subspace lookup tables
+  * against the UNquantized probe, summed across subspaces.
+  *
+  * Scale shape: codebook training reuses [[KMeans.lloydFrom]] per
+  * subspace over subvector slices (each a corpus scan with parameter-only
+  * exchange); encoding is a scan-side argmin per subspace via the native
+  * [[graft.plans.NearestCentroid]] expression (M·k·(D/M) = k·D
+  * multiply-adds per row, zero shuffle, the corpus is never joined);
+  * ADC search is a scan-side literal-map lookup + sum over the CODES
+  * table — the probe's k·D distance table is computed once on the driver
+  * and broadcast as literals, so search cost per row is M map lookups
+  * and M−1 additions regardless of D. Engine-exactness: every distance
+  * is the KMeans sequential fold, every mean the 2^-40-quantized
+  * component mean, so the q_pq_adc gate replays training, encoding and
+  * search in DuckDB hash-exact.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: (subspace index, [[KMeans]] model of the
+    * subvector slice [sub·dSub, (sub+1)·dSub)). Cell ids are the seed
+    * vectors' ids (the replay-exact convention; bijective with 0..k−1
+    * codes — a storage layer would dense-rank them to bytes).
+    */
+  def trainCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int): Seq[(Int, Array[(Long, Array[Double])])] = {
+    require(m > 0 && k > 0, s"need m > 0, k > 0 (got m=$m, k=$k)")
+    (0 until m).map { sub =>
+      val sliced = df.select(col(idCol),
+        subvector(col(vecCol), sub, m).as("_sv"))
+      val seeds = KMeans.seedSmallestIds(sliced, idCol, "_sv", k)
+      val trained = finalCentroids(sliced, idCol, "_sv", seeds, iters)
+      sub -> trained
+    }
+  }
+
+  /** Subvector `sub` of `m` equal slices (1-based `slice`; D must divide
+    * evenly — the PQ precondition).
+    */
+  def subvector(vec: Column, sub: Int, m: Int): Column = {
+    val dSub = (size(vec) / m).cast("int")
+    slice(vec, lit(sub) * dSub + 1, dSub)
+  }
+
+  private def finalCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Array[(Long, Array[Double])],
+      iters: Int): Array[(Long, Array[Double])] = {
+    var c = seeds
+    var it = 0
+    while (it < iters) {
+      c = KMeans.updateCentroids(KMeans.assign(df, idCol, vecCol, c), vecCol)
+      it += 1
+    }
+    c
+  }
+
+  /** Code frame `(idCol, code_0 … code_{m-1})`: per-subspace nearest
+    * codebook cell — one scan, zero shuffle.
+    */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[(Int, Array[(Long, Array[Double])])]): DataFrame = {
+    val m = codebooks.length
+    val codeCols = codebooks.map { case (sub, model) =>
+      graft.plans.VectorExpressions
+        .nearestCentroid(subvector(col(vecCol), sub, m), model)
+        .getField("cell").as(s"code_$sub")
+    }
+    df.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** ADC distances of every encoded vector to ONE probe vector: the
+    * probe's per-subspace distance table (k·M doubles) rides along as map
+    * literals; the scan does M lookups + a fixed-order left-to-right sum.
+    */
+  def adcDistances(
+      codes: DataFrame,
+      idCol: String,
+      probe: Array[Double],
+      codebooks: Seq[(Int, Array[(Long, Array[Double])])]): DataFrame = {
+    val m = codebooks.length
+    require(probe.length % m == 0, "probe dimension must divide into m subspaces")
+    val dSub = probe.length / m
+    val terms = codebooks.map { case (sub, model) =>
+      val pSub = probe.slice(sub * dSub, (sub + 1) * dSub)
+      val table = model.map { case (cell, c) =>
+        // the KMeans sequential fold, computed on the driver
+        var s = 0.0
+        var i = 0
+        while (i < dSub) { val d = pSub(i) - c(i); s += d * d; i += 1 }
+        cell -> s
+      }
+      element_at(
+        map(table.flatMap { case (cell, d) => Seq(lit(cell), lit(d)) }: _*),
+        col(s"code_$sub"))
+    }
+    codes.withColumn("adc_d2", terms.reduceLeft(_ + _))
+  }
+}

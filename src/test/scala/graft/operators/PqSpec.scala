@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four planted patterns in 8 dims, five exact copies each; ids 0..3 are
+  // one copy of each pattern, so smallest-id seeding starts on distinct
+  // patterns and one Lloyd round converges codebooks to the patterns
+  private def corpus = (0L until 20L).map { i =>
+    val p = (i % 4).toInt
+    (i, Array.tabulate(8)(d => if (d / 2 == p) 1.0f else 0.0f))
+  }.toDF("vec_id", "embedding")
+
+  private def books = Pq.trainCodebooks(corpus, "vec_id", "embedding",
+    m = 2, k = 4, iters = 1)
+
+  test("copies of the same pattern share codes; codes stay in the codebook") {
+    val b = books
+    val codes = Pq.encode(corpus, "vec_id", "embedding", b)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(codes.length == 20)
+    val byPattern = codes.groupBy(_._1 % 4)
+    byPattern.foreach { case (_, rows) =>
+      assert(rows.map(r => (r._2, r._3)).distinct.length == 1,
+        s"pattern copies must encode identically: $rows")
+    }
+    val allowed = b.map { case (_, model) => model.map(_._1).toSet }
+    codes.foreach { case (_, c0, c1) =>
+      assert(allowed(0).contains(c0) && allowed(1).contains(c1))
+    }
+  }
+
+  test("ADC distance is exact on codebook-center vectors") {
+    val b = books
+    val probe = Array.tabulate(8)(d => if (d / 2 == 0) 1.0 else 0.0)
+    val adc = Pq.adcDistances(
+        Pq.encode(corpus, "vec_id", "embedding", b), "vec_id", probe, b)
+      .select($"vec_id", $"adc_d2").as[(Long, Double)].collect().sortBy(_._1)
+    adc.foreach { case (id, d) =>
+      if (id % 4 == 0) assert(d == 0.0, s"pattern-0 copy $id should be at ADC 0, got $d")
+      else assert(d > 0.0, s"other-pattern $id should be at positive ADC, got $d")
+    }
+  }
+
+  test("encoding is scan-side and partitioning-invariant") {
+    val b = books
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pq.encode(df, "vec_id", "embedding", b)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(corpus.repartition(7)) == run(corpus.coalesce(1)))
+    val phys = Pq.encode(corpus, "vec_id", "embedding", b)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"encode must not shuffle:\n$phys")
+  }
+}
