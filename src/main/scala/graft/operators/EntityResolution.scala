@@ -80,11 +80,16 @@ object EntityResolution {
         explode(deletionNeighborhood(col(name), maxDist)))
     keyed(dirty.select(col(idCol), col(nameCol)), nameCol)
       .join(keyed(canon.select(col(canonIdCol), col(canonNameCol)), canonNameCol), "_bk")
+      // collapse to DISTINCT candidate pairs BEFORE the verify: at depth 2
+      // a true match shares up to ~len² neighborhood members, and the
+      // partial (map-side) distinct combine folds that multiplicity away
+      // before the per-pair DP runs — one thresholded levenshtein per
+      // pair instead of one per shared key (same result set)
+      .select(col(idCol), col(nameCol), col(canonIdCol), col(canonNameCol))
+      .distinct()
       .withColumn("edit_dist",
         levenshtein(col(nameCol), col(canonNameCol), maxDist))
       .where(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
-      // a pair sharing several neighborhood members collapses to one row
       .select(col(idCol), col(canonIdCol), col("edit_dist"))
-      .distinct()
   }
 }
