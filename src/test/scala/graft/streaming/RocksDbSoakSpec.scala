@@ -360,4 +360,42 @@ class RocksDbSoakSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("streaming attribution on RocksDB: lookback prune bounds the touch window state") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamAttribution._
+    withRocksDb {
+      val input = MemoryStream[TouchStreamEvent]
+      // 30-minute lookback; batches advance 20 minutes, so each key's
+      // window holds at most the previous batch's touch — state is one
+      // row per key (the touch list inside it pruned), flat forever
+      val query = StreamAttribution.attributed(input.toDS(), 1800L * 1000000L)
+        .writeStream.format("memory").queryName("attr_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        (0 until Batches).foreach { b =>
+          val t = base + b * 1200000L
+          input.addData((0 until Entities).flatMap { k =>
+            Seq(
+              TouchStreamEvent(k.toLong, new java.sql.Timestamp(t),
+                b.toLong * Entities * 2 + k, "click", is_touch = true, is_conv = false),
+              TouchStreamEvent(k.toLong, new java.sql.Timestamp(t + 600000L),
+                b.toLong * Entities * 2 + Entities + k, "purchase",
+                is_touch = false, is_conv = true))
+          })
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= Entities.toLong,
+          s"attribution state must stay at one row per key: ${stateRows.mkString(",")}")
+        // every conversion in every batch credits its same-batch click
+        val attributed = spark.table("attr_soak")
+          .where(col("touch_id").isNotNull).count()
+        assert(attributed == Entities.toLong * Batches,
+          s"expected ${Entities * Batches} attributed conversions, got $attributed")
+      } finally query.stop()
+    }
+  }
 }
