@@ -1479,8 +1479,9 @@ object SparkEntry {
     // web-curation chain every corpus build runs, gated end-to-end at
     // surviving-doc grain (the batch counterpart of q_stream_ingest's
     // streaming composition). Catalyst fuses the scan-side stages
-    // (extraction, lang-id, quality, fingerprint) into the same scan
-    // tasks; the only exchange is the dedup window's hash partition
+    // (lang-id, quality, fingerprint) onto their input; the chain plans
+    // exactly TWO exchanges — the block re-assembly aggregation and the
+    // dedup window — and never joins an intermediate (plan-spec-pinned)
     "q_curation_pipeline" -> ((s, dir) => {
       val names = Text.Langs.map(_._1)
       val pages = Tables.documents(s, dir).select(col("doc_id"),
