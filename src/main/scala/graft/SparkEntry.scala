@@ -295,12 +295,13 @@ object SparkEntry {
     * [[KMeansCteSql]] shape with one round and per-subspace CTE names.
     * Expects CTE `emb(vec_id, v)` in scope.
     */
-  private def pqSubspaceCtes(sub: Int, lo: Int, hi: Int, k: Int): String = {
+  private def pqSubspaceCtes(sub: Int, lo: Int, hi: Int, k: Int,
+      src: String = "emb"): String = {
     val fold =
       "list_reduce(list_prepend(cast(0.0 AS double), " +
         "list_transform(range(1, len(e.v) + 1), " +
         "i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x)"
-    s"""sv$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM emb),
+    s"""sv$sub AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
        |w0$sub AS (SELECT vec_id AS cell, v AS w FROM (
        |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM sv$sub)
        |  WHERE rn <= $k),
@@ -1901,6 +1902,64 @@ object SparkEntry {
       Pq.adcDistances(codes, "vec_id", probe, books)
         .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"),
           col("code_3"), col("adc_d2"))
+    }),
+
+    // §2#33k IVF-PQ — the two gated layers COMPOSED into the actual
+    // billion-vector layout: coarse IVF cells (deterministic centroids,
+    // the q_knn_ivf_det convention) partition the corpus, PQ codebooks
+    // train on RESIDUALS x − coarse[cell] (concentrating the code
+    // distribution — the Jégou recipe), and search probes the nprobe=2
+    // cells nearest the query with PER-CELL ADC tables (the probe's
+    // residual differs per cell). Candidates never leave their cell
+    // partition; search cost = candidate count × M lookups
+    "q_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val coarse = Array.tabulate(8)(c => (c.toLong,
+        Array.tabulate(64)(d => ((c * 13 + d * 7) % 5 - 2).toDouble)))
+      val assigned = KMeans.assign(emb, "vec_id", "embedding", coarse)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val res = Pq.residuals(assigned, "vec_id", "embedding", "cell", coarse)
+      val books = Pq.trainCodebooks(
+        res.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", m = 4, k = 4, iters = 1)
+      val codes = Pq.encode(res, "vec_id", "embedding", books)
+        .join(res.select(col("vec_id"), col("cell")), "vec_id")
+      val probe = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+        .getAs[scala.collection.Seq[Any]](1).iterator.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalArgumentException(s"bad element $other")
+        }.toArray
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s2 = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+        s2
+      }
+      val probed = coarse.map { case (cell, c) => (d2(probe, c), cell) }
+        .sorted.take(2).map(_._2)
+      val dSub = probe.length / books.length
+      val adcByCell = probed.map { cellId =>
+        val cvec = coarse.find(_._1 == cellId).get._2
+        val probeRes = Array.tabulate(probe.length)(i => probe(i) - cvec(i))
+        val terms = books.map { case (sub, model) =>
+          val pSub = probeRes.slice(sub * dSub, (sub + 1) * dSub)
+          val table = model.map { case (code, c) => code -> d2(pSub, c) }
+          element_at(
+            map(table.flatMap { case (k2, v) => Seq(lit(k2), lit(v)) }: _*),
+            col(s"code_$sub"))
+        }
+        (cellId, terms.reduceLeft(_ + _))
+      }
+      val adcExpr = adcByCell.tail.foldLeft(
+        when(col("cell") === adcByCell.head._1, adcByCell.head._2)) {
+        case (acc, (cellId, e)) => acc.when(col("cell") === cellId, e)
+      }
+      codes.filter(col("cell").isin(probed.map(Long.box).toSeq: _*))
+        .withColumn("adc_d2", adcExpr)
+        .orderBy(col("adc_d2"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("cell"), col("code_0"), col("code_1"),
+          col("code_2"), col("code_3"), col("adc_d2"))
     }),
 
     // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
@@ -5472,6 +5531,72 @@ object SparkEntry {
          |JOIN code3 c3 USING (vec_id)
          |JOIN tab0 t0 ON t0.cell = c0.cell JOIN tab1 t1 ON t1.cell = c1.cell
          |JOIN tab2 t2 ON t2.cell = c2.cell JOIN tab3 t3 ON t3.cell = c3.cell""".stripMargin
+    },
+
+    // IVF-PQ replay: deterministic coarse cells, residual construction,
+    // per-subspace residual-PQ training, nprobe=2 cell pick, per-cell
+    // probe-residual ADC tables, fixed-order sum, top-10
+    "q_ivf_pq" -> {
+      val foldEW =
+        "list_reduce(list_prepend(cast(0.0 AS double), " +
+          "list_transform(range(1, len(e.v) + 1), " +
+          "i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x)"
+      val foldPW =
+        "list_reduce(list_prepend(cast(0.0 AS double), " +
+          "list_transform(range(1, len(p.v) + 1), " +
+          "i -> (p.v[i] - w.w[i]) * (p.v[i] - w.w[i]))), (acc, x) -> acc + x)"
+      val subs = (0 until 4)
+        .map(s2 => pqSubspaceCtes(s2, s2 * 16 + 1, (s2 + 1) * 16, 4, "res"))
+      val prsTabs = (0 until 4).map(s2 =>
+        s"""prs$s2 AS (SELECT cell, v[${s2 * 16 + 1}:${(s2 + 1) * 16}] AS v FROM pres),
+           |tb$s2 AS (SELECT p.cell AS pcell, w.cell AS code, $foldPW AS d
+           |  FROM w1$s2 w, prs$s2 p)""".stripMargin)
+      s"""WITH emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |  FROM embeddings
+         |),
+         |coarse AS (SELECT c AS cell, list_transform(range(0, 64),
+         |    d -> CAST((c * 13 + d * 7) % 5 - 2 AS double)) AS w
+         |  FROM range(0, 8) t(c)),
+         |cd AS (SELECT e.vec_id, s.cell, $foldEW AS d2 FROM emb e, coarse s),
+         |ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
+         |  WHERE rn = 1),
+         |res AS (SELECT e.vec_id, ca.cell,
+         |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - w.w[i]) AS v
+         |  FROM emb e JOIN ca USING (vec_id) JOIN coarse w ON w.cell = ca.cell),
+         |${subs.mkString(",\n")},
+         |pv AS (SELECT v FROM emb ORDER BY vec_id LIMIT 1),
+         |pd AS (SELECT s.cell, list_reduce(list_prepend(cast(0.0 AS double),
+         |    list_transform(range(1, len(p.v) + 1),
+         |      i -> (p.v[i] - s.w[i]) * (p.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+         |  FROM coarse s, pv p),
+         |pcells AS (SELECT cell FROM (SELECT cell,
+         |    row_number() OVER (ORDER BY d2, cell) AS rn FROM pd) WHERE rn <= 2),
+         |pres AS (SELECT w.cell,
+         |    list_transform(range(1, len(p.v) + 1), i -> p.v[i] - w.w[i]) AS v
+         |  FROM coarse w JOIN pcells USING (cell) CROSS JOIN pv p),
+         |${prsTabs.mkString(",\n")},
+         |cand AS (SELECT c0.vec_id, r.cell,
+         |    c0.cell AS code_0, c1.cell AS code_1, c2.cell AS code_2,
+         |    c3.cell AS code_3
+         |  FROM code0 c0 JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
+         |  JOIN code3 c3 USING (vec_id)
+         |  JOIN (SELECT vec_id, cell FROM res) r USING (vec_id)
+         |  JOIN pcells pc ON pc.cell = r.cell),
+         |adc AS (SELECT cand.vec_id, cand.cell, cand.code_0, cand.code_1,
+         |    cand.code_2, cand.code_3,
+         |    (((t0.d + t1.d) + t2.d) + t3.d) AS adc_d2
+         |  FROM cand
+         |  JOIN tb0 t0 ON t0.pcell = cand.cell AND t0.code = cand.code_0
+         |  JOIN tb1 t1 ON t1.pcell = cand.cell AND t1.code = cand.code_1
+         |  JOIN tb2 t2 ON t2.pcell = cand.cell AND t2.code = cand.code_2
+         |  JOIN tb3 t3 ON t3.pcell = cand.cell AND t3.code = cand.code_3)
+         |SELECT vec_id, cast(cell AS bigint) AS cell,
+         |  cast(code_0 AS bigint) AS code_0, cast(code_1 AS bigint) AS code_1,
+         |  cast(code_2 AS bigint) AS code_2, cast(code_3 AS bigint) AS code_3,
+         |  adc_d2
+         |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
     },
 
     // the SemDeDup composition over the SAME k-means replay: in-cell cosine

@@ -88,6 +88,27 @@ object Pq {
     df.select(col(idCol) +: codeCols: _*)
   }
 
+  /** Residual frame `(idCol, cell, vecCol = x − coarse[cell])` — the
+    * IVF-PQ preprocessing step: PQ codebooks train on residuals relative
+    * to each vector's coarse cell, which concentrates their distribution
+    * and is what makes 4-bit/8-bit codes usable at billion scale. The
+    * coarse model rides as a cell→vector map literal; the subtraction is
+    * a scan-side zip (zero shuffle).
+    */
+  def residuals(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      coarse: Array[(Long, Array[Double])]): DataFrame = {
+    val coarseMap = map(coarse.flatMap { case (cell, c) =>
+      Seq(lit(cell), typedLit(c.toSeq))
+    }: _*)
+    df.select(col(idCol), col(cellCol),
+      zip_with(col(vecCol), element_at(coarseMap, col(cellCol)),
+        (x, c) => x.cast("double") - c).as(vecCol))
+  }
+
   /** ADC distances of every encoded vector to ONE probe vector: the
     * probe's per-subspace distance table (k·M doubles) rides along as map
     * literals; the scan does M lookups + a fixed-order left-to-right sum.

@@ -45,6 +45,23 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residuals subtract each vector's own coarse centroid, scan-side") {
+    val coarse = Array(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0)))
+    val df = Seq(
+      (10L, Array(1.5f, 0.25f, 0.0f, 0.0f), 0L),
+      (11L, Array(0.0f, 1.5f, 0.5f, 0.0f), 1L))
+      .toDF("vec_id", "embedding", "cell")
+    val res = Pq.residuals(df, "vec_id", "embedding", "cell", coarse)
+      .as[(Long, Long, Seq[Double])].collect().sortBy(_._1)
+    assert(res(0)._3 == Seq(0.5, 0.25, 0.0, 0.0))
+    assert(res(1)._3 == Seq(0.0, 0.5, 0.5, 0.0))
+    val phys = Pq.residuals(df, "vec_id", "embedding", "cell", coarse)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"residuals must not shuffle:\n$phys")
+  }
+
   test("encoding is scan-side and partitioning-invariant") {
     val b = books
     def run(df: org.apache.spark.sql.DataFrame) =
