@@ -742,6 +742,63 @@ object SparkEntry {
       |  WHERE c.c_us > 0
       |)""".stripMargin
 
+  /** Shared IVF-PQ construction (q_ivf_pq / q_ivf_pq_rerank — §2#33k/33l):
+    * deterministic coarse cells (the q_knn_ivf_det convention), PQ
+    * codebooks trained on residuals x − coarse[cell] (the Jégou recipe),
+    * candidates from the nprobe=2 cells nearest the probe, ADC distances
+    * via per-cell broadcast tables (the probe's residual differs per
+    * cell). Returns (candidate ADC frame `(vec_id, cell, code_0..3,
+    * adc_d2)` over the probed cells — UNranked, callers pick ADC top-k or
+    * re-rank, the raw embeddings frame, the probe vector).
+    */
+  private def ivfPqAdc(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Double]) = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val coarse = Array.tabulate(8)(c => (c.toLong,
+      Array.tabulate(64)(d => ((c * 13 + d * 7) % 5 - 2).toDouble)))
+    val assigned = KMeans.assign(emb, "vec_id", "embedding", coarse)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val res = Pq.residuals(assigned, "vec_id", "embedding", "cell", coarse)
+    val books = Pq.trainCodebooks(
+      res.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", m = 4, k = 4, iters = 1)
+    // `cell` rides through the encode projection — same scan, no re-join
+    val codes = Pq.encode(res, "vec_id", "embedding", books, carry = Seq("cell"))
+    val probe = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+      .getAs[scala.collection.Seq[Any]](1).iterator.map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(s"bad element $other")
+      }.toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s2 = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
+      s2
+    }
+    val probed = coarse.map { case (cell, c) => (d2(probe, c), cell) }
+      .sorted.take(2).map(_._2)
+    val dSub = probe.length / books.length
+    val adcByCell = probed.map { cellId =>
+      val cvec = coarse.find(_._1 == cellId).get._2
+      val probeRes = Array.tabulate(probe.length)(i => probe(i) - cvec(i))
+      val terms = books.map { case (sub, model) =>
+        val pSub = probeRes.slice(sub * dSub, (sub + 1) * dSub)
+        val table = model.map { case (code, c) => code -> d2(pSub, c) }
+        element_at(
+          map(table.flatMap { case (k2, v) => Seq(lit(k2), lit(v)) }: _*),
+          col(s"code_$sub"))
+      }
+      (cellId, terms.reduceLeft(_ + _))
+    }
+    val adcExpr = adcByCell.tail.foldLeft(
+      when(col("cell") === adcByCell.head._1, adcByCell.head._2)) {
+      case (acc, (cellId, e)) => acc.when(col("cell") === cellId, e)
+    }
+    val cand = codes.filter(col("cell").isin(probed.map(Long.box).toSeq: _*))
+      .withColumn("adc_d2", adcExpr)
+    (cand, emb, probe)
+  }
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1913,53 +1970,27 @@ object SparkEntry {
     // residual differs per cell). Candidates never leave their cell
     // partition; search cost = candidate count × M lookups
     "q_ivf_pq" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val coarse = Array.tabulate(8)(c => (c.toLong,
-        Array.tabulate(64)(d => ((c * 13 + d * 7) % 5 - 2).toDouble)))
-      val assigned = KMeans.assign(emb, "vec_id", "embedding", coarse)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      val res = Pq.residuals(assigned, "vec_id", "embedding", "cell", coarse)
-      val books = Pq.trainCodebooks(
-        res.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", m = 4, k = 4, iters = 1)
-      val codes = Pq.encode(res, "vec_id", "embedding", books)
-        .join(res.select(col("vec_id"), col("cell")), "vec_id")
-      val probe = emb.orderBy(col("vec_id")).limit(1).collect()(0)
-        .getAs[scala.collection.Seq[Any]](1).iterator.map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case other => throw new IllegalArgumentException(s"bad element $other")
-        }.toArray
-      def d2(a: Array[Double], b: Array[Double]): Double = {
-        var s2 = 0.0; var i = 0
-        while (i < a.length) { val d = a(i) - b(i); s2 += d * d; i += 1 }
-        s2
-      }
-      val probed = coarse.map { case (cell, c) => (d2(probe, c), cell) }
-        .sorted.take(2).map(_._2)
-      val dSub = probe.length / books.length
-      val adcByCell = probed.map { cellId =>
-        val cvec = coarse.find(_._1 == cellId).get._2
-        val probeRes = Array.tabulate(probe.length)(i => probe(i) - cvec(i))
-        val terms = books.map { case (sub, model) =>
-          val pSub = probeRes.slice(sub * dSub, (sub + 1) * dSub)
-          val table = model.map { case (code, c) => code -> d2(pSub, c) }
-          element_at(
-            map(table.flatMap { case (k2, v) => Seq(lit(k2), lit(v)) }: _*),
-            col(s"code_$sub"))
-        }
-        (cellId, terms.reduceLeft(_ + _))
-      }
-      val adcExpr = adcByCell.tail.foldLeft(
-        when(col("cell") === adcByCell.head._1, adcByCell.head._2)) {
-        case (acc, (cellId, e)) => acc.when(col("cell") === cellId, e)
-      }
-      codes.filter(col("cell").isin(probed.map(Long.box).toSeq: _*))
-        .withColumn("adc_d2", adcExpr)
-        .orderBy(col("adc_d2"), col("vec_id"))
+      val (cand, _, _) = ivfPqAdc(s, dir)
+      cand.orderBy(col("adc_d2"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("cell"), col("code_0"), col("code_1"),
           col("code_2"), col("code_3"), col("adc_d2"))
+    }),
+
+    // §2#33l IVF-PQ with the EXACT RE-RANK stage (Jégou et al. §V) — the
+    // production serving path: ADC orders the probed cells' candidates,
+    // the top C=40 (4×k) are re-scored with exact sequential-fold
+    // distances against the ORIGINAL vectors (broadcast candidate join;
+    // the corpus is scanned once with a pushed join filter), and the
+    // exact-ordered top-10 ships. Every stage deterministic, so the full
+    // trajectory — training, encoding, ADC, candidate cut, exact
+    // re-scoring — replays hash-exact in DuckDB
+    "q_ivf_pq_rerank" -> ((s, dir) => {
+      val (cand, emb, probe) = ivfPqAdc(s, dir)
+      Pq.searchRerank(
+          cand.select(col("vec_id"), col("cell"), col("adc_d2")),
+          emb, "vec_id", "embedding", probe, c = 40, k = 10)
+        .select(col("vec_id"), col("cell"), col("adc_d2"), col("exact_d2"))
     }),
 
     // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
@@ -2113,6 +2144,33 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("channels").cast("long").as("channels"),
           col("format"))
+    }),
+
+    // §2#35c audio/video container metadata: the q_multimodal_meta device
+    // for the OTHER two container families a corpus's binary columns
+    // carry — real WAV/RIFF bytes (fmt chunk + zero-filled data chunk)
+    // and real MP4/ISO-BMFF box trees (ftyp + moov{mvhd + trak{tkhd +
+    // mdia{mdhd + hdlr + minf/stbl/stsd}}}) constructed IN-PLAN from
+    // per-doc parameters, then parsed back with the native MediaMeta box
+    // walk (O(header), codegen, NULL on the planted corrupt rows). The
+    // oracle re-derives every field arithmetically — including the WAV
+    // duration's exact integer division against the byte rate — so hash
+    // equality proves parse(construct(p)) == p through actual bytes
+    "q_multimodal_av" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("fmt"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
+        (lit(8000) + pmod(col("doc_id") * 37, lit(32000))).cast("int").as("rate"),
+        (lit(8) + pmod(col("doc_id"), lit(2)) * 8).cast("int").as("bits"),
+        pmod(col("doc_id") * 5, lit(256)).cast("int").as("db"),
+        (lit(16) + pmod(col("doc_id") * 3, lit(1920))).cast("int").as("w"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(1080))).cast("int").as("h"),
+        (lit(500) + pmod(col("doc_id") * 11, lit(60000))).cast("int").as("durms"))
+      val withBytes = p.withColumn("payload",
+        Multimodal.syntheticMedia(col("fmt"), col("ch"), col("rate"),
+          col("bits"), col("db"), col("w"), col("h"), col("durms")))
+      Multimodal.extractAvMeta(withBytes, "doc_id", "payload")
     }),
 
     // §2#37 sketch aggregates: HLL distinct sketch (mergeable across
@@ -3859,6 +3917,71 @@ object SparkEntry {
         |  cast(n_touches_window AS bigint) AS n_touches_window
         |FROM c WHERE is_conv""".stripMargin
 
+  /** Shared CTE chain of the IVF-PQ replay (q_ivf_pq / q_ivf_pq_rerank):
+    * deterministic coarse cells, residual construction, per-subspace
+    * residual-PQ training, nprobe=2 cell pick, per-cell probe-residual ADC
+    * tables — ends in `adc(vec_id, cell, code_0..3, adc_d2)` over the
+    * probed cells' candidates (plus `emb(vec_id, v)` / `pv(v)` for the
+    * re-rank continuation).
+    */
+  private lazy val ivfPqAdcSqlCtes: String = {
+    val foldEW =
+      "list_reduce(list_prepend(cast(0.0 AS double), " +
+        "list_transform(range(1, len(e.v) + 1), " +
+        "i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x)"
+    val foldPW =
+      "list_reduce(list_prepend(cast(0.0 AS double), " +
+        "list_transform(range(1, len(p.v) + 1), " +
+        "i -> (p.v[i] - w.w[i]) * (p.v[i] - w.w[i]))), (acc, x) -> acc + x)"
+    val subs = (0 until 4)
+      .map(s2 => pqSubspaceCtes(s2, s2 * 16 + 1, (s2 + 1) * 16, 4, "res"))
+    val prsTabs = (0 until 4).map(s2 =>
+      s"""prs$s2 AS (SELECT cell, v[${s2 * 16 + 1}:${(s2 + 1) * 16}] AS v FROM pres),
+         |tb$s2 AS (SELECT p.cell AS pcell, w.cell AS code, $foldPW AS d
+         |  FROM w1$s2 w, prs$s2 p)""".stripMargin)
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+       |  FROM embeddings
+       |),
+       |coarse AS (SELECT c AS cell, list_transform(range(0, 64),
+       |    d -> CAST((c * 13 + d * 7) % 5 - 2 AS double)) AS w
+       |  FROM range(0, 8) t(c)),
+       |cd AS (SELECT e.vec_id, s.cell, $foldEW AS d2 FROM emb e, coarse s),
+       |ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |res AS (SELECT e.vec_id, ca.cell,
+       |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - w.w[i]) AS v
+       |  FROM emb e JOIN ca USING (vec_id) JOIN coarse w ON w.cell = ca.cell),
+       |${subs.mkString(",\n")},
+       |pv AS (SELECT v FROM emb ORDER BY vec_id LIMIT 1),
+       |pd AS (SELECT s.cell, list_reduce(list_prepend(cast(0.0 AS double),
+       |    list_transform(range(1, len(p.v) + 1),
+       |      i -> (p.v[i] - s.w[i]) * (p.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+       |  FROM coarse s, pv p),
+       |pcells AS (SELECT cell FROM (SELECT cell,
+       |    row_number() OVER (ORDER BY d2, cell) AS rn FROM pd) WHERE rn <= 2),
+       |pres AS (SELECT w.cell,
+       |    list_transform(range(1, len(p.v) + 1), i -> p.v[i] - w.w[i]) AS v
+       |  FROM coarse w JOIN pcells USING (cell) CROSS JOIN pv p),
+       |${prsTabs.mkString(",\n")},
+       |cand AS (SELECT c0.vec_id, r.cell,
+       |    c0.cell AS code_0, c1.cell AS code_1, c2.cell AS code_2,
+       |    c3.cell AS code_3
+       |  FROM code0 c0 JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
+       |  JOIN code3 c3 USING (vec_id)
+       |  JOIN (SELECT vec_id, cell FROM res) r USING (vec_id)
+       |  JOIN pcells pc ON pc.cell = r.cell),
+       |adc AS (SELECT cand.vec_id, cand.cell, cand.code_0, cand.code_1,
+       |    cand.code_2, cand.code_3,
+       |    (((t0.d + t1.d) + t2.d) + t3.d) AS adc_d2
+       |  FROM cand
+       |  JOIN tb0 t0 ON t0.pcell = cand.cell AND t0.code = cand.code_0
+       |  JOIN tb1 t1 ON t1.pcell = cand.cell AND t1.code = cand.code_1
+       |  JOIN tb2 t2 ON t2.pcell = cand.cell AND t2.code = cand.code_2
+       |  JOIN tb3 t3 ON t3.pcell = cand.cell AND t3.code = cand.code_3)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_stg_cast" ->
       """SELECT DISTINCT cast(c_custkey AS varchar) AS customer_id, trim(c_name) AS name,
@@ -5536,68 +5659,29 @@ object SparkEntry {
     // IVF-PQ replay: deterministic coarse cells, residual construction,
     // per-subspace residual-PQ training, nprobe=2 cell pick, per-cell
     // probe-residual ADC tables, fixed-order sum, top-10
-    "q_ivf_pq" -> {
-      val foldEW =
-        "list_reduce(list_prepend(cast(0.0 AS double), " +
-          "list_transform(range(1, len(e.v) + 1), " +
-          "i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x)"
-      val foldPW =
-        "list_reduce(list_prepend(cast(0.0 AS double), " +
-          "list_transform(range(1, len(p.v) + 1), " +
-          "i -> (p.v[i] - w.w[i]) * (p.v[i] - w.w[i]))), (acc, x) -> acc + x)"
-      val subs = (0 until 4)
-        .map(s2 => pqSubspaceCtes(s2, s2 * 16 + 1, (s2 + 1) * 16, 4, "res"))
-      val prsTabs = (0 until 4).map(s2 =>
-        s"""prs$s2 AS (SELECT cell, v[${s2 * 16 + 1}:${(s2 + 1) * 16}] AS v FROM pres),
-           |tb$s2 AS (SELECT p.cell AS pcell, w.cell AS code, $foldPW AS d
-           |  FROM w1$s2 w, prs$s2 p)""".stripMargin)
-      s"""WITH emb AS (
-         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-         |  FROM embeddings
-         |),
-         |coarse AS (SELECT c AS cell, list_transform(range(0, 64),
-         |    d -> CAST((c * 13 + d * 7) % 5 - 2 AS double)) AS w
-         |  FROM range(0, 8) t(c)),
-         |cd AS (SELECT e.vec_id, s.cell, $foldEW AS d2 FROM emb e, coarse s),
-         |ca AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM cd)
-         |  WHERE rn = 1),
-         |res AS (SELECT e.vec_id, ca.cell,
-         |    list_transform(range(1, len(e.v) + 1), i -> e.v[i] - w.w[i]) AS v
-         |  FROM emb e JOIN ca USING (vec_id) JOIN coarse w ON w.cell = ca.cell),
-         |${subs.mkString(",\n")},
-         |pv AS (SELECT v FROM emb ORDER BY vec_id LIMIT 1),
-         |pd AS (SELECT s.cell, list_reduce(list_prepend(cast(0.0 AS double),
-         |    list_transform(range(1, len(p.v) + 1),
-         |      i -> (p.v[i] - s.w[i]) * (p.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
-         |  FROM coarse s, pv p),
-         |pcells AS (SELECT cell FROM (SELECT cell,
-         |    row_number() OVER (ORDER BY d2, cell) AS rn FROM pd) WHERE rn <= 2),
-         |pres AS (SELECT w.cell,
-         |    list_transform(range(1, len(p.v) + 1), i -> p.v[i] - w.w[i]) AS v
-         |  FROM coarse w JOIN pcells USING (cell) CROSS JOIN pv p),
-         |${prsTabs.mkString(",\n")},
-         |cand AS (SELECT c0.vec_id, r.cell,
-         |    c0.cell AS code_0, c1.cell AS code_1, c2.cell AS code_2,
-         |    c3.cell AS code_3
-         |  FROM code0 c0 JOIN code1 c1 USING (vec_id) JOIN code2 c2 USING (vec_id)
-         |  JOIN code3 c3 USING (vec_id)
-         |  JOIN (SELECT vec_id, cell FROM res) r USING (vec_id)
-         |  JOIN pcells pc ON pc.cell = r.cell),
-         |adc AS (SELECT cand.vec_id, cand.cell, cand.code_0, cand.code_1,
-         |    cand.code_2, cand.code_3,
-         |    (((t0.d + t1.d) + t2.d) + t3.d) AS adc_d2
-         |  FROM cand
-         |  JOIN tb0 t0 ON t0.pcell = cand.cell AND t0.code = cand.code_0
-         |  JOIN tb1 t1 ON t1.pcell = cand.cell AND t1.code = cand.code_1
-         |  JOIN tb2 t2 ON t2.pcell = cand.cell AND t2.code = cand.code_2
-         |  JOIN tb3 t3 ON t3.pcell = cand.cell AND t3.code = cand.code_3)
-         |SELECT vec_id, cast(cell AS bigint) AS cell,
-         |  cast(code_0 AS bigint) AS code_0, cast(code_1 AS bigint) AS code_1,
-         |  cast(code_2 AS bigint) AS code_2, cast(code_3 AS bigint) AS code_3,
-         |  adc_d2
-         |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin
-    },
+    "q_ivf_pq" -> (ivfPqAdcSqlCtes +
+      """
+        |SELECT vec_id, cast(cell AS bigint) AS cell,
+        |  cast(code_0 AS bigint) AS code_0, cast(code_1 AS bigint) AS code_1,
+        |  cast(code_2 AS bigint) AS code_2, cast(code_3 AS bigint) AS code_3,
+        |  adc_d2
+        |FROM adc ORDER BY adc_d2, vec_id LIMIT 10""".stripMargin),
+
+    // the re-rank replay: ADC top-40 cut (ties to the smaller vec_id, the
+    // Spark TakeOrdered rule), exact sequential-fold distances against the
+    // ORIGINAL double-cast vectors, exact-ordered top-10
+    "q_ivf_pq_rerank" -> (ivfPqAdcSqlCtes +
+      """,
+        |cand40 AS (SELECT vec_id, cell, adc_d2 FROM adc
+        |  ORDER BY adc_d2, vec_id LIMIT 40),
+        |rr AS (SELECT c.vec_id, c.cell, c.adc_d2,
+        |    list_reduce(list_prepend(cast(0.0 AS double),
+        |      list_transform(range(1, len(e.v) + 1),
+        |        i -> (e.v[i] - p.v[i]) * (e.v[i] - p.v[i]))),
+        |      (acc, x) -> acc + x) AS exact_d2
+        |  FROM cand40 c JOIN emb e USING (vec_id) CROSS JOIN pv p)
+        |SELECT vec_id, cast(cell AS bigint) AS cell, adc_d2, exact_d2
+        |FROM rr ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin),
 
     // the SemDeDup composition over the SAME k-means replay: in-cell cosine
     // pairs (sequential double folds), recursive-CTE transitive closure
@@ -6783,6 +6867,37 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |    WHEN 2 THEN 'gif' ELSE 'bmp' END AS format
         |FROM documents""".stripMargin,
+
+    // arithmetic re-derivation of syntheticMedia's parameters and
+    // serialized byte counts — WAV 44 + data bytes, the MP4 box trees'
+    // layout constants (423 video / 373 audio), the corrupt row's 6 bytes;
+    // WAV duration replays the parser's exact integer division
+    "q_multimodal_av" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 4 AS fmt,
+        |    1 + doc_id % 2 AS ch,
+        |    8000 + (doc_id * 37) % 32000 AS rate,
+        |    8 + (doc_id % 2) * 8 AS bits,
+        |    (doc_id * 5) % 256 AS db,
+        |    16 + (doc_id * 3) % 1920 AS w,
+        |    16 + (doc_id * 7) % 1080 AS h,
+        |    500 + (doc_id * 11) % 60000 AS durms
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(CASE fmt WHEN 0 THEN 44 + db WHEN 1 THEN 423 WHEN 2 THEN 373
+        |    ELSE 6 END AS bigint) AS n_bytes,
+        |  CASE WHEN fmt = 0 THEN 'wav' WHEN fmt IN (1, 2) THEN 'mp4' END
+        |    AS format,
+        |  CASE WHEN fmt = 0 OR fmt = 2 THEN 'audio' WHEN fmt = 1 THEN 'video'
+        |    END AS media_type,
+        |  cast(CASE WHEN fmt IN (0, 2) THEN ch END AS bigint) AS channels,
+        |  cast(CASE WHEN fmt IN (0, 2) THEN rate END AS bigint) AS sample_rate,
+        |  cast(CASE WHEN fmt = 0 THEN bits END AS bigint) AS bits_per_sample,
+        |  cast(CASE WHEN fmt = 1 THEN w END AS bigint) AS width,
+        |  cast(CASE WHEN fmt = 1 THEN h END AS bigint) AS height,
+        |  cast(CASE WHEN fmt = 0 THEN (db * 1000) // (rate * ch * (bits // 8))
+        |    WHEN fmt IN (1, 2) THEN durms END AS bigint) AS duration_ms
+        |FROM p""".stripMargin,
 
     "q_token_hist" ->
       """SELECT token, cast(count(*) AS bigint) AS cnt FROM (

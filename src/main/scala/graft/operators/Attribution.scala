@@ -31,6 +31,19 @@ object Attribution {
     * bucket every report needs). `n_touches_window` counts the touches
     * inside the lookback window — the denominator a linear/position-decay
     * credit model divides by.
+    *
+    * EDGE CASE a credit model MUST guard: a touch sharing the
+    * conversion's exact microsecond (with a smaller event_id) is
+    * attributable via the rows-preceding frame, but the range frame ends
+    * at conv − 1 µs and excludes it — so a conversion can carry a
+    * non-null `touch_id` with `n_touches_window = 0`. Divide by
+    * `greatest(n_touches_window, 1)` (or treat the attributed touch as
+    * the sole credit holder) rather than by the raw count. The count
+    * deliberately stays the pure range frame: widening it to the
+    * conversion instant would instead count same-microsecond touches
+    * with LARGER ids that the "latest strictly before" rule does NOT
+    * attribute — no single range frame expresses the id tiebreak, and an
+    * undercount that is documented beats an overcount that is not.
     */
   def lastTouch(
       events: DataFrame,

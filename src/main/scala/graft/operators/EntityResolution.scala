@@ -75,9 +75,17 @@ object EntityResolution {
   def matchByEditDistance(dirty: DataFrame, idCol: String, nameCol: String,
       canon: DataFrame, canonIdCol: String, canonNameCol: String,
       maxDist: Int = 1): DataFrame = {
+    // the block key shuffles as xxhash64(int64), not the neighborhood
+    // STRING: at depth 2 each row explodes into ≈len²/2 variable-length
+    // keys, and hashing them before the explode+join cuts the exchange to
+    // 8 bytes per key with no semantic change — equal strings keep
+    // colliding (completeness preserved), and the rare extra hash
+    // collision only adds a candidate pair the exact levenshtein verify
+    // discards anyway (blocking never decides, it only proposes)
     def keyed(df: DataFrame, name: String): DataFrame =
       df.withColumn("_bk",
-        explode(deletionNeighborhood(col(name), maxDist)))
+        explode(transform(deletionNeighborhood(col(name), maxDist),
+          s => xxhash64(s))))
     keyed(dirty.select(col(idCol), col(nameCol)), nameCol)
       .join(keyed(canon.select(col(canonIdCol), col(canonNameCol)), canonNameCol), "_bk")
       // collapse to DISTINCT candidate pairs BEFORE the verify: at depth 2

@@ -95,14 +95,55 @@ object Multimodal {
           featureDim).as("features"))
   }
 
+  val avSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("bits_per_sample", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Audio/video metadata from a binary column by parsing the actual
+    * WAV/RIFF and MP4/ISO-BMFF headers ([[graft.plans.MediaMeta]]) — the
+    * [[extractMeta]] discipline for the other two container families:
+    * scan-side, whole-stage codegen, O(header) per row, NULL metadata
+    * with the byte length intact on unparseable payloads.
+    */
+  def extractAvMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val meta = graft.plans.MediaExpressions.mediaMeta(col(binCol))
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(octet_length(col(binCol)).cast("long"), lit(0L)).as("n_bytes"),
+      meta.getField("format").as("format"),
+      meta.getField("media_type").as("media_type"),
+      meta.getField("channels").cast("long").as("channels"),
+      meta.getField("sample_rate").cast("long").as("sample_rate"),
+      meta.getField("bits_per_sample").cast("long").as("bits_per_sample"),
+      meta.getField("width").cast("long").as("width"),
+      meta.getField("height").cast("long").as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
   // ---- in-plan synthesis of real container bytes ------------------------
 
+  // both field writers NULL on out-of-range values instead of emitting
+  // corrupt bytes: lpad TRUNCATES a hex string longer than the target
+  // width (e.g. a width > 65535 into a 2-byte JPEG SOF field), and the
+  // null propagates through concat/unhex to a null payload the parser
+  // reports as unreadable — fail visibly, not byte-corrupted
+  private def inRange(c: Column, nBytes: Int): Column =
+    c.cast("long").between(0L, (1L << (8 * nBytes)) - 1L)
+
   private def hexBE(c: Column, nBytes: Int): Column =
-    lpad(hex(c.cast("long")), nBytes * 2, "0")
+    when(inRange(c, nBytes), lpad(hex(c.cast("long")), nBytes * 2, "0"))
 
   private def hexLE(c: Column, nBytes: Int): Column =
-    concat((0 until nBytes).map(i =>
-      lpad(hex(pmod(shiftright(c.cast("long"), 8 * i), lit(256L))), 2, "0")): _*)
+    when(inRange(c, nBytes), concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(shiftright(c.cast("long"), 8 * i), lit(256L))), 2, "0")): _*))
 
   /** Real image-container bytes built in-plan from `(fmt, w, h, alt)` —
     * fmt 0=png 1=jpeg 2=gif 3=bmp, `alt` varies the channel layout. The
@@ -147,6 +188,96 @@ object Multimodal {
     unhex(
       when(fmt === 0, png).when(fmt === 1, jpeg).when(fmt === 2, gif)
         .otherwise(bmp))
+  }
+
+  // ---- in-plan synthesis of real AUDIO/VIDEO container bytes ------------
+  //
+  // The same construct-then-parse gate device as syntheticImage, for the
+  // MediaMeta families: WAV/RIFF with a real fmt chunk and a zero-filled
+  // data chunk, and MP4/ISO-BMFF with a spec-correct box tree
+  // (ftyp + moov{mvhd + trak{tkhd + mdia{mdhd + hdlr + minf{stbl{stsd}}}}}).
+  // Every box size is a layout constant; only the metadata fields vary, so
+  // an oracle re-derives everything arithmetically.
+
+  private val Mp4Matrix = // the identity transform matrix, 9 × 16.16/2.30
+    "000100000000000000000000" + "000000000001000000000000" +
+      "000000000000000040000000"
+
+  private def mvhdHex(durMs: Column): Column = concat(
+    lit("0000006C6D766864" + "00000000" + "00000000" + "00000000" + "000003E8"),
+    hexBE(durMs, 4), // timescale 1000 ⇒ duration IS milliseconds
+    lit("00010000" + "0100" + "0000" + "0000000000000000" + Mp4Matrix +
+      ("0" * 48) + "00000002"))
+
+  private def tkhdHex(w: Column, h: Column, durMs: Column): Column = concat(
+    lit("0000005C746B6864" + "00000007" + "00000000" + "00000000" +
+      "00000001" + "00000000"),
+    hexBE(durMs, 4),
+    lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + Mp4Matrix),
+    hexBE(w, 2), lit("0000"), hexBE(h, 2), lit("0000"))
+
+  private def mdhdHex(durMs: Column): Column = concat(
+    lit("000000206D646864" + "00000000" + "00000000" + "00000000" + "000003E8"),
+    hexBE(durMs, 4), lit("55C4" + "0000"))
+
+  private def hdlrHex(handler: String): Column =
+    lit("0000002168646C72" + "00000000" + "00000000" +
+      handler.map(c => f"${c.toInt}%02X").mkString + ("0" * 24) + "00")
+
+  /** Real media-container bytes built in-plan from `(fmt, …)` — fmt
+    * 0 = WAV (channels `ch`, sample rate `rate`, bits `bits`, `dataBytes`
+    * of zero samples), 1 = MP4 with one video track (`w`×`h`, `durMs`),
+    * 2 = MP4 with one audio track (`ch`, `rate`, `durMs`),
+    * 3 = truncated RIFF junk (the corrupt row — parser must yield NULL
+    * metadata, n_bytes intact). Headers follow the container specs
+    * byte-for-byte; everything is `concat`/`hex`/`unhex`, so an oracle
+    * re-derives the expected metadata and byte counts arithmetically
+    * ([[syntheticMediaExpected]]).
+    */
+  def syntheticMedia(fmt: Column, ch: Column, rate: Column, bits: Column,
+      dataBytes: Column, w: Column, h: Column, durMs: Column): Column = {
+    val bytesPerSample = shiftright(bits.cast("long"), 3) // bits/8, integer
+    val byteRate = rate * ch * bytesPerSample
+    val blockAlign = ch * bytesPerSample
+    val wav = concat(
+      lit("52494646"), hexLE(lit(36) + dataBytes, 4), lit("57415645"),
+      lit("666D7420"), hexLE(lit(16), 4), lit("0100"),
+      hexLE(ch, 2), hexLE(rate, 4), hexLE(byteRate, 4),
+      hexLE(blockAlign, 2), hexLE(bits, 2),
+      lit("64617461"), hexLE(dataBytes, 4),
+      call_function("repeat", lit("00"), dataBytes))
+    val ftyp = lit("0000001066747970" + "69736F6D" + "00000000")
+    // video sample entry (avc1, 86 B) — dims repeated per the spec; the
+    // parser takes canvas dims from tkhd
+    val avc1 = concat(
+      lit("0000005661766331" + "000000000000" + "0001" + "0000" + "0000" +
+        ("0" * 24)),
+      hexBE(w, 2), hexBE(h, 2),
+      lit("00480000" + "00480000" + "00000000" + "0001" + ("0" * 64) +
+        "0018" + "FFFF"))
+    val stsdV = concat(lit("0000006673747364" + "00000000" + "00000001"), avc1)
+    val minfV = concat(lit("000000766D696E66" + "0000006E7374626C"), stsdV)
+    val mdiaV = concat(lit("000000BF6D646961"), mdhdHex(durMs),
+      hdlrHex("vide"), minfV)
+    val trakV = concat(lit("000001237472616B"), tkhdHex(w, h, durMs), mdiaV)
+    val moovV = concat(lit("000001976D6F6F76"), mvhdHex(durMs), trakV)
+    val mp4v = concat(ftyp, moovV)
+    // audio sample entry (mp4a, 36 B): channels, 16-bit samples, 16.16 rate
+    val mp4a_ = concat(
+      lit("000000246D703461" + "000000000000" + "0001" + "0000000000000000"),
+      hexBE(ch, 2), lit("0010" + "0000" + "0000"), hexBE(rate, 2), lit("0000"))
+    val stsdA = concat(lit("0000003473747364" + "00000000" + "00000001"), mp4a_)
+    val minfA = concat(lit("000000446D696E66" + "0000003C7374626C"), stsdA)
+    val mdiaA = concat(lit("0000008D6D646961"), mdhdHex(durMs),
+      hdlrHex("soun"), minfA)
+    val trakA = concat(lit("000000F17472616B"),
+      tkhdHex(lit(0), lit(0), durMs), mdiaA)
+    val moovA = concat(lit("000001656D6F6F76"), mvhdHex(durMs), trakA)
+    val mp4a = concat(ftyp, moovA)
+    val corrupt = lit("524946460000") // RIFF sig cut short of any chunk
+    unhex(
+      when(fmt === 0, wav).when(fmt === 1, mp4v).when(fmt === 2, mp4a)
+        .otherwise(corrupt))
   }
 
   /** Expected metadata of [[syntheticImage]] bytes, derived arithmetically

@@ -39,6 +39,7 @@ object Pq {
       k: Int,
       iters: Int): Seq[(Int, Array[(Long, Array[Double])])] = {
     require(m > 0 && k > 0, s"need m > 0, k > 0 (got m=$m, k=$k)")
+    requireDivisible(df, vecCol, m)
     (0 until m).map { sub =>
       val sliced = df.select(col(idCol),
         subvector(col(vecCol), sub, m).as("_sv"))
@@ -56,6 +57,22 @@ object Pq {
     slice(vec, lit(sub) * dSub + 1, dSub)
   }
 
+  /** PQ precondition guard: the integer-truncated dSub in [[subvector]]
+    * would otherwise silently DROP the trailing D mod m dimensions —
+    * assert divisibility once per call from a one-row sample (a
+    * parameter-scale driver action, matching the existing preconditions
+    * in [[adcDistances]]).
+    */
+  private def requireDivisible(df: DataFrame, vecCol: String, m: Int): Unit = {
+    val d0 = df.select(size(col(vecCol)).as("_d")).limit(1).collect()
+    d0.headOption.foreach { r =>
+      val d = r.getInt(0)
+      require(d % m == 0,
+        s"vector dimension $d must divide into m=$m subspaces " +
+          s"(trailing ${d % m} dimensions would be dropped)")
+    }
+  }
+
   private def finalCentroids(
       df: DataFrame,
       idCol: String,
@@ -71,21 +88,25 @@ object Pq {
     c
   }
 
-  /** Code frame `(idCol, code_0 … code_{m-1})`: per-subspace nearest
-    * codebook cell — one scan, zero shuffle.
+  /** Code frame `(idCol, carry…, code_0 … code_{m-1})`: per-subspace
+    * nearest codebook cell — one scan, zero shuffle. `carry` columns
+    * (e.g. an IVF cell id) ride through the same projection so callers
+    * never re-join them onto the codes.
     */
   def encode(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Seq[(Int, Array[(Long, Array[Double])])]): DataFrame = {
+      codebooks: Seq[(Int, Array[(Long, Array[Double])])],
+      carry: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
+    requireDivisible(df, vecCol, m)
     val codeCols = codebooks.map { case (sub, model) =>
       graft.plans.VectorExpressions
         .nearestCentroid(subvector(col(vecCol), sub, m), model)
         .getField("cell").as(s"code_$sub")
     }
-    df.select(col(idCol) +: codeCols: _*)
+    df.select((col(idCol) +: carry.map(col)) ++ codeCols: _*)
   }
 
   /** Residual frame `(idCol, cell, vecCol = x − coarse[cell])` — the
@@ -135,5 +156,44 @@ object Pq {
         col(s"code_$sub"))
     }
     codes.withColumn("adc_d2", terms.reduceLeft(_ + _))
+  }
+
+  /** Exact re-rank stage (Jégou et al., TPAMI 2011 §V) — the production
+    * serving path on top of ADC search: take the ADC-ordered top-`c`
+    * candidates (c ≈ 4–8×k), re-score ONLY those against the original
+    * uncompressed vectors with the exact sequential (x−p)² fold, and
+    * return the exact-ordered top-`k`. ADC distances are lossy (codebook
+    * quantization), so the candidate list's ORDER is approximate even
+    * when its membership is good — re-ranking c candidates recovers the
+    * order at the cost of c exact distance computations instead of N.
+    *
+    * Scale shape: the candidate frame is k-bounded (TakeOrderedAndProject
+    * on (adc_d2, id) — a per-partition top-c then a driver merge of c-row
+    * heaps, never a global sort), and re-scoring joins it BROADCAST
+    * against the vector store, so the big side is scanned once with a
+    * pushed join filter and the exact fold ([[graft.plans.NearestCentroid]]
+    * with the probe as a 1-entry model — whole-stage codegen) touches c
+    * rows. Ties break toward the smaller id at both stages, so the result
+    * replays hash-exact in SQL.
+    */
+  def searchRerank(
+      adc: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Double],
+      c: Int,
+      k: Int): DataFrame = {
+    require(c >= k && k > 0, s"need candidates c >= k > 0 (got c=$c, k=$k)")
+    val cand = adc.orderBy(col("adc_d2"), col(idCol)).limit(c)
+    broadcast(cand)
+      .join(vectors.select(col(idCol), col(vecCol)), idCol)
+      .withColumn("exact_d2",
+        graft.plans.VectorExpressions
+          .nearestCentroid(col(vecCol), Array((0L, probe)))
+          .getField("d2"))
+      .drop(vecCol)
+      .orderBy(col("exact_d2"), col(idCol))
+      .limit(k)
   }
 }

@@ -1,0 +1,280 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Audio/video container header parsing as a native codegen'd Catalyst
+  * expression — the [[ImageMeta]] discipline extended to the other two
+  * container families a training corpus's binary columns carry: WAV/RIFF
+  * (fmt-chunk walk: channels, sample rate, bits per sample; duration from
+  * the data chunk against the declared byte rate) and MP4/ISO-BMFF (box
+  * walk: `moov/mvhd` duration, `trak/tkhd` video dimensions,
+  * `trak/mdia/hdlr` handler type, `stbl/stsd` audio sample entry for
+  * channel count and sample rate). O(header) per row — the box walk skips
+  * every box by its declared size and never touches media payloads; no
+  * codec library, no full demux, and the projection stays inside
+  * whole-stage codegen (one static call, no CodegenFallback).
+  *
+  * Returns `struct<format, media_type, channels, sample_rate,
+  * bits_per_sample, width, height, duration_ms>` with NULL fields where a
+  * container legitimately lacks them (a video-only MP4 has no channels;
+  * WAV has no width), or NULL for bytes that parse as neither container —
+  * corrupt media must surface as a filterable null, never kill a
+  * 1000-executor job.
+  */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_meta requires a binary input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = MediaMeta.schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "media_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.plans.MediaMeta.parse($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def cc(b: Array[Byte], i: Int, a: Char, c2: Char, c3: Char, c4: Char): Boolean =
+    u8(b, i) == a && u8(b, i + 1) == c2 && u8(b, i + 2) == c3 && u8(b, i + 3) == c4
+
+  /** Dispatch on the container signature; null when nothing matches. Called
+    * from generated code — must stay a plain static-shaped method.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+    if (cc(b, 0, 'R', 'I', 'F', 'F') && cc(b, 8, 'W', 'A', 'V', 'E'))
+      return parseWav(b)
+    // ISO BMFF: the first box must be ftyp (size u32 BE, then the fourcc)
+    if (b.length >= 12 && cc(b, 4, 'f', 't', 'y', 'p')) return parseMp4(b)
+    null
+  }
+
+  /** WAV: RIFF/WAVE chunk walk — `fmt ` carries channels (LE u16),
+    * sample rate (LE u32), byte rate (LE u32), bits per sample (LE u16);
+    * `data`'s declared size against the byte rate gives the duration
+    * (exact integer ms: size·1000 / byteRate). Chunks pad to even offsets
+    * (the RIFF word-alignment rule).
+    */
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    var pos = 12
+    var channels = -1
+    var sampleRate = -1L
+    var byteRate = -1L
+    var bits = -1
+    var dataSize = -1L
+    while (pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      if (size < 0) return null
+      if (cc(b, pos, 'f', 'm', 't', ' ')) {
+        if (size < 16 || pos + 8 + 16 > b.length) return null
+        channels = le16(b, pos + 10)
+        sampleRate = le32(b, pos + 12)
+        byteRate = le32(b, pos + 16)
+        bits = le16(b, pos + 22)
+      } else if (cc(b, pos, 'd', 'a', 't', 'a')) {
+        dataSize = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0) return null
+    val durationMs: Any =
+      if (dataSize >= 0 && byteRate > 0) dataSize * 1000L / byteRate else null
+    InternalRow(UTF8String.fromString("wav"), UTF8String.fromString("audio"),
+      channels, sampleRate.toInt, bits, null, null, durationMs)
+  }
+
+  // MP4 trak scan result: handler + per-track fields
+  private final class Trak {
+    var handler: Int = 0 // 'v' for vide, 's' for soun, 0 unknown
+    var width: Int = -1
+    var height: Int = -1
+    var channels: Int = -1
+    var sampleRate: Int = -1
+  }
+
+  /** MP4/ISO-BMFF: top-level box walk to `moov`; inside it `mvhd`
+    * (timescale + duration, versions 0 and 1) and every `trak` —
+    * `tkhd` for the 16.16-fixed canvas dimensions, `mdia/hdlr` for the
+    * handler type (`vide`/`soun`), `mdia/minf/stbl/stsd`'s first audio
+    * sample entry for channel count and sample rate. media_type is
+    * "video" if any video track exists, else "audio" if any audio track.
+    * Box sizes of 1 (64-bit largesize) and 0 (to end-of-file) follow the
+    * spec; a box that overruns its parent yields null.
+    */
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    var timescale = -1L
+    var duration = -1L
+    var video: Trak = null
+    var audio: Trak = null
+
+    // returns the payload start of the box and its END offset, or -1 on a
+    // malformed size; boxes are walked [start, limit)
+    def walk(start: Int, limit: Int)(f: (Int, Int, Int) => Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= limit) {
+        val size32 = be32(b, pos)
+        var payload = pos + 8
+        var end = 0L
+        if (size32 == 1L) {
+          if (pos + 16 > limit) return false
+          val large = be64(b, pos + 8)
+          payload = pos + 16
+          end = pos + large
+        } else if (size32 == 0L) {
+          end = limit.toLong
+        } else {
+          end = pos + size32
+        }
+        if (end < payload || end > limit) return false
+        if (!f(pos, payload, end.toInt)) return false
+        pos = end.toInt
+      }
+      true
+    }
+
+    def parseTkhd(t: Trak, payload: Int, end: Int): Unit = {
+      if (payload >= end) return
+      val v = u8(b, payload)
+      // v0: cre 4 + mod 4 + id 4 + res 4 + dur 4 = 20; v1: 8+8+4+4+8 = 32
+      val fixedAt = payload + 4 + (if (v == 1) 32 else 20) + 8 + 2 + 2 + 2 + 2 + 36
+      if (fixedAt + 8 <= end) {
+        t.width = (be32(b, fixedAt) >> 16).toInt
+        t.height = (be32(b, fixedAt + 4) >> 16).toInt
+      }
+    }
+
+    def parseStsd(t: Trak, payload: Int, end: Int): Unit = {
+      if (payload + 8 > end || be32(b, payload + 4) < 1L) return
+      val entry = payload + 8
+      // audio sample entry: 8 header + 6 reserved + 2 dri + 8 reserved,
+      // then channelcount u16, samplesize u16, predefined 4, rate 16.16
+      if (t.handler == 's' && entry + 36 <= end) {
+        t.channels = be16(b, entry + 24)
+        t.sampleRate = (be32(b, entry + 32) >> 16).toInt
+      }
+    }
+
+    def parseTrak(trakPayload: Int, trakEnd: Int): Boolean = {
+      val t = new Trak
+      val ok = walk(trakPayload, trakEnd) { (pos, payload, end) =>
+        if (cc(b, pos + 4, 't', 'k', 'h', 'd')) { parseTkhd(t, payload, end); true }
+        else if (cc(b, pos + 4, 'm', 'd', 'i', 'a')) {
+          walk(payload, end) { (p2, pl2, e2) =>
+            if (cc(b, p2 + 4, 'h', 'd', 'l', 'r')) {
+              if (pl2 + 12 <= e2) {
+                if (cc(b, pl2 + 8, 'v', 'i', 'd', 'e')) t.handler = 'v'
+                else if (cc(b, pl2 + 8, 's', 'o', 'u', 'n')) t.handler = 's'
+              }
+              true
+            } else if (cc(b, p2 + 4, 'm', 'i', 'n', 'f')) {
+              walk(pl2, e2) { (p3, pl3, e3) =>
+                if (cc(b, p3 + 4, 's', 't', 'b', 'l')) {
+                  walk(pl3, e3) { (p4, pl4, e4) =>
+                    if (cc(b, p4 + 4, 's', 't', 's', 'd')) parseStsd(t, pl4, e4)
+                    true
+                  }
+                } else true
+              }
+            } else true
+          }
+        } else true
+      }
+      if (ok) {
+        if (t.handler == 'v' && video == null) video = t
+        if (t.handler == 's' && audio == null) audio = t
+      }
+      ok
+    }
+
+    val ok = walk(0, b.length) { (pos, payload, end) =>
+      if (cc(b, pos + 4, 'm', 'o', 'o', 'v')) {
+        walk(payload, end) { (p2, pl2, e2) =>
+          if (cc(b, p2 + 4, 'm', 'v', 'h', 'd')) {
+            if (pl2 + 4 > e2) false
+            else {
+              val v = u8(b, pl2)
+              if (v == 1) {
+                if (pl2 + 36 <= e2) {
+                  timescale = be32(b, pl2 + 20)
+                  duration = be64(b, pl2 + 24)
+                }
+              } else {
+                if (pl2 + 24 <= e2) {
+                  timescale = be32(b, pl2 + 12)
+                  duration = be32(b, pl2 + 16)
+                }
+              }
+              true
+            }
+          } else if (cc(b, p2 + 4, 't', 'r', 'a', 'k')) parseTrak(pl2, e2)
+          else true
+        }
+      } else true
+    }
+    if (!ok) return null
+    if (video == null && audio == null && timescale <= 0) return null
+    val mediaType =
+      if (video != null) "video" else if (audio != null) "audio" else return null
+    val durationMs: Any =
+      if (timescale > 0 && duration >= 0) duration * 1000L / timescale else null
+    InternalRow(
+      UTF8String.fromString("mp4"), UTF8String.fromString(mediaType),
+      if (audio != null && audio.channels > 0) audio.channels else null,
+      if (audio != null && audio.sampleRate > 0) audio.sampleRate else null,
+      null,
+      if (video != null && video.width > 0) video.width else null,
+      if (video != null && video.height > 0) video.height else null,
+      durationMs)
+  }
+}
+
+object MediaExpressions {
+  /** Column API for [[MediaMeta]]. */
+  def mediaMeta(bin: Column): Column =
+    Bridge.column(MediaMeta(Bridge.expression(bin)))
+}

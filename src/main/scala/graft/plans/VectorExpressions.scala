@@ -103,9 +103,11 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   * primitive loops over the `ArrayData` buffer and a `double[][]` model —
   * n·k·D multiply-adds with no allocation per row.
   *
-  * Nulls: a null vector, a dimension mismatch with any centroid, or a null
-  * element yields null (surface the bug, don't truncate — the [[FloatDot]]
-  * rule).
+  * Nulls: a null vector, a dimension mismatch with any centroid, a null
+  * element, or a NaN distance sum (NaN/±Inf elements — NaN fails every
+  * strict-< comparison, so it could otherwise silently pin cell to the
+  * smallest id) yields null (surface the bug, don't truncate — the
+  * [[FloatDot]] rule).
   */
 case class NearestCentroid(
     child: Expression,
@@ -156,6 +158,10 @@ case class NearestCentroid(
         s += d * d
         i += 1
       }
+      // a NaN sum (NaN/±Inf elements) fails every strict-< comparison and
+      // would silently leave bestCell at its initializer — surface it as
+      // null instead, the same rule as a null element
+      if (java.lang.Double.isNaN(s)) return null
       // strict < + ascending-cell iteration == array_min's (d2, cell) order
       if (s < best) { best = s; bestCell = cells(k) }
       k += 1
@@ -189,6 +195,7 @@ case class NearestCentroid(
          |    double $d = (double) $v.$get($i) - $c[$i];
          |    $s += $d * $d;
          |  }
+         |  if (!${ev.isNull} && Double.isNaN($s)) { ${ev.isNull} = true; }
          |  if (!${ev.isNull} && $s < $best) { $best = $s; $bestCell = $cellsRef[$k]; }
          |}
          |if (!${ev.isNull}) {

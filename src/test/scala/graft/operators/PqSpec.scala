@@ -62,6 +62,48 @@ class PqSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"residuals must not shuffle:\n$phys")
   }
 
+  test("exact re-rank recovers the ordering ADC quantization loses") {
+    // clustered corpus with deterministic per-member jitter: every member
+    // of a cluster encodes to the SAME codes (jitter 0.01 vs cluster
+    // separation 1.0), so ADC distances tie within the cluster and the
+    // (adc_d2, id) top-k degenerates to smallest-id — re-ranking the ADC
+    // top-C with exact distances must recover the true nearest set
+    val clustered = (0L until 40L).map { i =>
+      val p = (i % 4).toInt
+      (i, Array.tabulate(8)(d =>
+        (if (d / 2 == p) 1.0f else 0.0f) + ((i * 7 + d * 3) % 5 - 2) * 0.01f))
+    }
+    val df = clustered.toDF("vec_id", "embedding")
+    val b = Pq.trainCodebooks(df, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val probe = Array.tabulate(8)(d => if (d / 2 == 0) 1.0 else 0.0)
+    def exactD2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble - probe(i); s += d * d; i += 1 }
+      s
+    }
+    val truth = clustered.map { case (id, v) => (exactD2(v), id) }
+      .sorted.take(5).map(_._2).toSet
+    val adc = Pq.adcDistances(
+      Pq.encode(df, "vec_id", "embedding", b), "vec_id", probe, b)
+    val adcTop = adc.orderBy($"adc_d2", $"vec_id").limit(5)
+      .select($"vec_id").as[Long].collect().toSet
+    val rerank = Pq.searchRerank(adc.select($"vec_id", $"adc_d2"), df,
+      "vec_id", "embedding", probe, c = 12, k = 5)
+    val rerankRows = rerank.select($"vec_id", $"exact_d2")
+      .as[(Long, Double)].collect()
+    // rerank output is exact-distance ordered and exactly the true top-5
+    assert(rerankRows.map(_._2).toSeq == rerankRows.map(_._2).sorted.toSeq)
+    assert(rerankRows.map(_._1).toSet == truth,
+      s"re-rank must return the exact top-5 (got ${rerankRows.toSeq}, want $truth)")
+    val recallAdc = (adcTop & truth).size
+    assert(recallAdc < 5,
+      s"corpus must make ADC-only ordering lossy for the test to bite (got $recallAdc/5)")
+    // the candidate join stays broadcast (corpus side scanned, never shuffled)
+    val phys = rerank.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"re-rank candidate join must broadcast:\n$phys")
+  }
+
   test("encoding is scan-side and partitioning-invariant") {
     val b = books
     def run(df: org.apache.spark.sql.DataFrame) =
