@@ -354,6 +354,96 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Recursive-CTE replay of [[graft.operators.Unigram]]'s hard-EM
+    * trajectory (requires `WITH RECURSIVE`): seed substring counts,
+    * integer ilog2q scores (exponent CASE chain + shifted mantissa
+    * fraction — exact integer ops only), per-word piece-score MAPs, the
+    * Viterbi DP as a recursive position walk carrying the (score,
+    * backpointer) list, backtrace as a second recursive walk, usage
+    * counts, top-K + single-char pruning. Rounds 1..2 prune; round 3
+    * applies the final artifact. Ends in `u3scr(piece, used, score)`
+    * (the artifact, q_unigram_train) and `u3cnt(piece, used)` (the
+    * application counts, q_unigram_tokenize).
+    */
+  private lazy val unigramOracleCtes: String = {
+    val neg = -(1L << 40)
+    val neg2 = 2L * neg
+    def eCase(v: String) = (62 to 1 by -1)
+      .map(k => s"WHEN $v >= ${1L << k} THEN $k").mkString(" ")
+    def ilogCtes(src: String, p: String) =
+      s"""${p}e AS (SELECT piece, used, CASE ${eCase("used")} ELSE 0 END AS e
+         |  FROM $src),
+         |${p}lg AS (SELECT piece, used,
+         |    (e * 65536 + (((used - (CAST(1 AS BIGINT) << e)) << 16) >> e)) AS lg
+         |  FROM ${p}e),
+         |${p}t AS (SELECT sum(used) AS t FROM $src),
+         |${p}te AS (SELECT t, CASE ${eCase("t")} ELSE 0 END AS e FROM ${p}t),
+         |${p}tl AS (SELECT
+         |    (e * 65536 + (((t - (CAST(1 AS BIGINT) << e)) << 16) >> e)) AS lgt
+         |  FROM ${p}te),
+         |${p}scr AS (SELECT piece, used, lg - lgt AS score
+         |  FROM ${p}lg CROSS JOIN ${p}tl)""".stripMargin
+    def roundCtes(r: Int) = {
+      def cand(k: Int) =
+        s"""CASE WHEN j + 1 - $k >= 0 THEN {'s': acc[j + 2 - $k].s +
+           |      coalesce(map_extract(m, substring(word, CAST(j + 2 - $k AS INT), $k))[1],
+           |        CAST($neg AS BIGINT)), 'bp': j + 1 - $k}
+           |      ELSE {'s': CAST($neg2 AS BIGINT), 'bp': -1} END""".stripMargin
+      val best =
+        s"""list_reduce(list_prepend(
+           |      ${cand(4)},
+           |      [${Seq(3, 2, 1).map(cand).mkString(",\n      ")}]),
+           |      (b, c) -> CASE WHEN c.s > b.s THEN c ELSE b END)""".stripMargin
+      s"""u${r}wm AS (SELECT w.word, MAP(list(w.piece), list(s.score)) AS m
+         |  FROM uwp w JOIN u${r}scr s USING (piece) GROUP BY w.word),
+         |u${r}dp AS (
+         |  SELECT v.word, v.cnt, m.m, 0 AS j,
+         |    [{'s': CAST(0 AS BIGINT), 'bp': 0}] AS acc
+         |  FROM uwv v JOIN u${r}wm m USING (word)
+         |  UNION ALL
+         |  SELECT word, cnt, m, j + 1, list_append(acc, $best)
+         |  FROM u${r}dp WHERE j < length(word)),
+         |u${r}acc AS (SELECT word, cnt, acc FROM u${r}dp WHERE j = length(word)),
+         |u${r}bt AS (
+         |  SELECT word, cnt, acc, length(word) AS j, CAST([] AS VARCHAR[]) AS ps
+         |  FROM u${r}acc
+         |  UNION ALL
+         |  SELECT word, cnt, acc, acc[j + 1].bp,
+         |    list_prepend(substring(word, CAST(acc[j + 1].bp + 1 AS INT),
+         |      j - acc[j + 1].bp), ps)
+         |  FROM u${r}bt WHERE j > 0),
+         |u${r}cnt AS (SELECT piece, sum(cnt) AS used
+         |  FROM (SELECT cnt, unnest(ps) AS piece FROM u${r}bt WHERE j = 0)
+         |  GROUP BY 1)""".stripMargin
+    }
+    def keepCtes(r: Int) =
+      s"""u${r}top AS (SELECT piece, used FROM u${r}cnt
+         |  ORDER BY used DESC, piece LIMIT 48),
+         |u${r}sng AS (SELECT s.piece, coalesce(c.used, 1) AS used
+         |  FROM usingles s LEFT JOIN u${r}cnt c USING (piece)),
+         |u${r}kept AS (SELECT piece, max(used) AS used
+         |  FROM (SELECT * FROM u${r}top UNION ALL SELECT * FROM u${r}sng)
+         |  GROUP BY 1)""".stripMargin
+    val base =
+      s"""utoks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |utw AS (SELECT unnest(tk) AS word FROM utoks),
+         |uwv AS (SELECT word, count(*) AS cnt FROM utw
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+         |usub AS (SELECT word, cnt,
+         |    substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |  FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i
+         |    FROM uwv) t,
+         |  range(1, 5) q(l)
+         |  WHERE i + l - 1 <= length(word)),
+         |useed AS (SELECT piece, sum(cnt) AS used FROM usub GROUP BY 1),
+         |usingles AS (SELECT DISTINCT piece FROM useed WHERE length(piece) = 1),
+         |uwp AS (SELECT DISTINCT word, piece FROM usub)""".stripMargin
+    Seq(base,
+      ilogCtes("useed", "u1"), roundCtes(1), keepCtes(1),
+      ilogCtes("u1kept", "u2"), roundCtes(2), keepCtes(2),
+      ilogCtes("u2kept", "u3"), roundCtes(3)).mkString(",\n")
+  }
+
   private val FnvPrimeB = BigInt("1099511628211")          // 0x100000001b3
   private val GoldenB = BigInt("11400714819323198485")     // 0x9E3779B97F4A7C15
   private val Mix1B = BigInt("13787848793156543929")       // 0xBF58476D1CE4E5B9
@@ -1555,7 +1645,18 @@ object SparkEntry {
       val lang = hits
         .withColumn("predicted_lang", when(best > 0, pick).otherwise(lit("und")))
         .drop("_lh")
-      val decided = QualityFilter.decide(lang, Seq(
+      // the LEARNED langid (q_lang_classify's artifact) rides NEXT TO the
+      // heuristic — same cleaned-text scan, still zero extra exchanges:
+      // features hashed once into _bk, four literal-vector folds, argmax
+      val langMl = lang
+        .withColumn("_bk", LangClassifier.bucketArray(col("text"), 256, 53L))
+        .withColumn("lang_ml",
+          LangClassifier.predicted(col("_bk"),
+            Seq("en", "de", "fr", "es"),
+            (0 until 4).map(i => QualityClassifier.seededWeights(256, 101L + i)),
+            0.05, 0.0).getField("lang"))
+        .drop("_bk")
+      val decided = QualityFilter.decide(langMl, Seq(
         "too_short" -> (col("n_tokens") < 20),
         "boiler_heavy" -> (col("n_blocks_dropped") >= 10)))
       val keepers = decided.filter(col("keep"))
@@ -1564,8 +1665,9 @@ object SparkEntry {
       keepers
         .withColumn("_winner", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("_winner"))
-        .select(col("doc_id"), col("predicted_lang"), col("n_tokens"),
-          col("n_blocks_kept"), col("n_blocks_dropped"), col("fingerprint"))
+        .select(col("doc_id"), col("predicted_lang"), col("lang_ml"),
+          col("n_tokens"), col("n_blocks_kept"), col("n_blocks_dropped"),
+          col("fingerprint"))
     }),
 
     // §2#26 text quality stats via the native single-pass TokenStats
@@ -1601,6 +1703,23 @@ object SparkEntry {
         .select((col("doc_id") +: hitCols): _*)
         .withColumn("predicted_lang", when(best > 0, pick).otherwise(lit("und")))
     }),
+
+    // §2#27b LEARNED multiclass language-id (fastText-langid shape) —
+    // the stage real pipelines run after the stopword heuristic: hashed
+    // char-trigram features × four per-class int8 weight vectors (seeded
+    // stand-in artifacts, the q_quality_classifier discipline), exact
+    // integer per-class sums, one IEEE affine per logit, argmax with ties
+    // to the smaller class index. Zero shuffle — a pure map over the scan;
+    // the whole decision (hash chain, sums, logits, argmax) replays
+    // bit-for-bit in DuckDB
+    "q_lang_classify" -> ((s, dir) =>
+      LangClassifier.classify(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        labels = Seq("en", "de", "fr", "es"),
+        weightsPerClass =
+          (0 until 4).map(i => QualityClassifier.seededWeights(256, 101L + i)),
+        scale = 0.05, bias = 0.0, seed = 53L)),
 
     // §2#28 document fingerprint
     "q_fingerprint" -> ((s, dir) =>
@@ -2609,6 +2728,48 @@ object SparkEntry {
         col("n_events"))
     }),
 
+    // §2#8h the sessionization stream through APPEND mode — the
+    // production emission path q_stream_sessions' complete-mode gate
+    // never exercises: sessions FINALIZE when the event-time watermark
+    // passes their end+gap and are emitted exactly once. Bounded-
+    // deterministic via the q_stream_outages sentinel device: two
+    // far-future FAKE-KEY events, each its own micro-batch — the first
+    // drives the watermark past every real session's close, the second
+    // guarantees a batch RUNS with that watermark under AvailableNow —
+    // so the appended (finalized) session set provably equals the batch
+    // gap-sessionization; the sentinel's own session never finalizes and
+    // is filtered. Same oracle as q_stream_sessions.
+    "q_stream_sessions_append" -> ((s, dir) => withGateShuffle(s) {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val mendUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val (rdir, stream) = orderedReplay(s, ev, Seq("ts"),
+        "q_stream_sessions_append")
+      val t1 = mendUs + 7200L * 1000000L
+      Seq(t1, t1 + 7200L * 1000000L).foreach { t =>
+        graft.streaming.FileReplay.appendFile(
+          s.range(1).select(lit(-1L).as("user_id"),
+            expr(s"timestamp_micros(${t}L)").as("ts")), rdir)
+      }
+      val sess = graft.streaming.StreamSessionize.sessions(
+        stream, Seq("user_id"), "ts", gap = "30 minutes",
+        watermark = "0 seconds")
+      val name = freshStreamTable(s, "q_stream_sessions_append_")
+      val q = sess.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).filter(col("user_id") =!= lit(-1L)).select(
+        col("user_id"),
+        unix_micros(col("session_start_ts")).as("session_start_us"),
+        (unix_micros(col("session_end_ts")) - 1800000000L).as("session_end_us"),
+        col("n_events"))
+    }),
+
     // §2#8g the SAME sessionization stream driver-gated ACROSS A
     // CHECKPOINT RESTART — the production driver-loss mode: phase 1 drains
     // only the first half of the ordered replay and stops; a NEW query
@@ -3372,6 +3533,28 @@ object SparkEntry {
       Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
     }),
 
+    // §2#36h unigram-LM tokenizer TRAINING (SentencePiece family, Kudo
+    // 2018) — the other standard subword vocabulary next to BPE, as
+    // hard-EM: seed = all ≤4-char substrings of the word vocab, two
+    // rounds of (Viterbi-segment the vocab under integer ilog2q scores →
+    // usage counts → prune to top-48 + all single chars), final scores.
+    // The Bpe discipline: corpus scanned once, every round runs on the
+    // vocab table; the DP is a per-row fold; the WHOLE trajectory —
+    // scores, segmentations, pruning — replays in DuckDB recursive CTEs
+    "q_unigram_train" -> ((s, dir) =>
+      Unigram.trainArtifact(Tables.documents(s, dir), "text",
+        rounds = 2, keepK = 48)),
+
+    // §2#36i applying the trained unigram artifact: Viterbi-segment the
+    // corpus vocab under the final piece scores, emit the top-40 subword
+    // corpus frequencies (the q_bpe_tokenize twin — same output shape,
+    // different learned vocabulary)
+    "q_unigram_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48)
+      Unigram.subwordCounts(docs, "text", art, k = 40)
+    }),
+
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
     // vs raw models trained IN-PLAN (one map-side-combined bucket count,
     // exchange ≤ B rows/partition), B-entry ratio table compiled into the
@@ -3917,6 +4100,60 @@ object SparkEntry {
         |  cast(n_touches_window AS bigint) AS n_touches_window
         |FROM c WHERE is_conv""".stripMargin
 
+  /** CTE chain replaying [[LangClassifier.classify]] over a CTE/table
+    * `from(doc_id, text)` with the q_lang_classify artifact (4 classes
+    * en/de/fr/es, B=256, seeds 101..104, bucket seed 53, scale 0.05,
+    * bias 0): char trigrams of the lowercased text, ONE shared splitmix
+    * bucket chain, four literal weight-list sums, per-class affines,
+    * argmax via a >=-CASE (ties to the smaller class index — the Spark
+    * struct(logit, -idx) max rule). Ends in
+    * `mlpred(doc_id, n_features, lang, logit)`; shared by the
+    * q_lang_classify gate and the curation pipeline's lang_ml stage.
+    */
+  private def langClassifyCtes(from: String): String = {
+    val wl = (0 until 4).map(i =>
+      QualityClassifier.seededWeights(256, 101L + i).mkString("[", ", ", "]"))
+    val seedGolden = (BigInt(53) * GoldenB).mod(BigInt(2).pow(64))
+    s"""mlt AS (SELECT doc_id, lower(text) AS t FROM $from),
+       |mlf AS (SELECT doc_id, CASE WHEN length(t) >= 3
+       |    THEN list_transform(range(1, length(t) - 1), i -> substring(t, i, 3))
+       |    ELSE [] END AS fs FROM mlt),
+       |mlbase AS (SELECT doc_id, len(fs) AS n_features FROM mlf),
+       |mlh0 AS (SELECT doc_id, unnest(fs) AS shingle FROM mlf),
+       |mlfold AS (SELECT doc_id, $FnvFoldSql AS h FROM mlh0),
+       |mlz0 AS (SELECT doc_id,
+       |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+       |      AS UBIGINT) AS z FROM mlfold),
+       |mlz1 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM mlz0),
+       |mlz2 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM mlz1),
+       |mlhv AS (SELECT doc_id,
+       |    cast(xor(z, z >> 31) % 256 AS bigint) + 1 AS bk FROM mlz2),
+       |mlsums AS (SELECT doc_id,
+       |    sum((${wl(0)})[bk]) AS s0, sum((${wl(1)})[bk]) AS s1,
+       |    sum((${wl(2)})[bk]) AS s2, sum((${wl(3)})[bk]) AS s3
+       |  FROM mlhv GROUP BY 1),
+       |mlsc AS (SELECT b.doc_id, b.n_features,
+       |    coalesce(s0, 0) AS s0, coalesce(s1, 0) AS s1,
+       |    coalesce(s2, 0) AS s2, coalesce(s3, 0) AS s3
+       |  FROM mlbase b LEFT JOIN mlsums w USING (doc_id)),
+       |mllg AS (SELECT doc_id, n_features,
+       |    CAST(0.0 AS double) + CAST(0.05 AS double) * (cast(s0 AS double)
+       |      / cast(greatest(n_features, 1) AS double)) AS l0,
+       |    CAST(0.0 AS double) + CAST(0.05 AS double) * (cast(s1 AS double)
+       |      / cast(greatest(n_features, 1) AS double)) AS l1,
+       |    CAST(0.0 AS double) + CAST(0.05 AS double) * (cast(s2 AS double)
+       |      / cast(greatest(n_features, 1) AS double)) AS l2,
+       |    CAST(0.0 AS double) + CAST(0.05 AS double) * (cast(s3 AS double)
+       |      / cast(greatest(n_features, 1) AS double)) AS l3
+       |  FROM mlsc),
+       |mlpred AS (SELECT doc_id, n_features,
+       |  CASE WHEN l0 >= l1 AND l0 >= l2 AND l0 >= l3 THEN 'en'
+       |    WHEN l1 >= l2 AND l1 >= l3 THEN 'de'
+       |    WHEN l2 >= l3 THEN 'fr' ELSE 'es' END AS lang,
+       |  greatest(l0, l1, l2, l3) AS logit
+       |FROM mllg)""".stripMargin
+  }
+
   /** Shared CTE chain of the IVF-PQ replay (q_ivf_pq / q_ivf_pq_rerank):
     * deterministic coarse cells, residual construction, per-subspace
     * residual-PQ training, nprobe=2 cell pick, per-cell probe-residual ADC
@@ -4184,6 +4421,17 @@ object SparkEntry {
     // rolled up per session (session_end = last event ts — the gate
     // already normalized session_window's end-plus-gap)
     "q_stream_sessions" -> (SessSql +
+      """
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin),
+
+    // append-finalized gate: with the watermark sentinel-driven past every
+    // real session's close, the appended set must equal the same batch
+    // sessionization the complete-mode gate checks
+    "q_stream_sessions_append" -> (SessSql +
       """
         |SELECT user_id,
         |  epoch_us(min(ts)) AS session_start_us,
@@ -6484,6 +6732,7 @@ object SparkEntry {
          |  HAVING sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0),
          |ctok AS (SELECT *, cast(len($TokSql) AS bigint) AS n_tokens,
          |    $TokSql AS tk FROM dg),
+         |${langClassifyCtes("dg")},
          |ch AS (SELECT doc_id,
          |  $hitCols
          |  FROM ctok),
@@ -6492,14 +6741,15 @@ object SparkEntry {
          |    CASE WHEN best > 0 THEN $pick ELSE 'und' END AS predicted_lang
          |  FROM cb),
          |cq AS (SELECT ctok.doc_id, ctok.text, ctok.n_tokens,
-         |    ctok.n_blocks_kept, ctok.n_blocks_dropped, clang.predicted_lang
-         |  FROM ctok JOIN clang USING (doc_id)
+         |    ctok.n_blocks_kept, ctok.n_blocks_dropped, clang.predicted_lang,
+         |    mlpred.lang AS lang_ml
+         |  FROM ctok JOIN clang USING (doc_id) JOIN mlpred USING (doc_id)
          |  WHERE NOT (n_tokens < 20) AND NOT (n_blocks_dropped >= 10)),
          |cfp AS (SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
          |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint FROM cq),
          |cwin AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS w
          |  FROM cfp)
-         |SELECT doc_id, predicted_lang, n_tokens, n_blocks_kept,
+         |SELECT doc_id, predicted_lang, lang_ml, n_tokens, n_blocks_kept,
          |  n_blocks_dropped, fingerprint
          |FROM cwin WHERE doc_id = w""".stripMargin
     },
@@ -6961,6 +7211,15 @@ object SparkEntry {
          |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
     },
 
+    // multiclass langid replay: ONE shared splitmix bucket chain over the
+    // char trigrams, four literal weight-list sums, per-class affines,
+    // argmax via a >=-CASE (ties to the smaller class index, the Spark
+    // struct(logit, -idx) max rule)
+    "q_lang_classify" -> (
+      s"""WITH ${langClassifyCtes("documents")}
+         |SELECT doc_id, cast(n_features AS bigint) AS n_features, lang, logit
+         |FROM mlpred""".stripMargin),
+
     // BPE trajectory replay: m rounds of (pair count over the delimited
     // vocab, argmax with (count desc, pair asc) tie-break, one replace) —
     // replace() has identical left-to-right non-overlap semantics in both
@@ -6980,6 +7239,18 @@ object SparkEntry {
          |  FROM sw GROUP BY 1)
          |SELECT subword, n_occurrences FROM agg
          |ORDER BY n_occurrences DESC, subword LIMIT 40""".stripMargin),
+
+    // unigram-LM trajectory replay: seed counts, integer ilog2q scores,
+    // recursive Viterbi DP + backtrace, two pruning rounds, final artifact
+    // (u3scr) — the whole hard-EM trajectory in exact integers
+    "q_unigram_train" -> ("WITH RECURSIVE " + unigramOracleCtes +
+      "\nSELECT piece, cast(used AS bigint) AS used_cnt, " +
+      "cast(score AS bigint) AS score FROM u3scr"),
+
+    // application replay: round-3 segmentation counts under the artifact
+    "q_unigram_tokenize" -> ("WITH RECURSIVE " + unigramOracleCtes +
+      "\nSELECT piece AS subword, cast(used AS bigint) AS n_occurrences " +
+      "FROM u3cnt ORDER BY used DESC, subword LIMIT 40"),
 
     // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
     // (seed 41), then the ratio table is re-derived IN SQL from the bucket

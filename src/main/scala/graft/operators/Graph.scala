@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   * iteration ONE shuffle (the contribution sum on `dst`; the rank⋈edges
   * join co-shuffles on the same key and AQE picks broadcast when ranks
   * fit), contributions map-side combined, rank state O(nodes) — the edge
-  * set is scanned, never materialized per iteration. Driver state is two
-  * scalars (node count, per-iteration dangling mass): parameters, not
-  * data. Edges, degrees and each iteration's ranks are eagerly
-  * localCheckpoint'ed (the [[Dedup]] pointer-jumping discipline): every
-  * iteration anchors a driver action (the dangling sum), so without
-  * materialization each round would re-execute the whole lineage from the
-  * source — and deep iteration counts would stack Catalyst plans.
+  * set is scanned, never materialized per iteration. Driver state is ONE
+  * scalar (the node count); the per-iteration dangling mass is a 1-row
+  * aggregate broadcast back into the same job, not a driver action.
+  * Edges, degrees and each iteration's ranks are eagerly
+  * localCheckpoint'ed (the [[Dedup]] pointer-jumping discipline): the
+  * checkpoint is each round's single anchoring job, and without it deep
+  * iteration counts would re-execute lineage from the source and stack
+  * Catalyst plans.
   *
   * Engine-exactness (the q_pagerank gate replays 2 iterations in DuckDB
   * hash-exact): per-edge contributions rank/out_deg are quantized to the
@@ -64,13 +65,15 @@ object Graph {
       .localCheckpoint(true)
     var it = 0
     while (it < iters) {
-      // mass parked on dangling nodes, redistributed uniformly — one
-      // quantized-exact scalar per iteration
+      // mass parked on dangling nodes, redistributed uniformly — a 1-row
+      // quantized-exact aggregate that rides the SAME iteration job as a
+      // broadcast parameter frame (the codebase's standard 1-row
+      // crossJoin device) instead of anchoring its own driver action:
+      // one job per iteration, not two
       val dangling = ranks
         .join(outDeg, ranks("node") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(floor(col("rank") * lit(Q)) / lit(Q)), lit(0.0)))
-        .head().getDouble(0)
-      val dShare = dangling / n
+        .agg(coalesce(sum(floor(col("rank") * lit(Q)) / lit(Q)), lit(0.0))
+          .as("dmass"))
       val contrib = e
         .join(ranks, e("src") === ranks("node"))
         .join(outDeg, "src")
@@ -78,15 +81,18 @@ object Graph {
           (floor(col("rank") / col("out_deg").cast("double") * lit(Q)) / lit(Q))
             .as("c"))
       val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // dmass / n in-plan is the same IEEE divide the driver used to do,
+      // so every rank value (and gate hash) is unchanged
       ranks = ranks
         .join(inbound, ranks("node") === inbound("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(ranks("node"),
-          (lit(base) + lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dShare)))
+          (lit(base) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("dmass") / lit(n.toDouble)))
             .as("rank"))
       it += 1
-      // the NEXT round's dangling action would re-execute this round's
-      // lineage; an O(nodes) eager checkpoint is cheaper than one
-      // re-execution
+      // the NEXT round would re-execute this round's lineage; an O(nodes)
+      // eager checkpoint is cheaper than one re-execution
       if (it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.plans.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (the SentencePiece family, Kudo 2018,
+  * arXiv:1804.10959) — the OTHER standard subword vocabulary next to BPE:
+  * pieces carry probabilities, words segment by the best-scoring piece
+  * sequence (Viterbi), and training alternates segmentation with vocab
+  * pruning. This implementation is the hard-EM (Viterbi-EM) variant:
+  * each round segments the word vocabulary under the current piece
+  * scores, re-estimates piece usage from the chosen segmentations, and
+  * prunes to the top-K pieces (single characters are never pruned — they
+  * guarantee every word stays segmentable, SentencePiece's own rule).
+  *
+  * Scale shape — the [[Bpe]] discipline end to end: ONE corpus scan
+  * builds the (word, cnt) vocabulary; every EM/pruning round runs on the
+  * VOCAB table only (substring explode, a piece-score equi-join, one
+  * map-side-combined usage aggregation — the corpus is never rescanned),
+  * and the piece table stays a DataFrame throughout (top-K via
+  * sort-limit = TakeOrdered, never a driver collect). The Viterbi DP
+  * itself is a PER-ROW higher-order-function fold (positions 1..n, inner
+  * candidates unrolled over the ≤ [[MaxPieceLen]] lookback), so
+  * segmentation is scan-side — no per-word shuffle, no UDF.
+  *
+  * Engine-exactness: piece scores are INTEGER quantized log-likelihoods
+  * `ilog2q(cnt) − ilog2q(total)` where [[ilog2q]] is an exact-integer
+  * piecewise-linear log2 (exponent from clz64 + a 16-bit
+  * linearly-interpolated mantissa — monotone in the count, identical in
+  * any engine with exact integer shifts). Viterbi maximizes the integer
+  * score sum with ties toward the LONGEST candidate piece (then
+  * transitively toward earlier splits), so the entire trajectory — seed
+  * counts, scores, segmentations, usage counts, pruning, final artifact —
+  * replays hash-exact in DuckDB recursive CTEs. No floats anywhere.
+  */
+object Unigram {
+
+  /** Maximum piece length — bounds the Viterbi lookback (the DP inner
+    * loop unrolls over exactly this many candidates). */
+  val MaxPieceLen = 4
+
+  /** Unreachable-path sentinel: far below any real score sum, far above
+    * Long overflow when two of them add. */
+  val Neg: Long = -(1L << 40)
+
+  /** Exact-integer quantized log2: `e·2^16 + ((c − 2^e) << 16) >> e`
+    * with `e = 63 − clz64(c)` — the exponent plus a linearly-interpolated
+    * 16-bit mantissa fraction. Monotone in `c` (the property scoring
+    * needs), exact in any engine with integer shifts; `c` must be ≥ 1.
+    */
+  def ilog2q(c: Column): Column = {
+    val e = (lit(63) - HashExpressions.clz64(c)).cast("int")
+    val p = call_function("shiftleft", lit(1L), e)
+    e.cast("long") * lit(65536L) +
+      call_function("shiftrightunsigned",
+        call_function("shiftleft", c - p, lit(16)), e)
+  }
+
+  /** Every substring of `word` with length 1..maxLen, multiplicity kept
+    * (the seed-count weighting). */
+  private def allSubstrings(word: Column, maxLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(word)), i =>
+      transform(
+        sequence(lit(1), least(lit(maxLen), length(word) - i + 1)),
+        l => word.substr(i, l))))
+
+  /** Seed piece counts over a (word, cnt) vocab: every substring ≤
+    * maxLen, weighted by word count — one vocab-sized explode+aggregate.
+    */
+  def seedCounts(vocab: DataFrame, maxLen: Int = MaxPieceLen): DataFrame =
+    vocab
+      .select(col("cnt"),
+        explode(allSubstrings(col("word"), maxLen)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("used"))
+
+  /** Integer scores for a (piece, used) table:
+    * `ilog2q(used) − ilog2q(Σ used)`, the total riding as a broadcast
+    * 1-row parameter frame. */
+  def withScores(pieces: DataFrame): DataFrame = {
+    val total = pieces.agg(sum(col("used")).as("_t"))
+    pieces.crossJoin(broadcast(total))
+      .select(col("piece"), col("used"),
+        (ilog2q(col("used")) - ilog2q(col("_t"))).as("score"))
+  }
+
+  /** Viterbi best-score DP as a per-row fold: positions j = 1..n, each
+    * appending `struct(s, bp)` — the best score ending at j and its
+    * backpointer — computed from the ≤ maxLen candidates `i = j−k`.
+    * Iterating candidates in ASCENDING i with a strict-> replacement
+    * keeps the smallest i on ties: equal-score segmentations resolve
+    * toward the longest final piece, deterministically in any engine.
+    */
+  private def viterbiAcc(word: Column, m: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("s"), lit(0).as("bp"))),
+      (acc, j) => {
+        def cand(k: Int): Column = {
+          val i = j - k
+          val piece = word.substr(i + 1, lit(k))
+          when(i >= 0,
+            struct(
+              (element_at(acc, (i + 1).cast("int")).getField("s") +
+                coalesce(element_at(m, piece), lit(Neg))).as("s"),
+              i.cast("int").as("bp")))
+            .otherwise(struct(lit(2L * Neg).as("s"), lit(-1).as("bp")))
+        }
+        val best = (maxLen to 1 by -1).map(cand).reduceLeft { (b, c) =>
+          when(c.getField("s") > b.getField("s"), c).otherwise(b)
+        }
+        concat(acc, array(best))
+      })
+
+  /** Backtrace of a [[viterbiAcc]] array into the chosen piece sequence:
+    * walk j = n → 0 through the backpointers, prepending each piece. The
+    * fold runs n no-op-padded steps (j stops moving at 0), so it stays a
+    * bounded per-row expression. */
+  private def backtrace(word: Column, acc: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).cast("int").as("j"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val j = st.getField("j")
+        val bp = element_at(acc, (j + 1).cast("int")).getField("bp")
+        when(j > 0,
+          struct(bp.as("j"),
+            concat(array(word.substr(bp + 1, j - bp)), st.getField("ps"))
+              .as("ps")))
+          .otherwise(st)
+      }).getField("ps")
+
+  /** Segment every vocab word under `pieceScores(piece, score)`:
+    * candidate pieces arrive per word as a map (one vocab-sized
+    * equi-join + aggregation), the DP and backtrace are scan-side folds.
+    * Returns (word, cnt, pieces).
+    */
+  def segmented(
+      vocab: DataFrame,
+      pieceScores: DataFrame,
+      maxLen: Int = MaxPieceLen): DataFrame = {
+    val wordPieces = vocab
+      .select(col("word"), col("cnt"),
+        explode(array_distinct(allSubstrings(col("word"), maxLen))).as("piece"))
+      .join(pieceScores.select(col("piece"), col("score")), "piece")
+      .groupBy(col("word"), col("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("score"))))
+        .as("_m"))
+    wordPieces
+      .withColumn("_acc", viterbiAcc(col("word"), col("_m"), maxLen))
+      .select(col("word"), col("cnt"),
+        backtrace(col("word"), col("_acc")).as("pieces"))
+  }
+
+  /** Viterbi usage counts: how much corpus mass each piece absorbed. */
+  def pieceCounts(segs: DataFrame): DataFrame =
+    segs.select(col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("used"))
+
+  /** Pruning: top `keepK` pieces by (used desc, piece asc) — a bounded
+    * TakeOrdered, never a window or a collect — UNION every single
+    * character (usage floor 1), so segmentability is preserved. */
+  def keepPieces(
+      counts: DataFrame,
+      seedSingles: DataFrame,
+      keepK: Int): DataFrame = {
+    val top = counts.orderBy(col("used").desc, col("piece")).limit(keepK)
+    val singles = seedSingles
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("used"), lit(1L)).as("used"))
+    top.unionByName(singles)
+      .groupBy(col("piece"))
+      .agg(max(col("used")).as("used"))
+  }
+
+  /** Train the artifact: `rounds` hard-EM rounds of segment → count →
+    * prune over the vocab table, then final scores. Returns
+    * (piece, used_cnt, score) — the tokenizer model. Each round's piece
+    * table is localCheckpoint'ed (the [[Bpe]] round discipline: bounded
+    * tables, no plan stacking). */
+  def trainArtifact(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int = 2,
+      keepK: Int = 48,
+      maxLen: Int = MaxPieceLen): DataFrame = {
+    require(rounds >= 1 && keepK >= 1, s"need rounds/keepK >= 1")
+    val vocab = Bpe.wordVocab(docs, textCol).localCheckpoint(true)
+    val seed = seedCounts(vocab, maxLen).localCheckpoint(true)
+    val seedSingles = seed.filter(length(col("piece")) === 1).select("piece")
+    var pieces = seed
+    var r = 0
+    while (r < rounds) {
+      val counts = pieceCounts(segmented(vocab, withScores(pieces), maxLen))
+      pieces = keepPieces(counts, seedSingles, keepK).localCheckpoint(true)
+      r += 1
+    }
+    withScores(pieces)
+      .select(col("piece"), col("used").as("used_cnt"), col("score"))
+  }
+
+  /** Apply a trained artifact: segment the corpus vocab under the final
+    * scores and return the top `k` subword corpus frequencies — the
+    * [[Bpe.subwordCounts]] twin. */
+  def subwordCounts(
+      docs: DataFrame,
+      textCol: String,
+      artifact: DataFrame,
+      k: Int,
+      maxLen: Int = MaxPieceLen): DataFrame = {
+    val vocab = Bpe.wordVocab(docs, textCol)
+    pieceCounts(segmented(vocab, artifact, maxLen))
+      .select(col("piece").as("subword"), col("used").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("subword"))
+      .limit(k)
+  }
+}

@@ -155,4 +155,14 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got == want, s"missing: ${(want -- got).take(5)}; extra: ${(got -- want).take(5)}")
     assert(want.nonEmpty, "small alphabet should produce close pairs")
   }
+
+  test("plan: block keys shuffle as int64 hashes") {
+    val canon = Seq((1L, "alpha"), (2L, "beta")).toDF("cid", "cname")
+    val dirty = Seq((10L, "alpa")).toDF("did", "dname")
+    val plan = EntityResolution.matchByEditDistance(
+        dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    // the block-key exchange must carry the xxhash64 int64, not strings
+    assert(plan.contains("xxhash64"), s"block keys must be hashed:\n$plan")
+  }
 }
