@@ -2266,19 +2266,21 @@ object SparkEntry {
     }),
 
     // §2#35c audio/video container metadata: the q_multimodal_meta device
-    // for the OTHER two container families a corpus's binary columns
-    // carry — real WAV/RIFF bytes (fmt chunk + zero-filled data chunk)
-    // and real MP4/ISO-BMFF box trees (ftyp + moov{mvhd + trak{tkhd +
-    // mdia{mdhd + hdlr + minf/stbl/stsd}}}) constructed IN-PLAN from
-    // per-doc parameters, then parsed back with the native MediaMeta box
-    // walk (O(header), codegen, NULL on the planted corrupt rows). The
-    // oracle re-derives every field arithmetically — including the WAV
-    // duration's exact integer division against the byte rate — so hash
+    // for the OTHER container families a corpus's binary columns carry —
+    // real WAV/RIFF bytes (fmt chunk + zero-filled data chunk), real
+    // MP4/ISO-BMFF box trees (ftyp + moov{mvhd + trak{tkhd + mdia{mdhd +
+    // hdlr + minf/stbl/stsd}}}) and real MKV/EBML element trees (EBML
+    // header + Segment{Info + Tracks/TrackEntry}, variable-length-int
+    // encoded) constructed IN-PLAN from per-doc parameters, then parsed
+    // back with the native MediaMeta walk (O(header), codegen, NULL on
+    // the planted corrupt rows). The oracle re-derives every field
+    // arithmetically — including the WAV duration's exact integer
+    // division and the MKV audio spec-default sample rate — so hash
     // equality proves parse(construct(p)) == p through actual bytes
     "q_multimodal_av" -> ((s, dir) => {
       val p = Tables.documents(s, dir).select(
         col("doc_id"),
-        pmod(col("doc_id"), lit(4)).cast("int").as("fmt"),
+        pmod(col("doc_id"), lit(6)).cast("int").as("fmt"),
         (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
         (lit(8000) + pmod(col("doc_id") * 37, lit(32000))).cast("int").as("rate"),
         (lit(8) + pmod(col("doc_id"), lit(2)) * 8).cast("int").as("bits"),
@@ -7124,7 +7126,7 @@ object SparkEntry {
     // WAV duration replays the parser's exact integer division
     "q_multimodal_av" ->
       """WITH p AS (SELECT doc_id,
-        |    doc_id % 4 AS fmt,
+        |    doc_id % 6 AS fmt,
         |    1 + doc_id % 2 AS ch,
         |    8000 + (doc_id * 37) % 32000 AS rate,
         |    8 + (doc_id % 2) * 8 AS bits,
@@ -7135,16 +7137,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  cast(CASE fmt WHEN 0 THEN 44 + db WHEN 1 THEN 423 WHEN 2 THEN 373
-        |    ELSE 6 END AS bigint) AS n_bytes,
-        |  CASE WHEN fmt = 0 THEN 'wav' WHEN fmt IN (1, 2) THEN 'mp4' END
-        |    AS format,
-        |  CASE WHEN fmt = 0 OR fmt = 2 THEN 'audio' WHEN fmt = 1 THEN 'video'
-        |    END AS media_type,
-        |  cast(CASE WHEN fmt IN (0, 2) THEN ch END AS bigint) AS channels,
-        |  cast(CASE WHEN fmt IN (0, 2) THEN rate END AS bigint) AS sample_rate,
+        |    WHEN 4 THEN 91 WHEN 5 THEN 86 ELSE 6 END AS bigint) AS n_bytes,
+        |  CASE WHEN fmt = 0 THEN 'wav' WHEN fmt IN (1, 2) THEN 'mp4'
+        |    WHEN fmt IN (4, 5) THEN 'mkv' END AS format,
+        |  CASE WHEN fmt IN (0, 2, 5) THEN 'audio' WHEN fmt IN (1, 4)
+        |    THEN 'video' END AS media_type,
+        |  cast(CASE WHEN fmt IN (0, 2, 5) THEN ch END AS bigint) AS channels,
+        |  cast(CASE WHEN fmt IN (0, 2) THEN rate
+        |    WHEN fmt = 5 THEN 8000 END AS bigint) AS sample_rate,
         |  cast(CASE WHEN fmt = 0 THEN bits END AS bigint) AS bits_per_sample,
-        |  cast(CASE WHEN fmt = 1 THEN w END AS bigint) AS width,
-        |  cast(CASE WHEN fmt = 1 THEN h END AS bigint) AS height,
+        |  cast(CASE WHEN fmt IN (1, 4) THEN w END AS bigint) AS width,
+        |  cast(CASE WHEN fmt IN (1, 4) THEN h END AS bigint) AS height,
         |  cast(CASE WHEN fmt = 0 THEN (db * 1000) // (rate * ch * (bits // 8))
         |    WHEN fmt IN (1, 2) THEN durms END AS bigint) AS duration_ms
         |FROM p""".stripMargin,

@@ -224,15 +224,46 @@ object Multimodal {
     lit("0000002168646C72" + "00000000" + "00000000" +
       handler.map(c => f"${c.toInt}%02X").mkString + ("0" * 24) + "00")
 
+  // EBML/Matroska scaffolding (all layout constants; only the metadata
+  // fields vary): a spec-correct EBML header (DocType "matroska"), an
+  // Info with the default 1 ms TimestampScale, and a one-track Tracks.
+  // Duration and SamplingFrequency are FLOAT elements in EBML and are
+  // deliberately omitted (both optional; the parser falls back to the
+  // spec defaults), keeping the synthesis integer-only and the oracle
+  // arithmetic.
+  private val MkvEbmlHeader = "1A45DFA3" + "A3" +
+    "4286810142F7810142F2810442F38108" + // versions + max id/size lengths
+    "4282886D6174726F736B61" + // DocType "matroska"
+    "4287810442858102" // DocTypeVersion 4, DocTypeReadVersion 2
+  private val MkvInfo = "1549A966" + "87" + "2AD7B1" + "83" + "0F4240"
+
+  private def mkvVideoHex(w: Column, h: Column): Column = concat(
+    lit(MkvEbmlHeader + "18538067" + "AE" + MkvInfo +
+      "1654AE6B" + "9D" + "AE" + "9B" +
+      "D78101" + "73C58101" + "838101" + // number 1, uid 1, type video
+      "8685" + "565F414231" + // CodecID "V_AB1"
+      "E0" + "88" + "B082"), // Video element: PixelWidth
+    hexBE(w, 2), lit("BA82"), hexBE(h, 2))
+
+  private def mkvAudioHex(ch: Column): Column = concat(
+    lit(MkvEbmlHeader + "18538067" + "A9" + MkvInfo +
+      "1654AE6B" + "98" + "AE" + "96" +
+      "D78101" + "73C58101" + "838102" + // number 1, uid 1, type audio
+      "8685" + "415F414231" + // CodecID "A_AB1"
+      "E1" + "83" + "9F81"), // Audio element: Channels
+    hexBE(ch, 1))
+
   /** Real media-container bytes built in-plan from `(fmt, …)` — fmt
     * 0 = WAV (channels `ch`, sample rate `rate`, bits `bits`, `dataBytes`
     * of zero samples), 1 = MP4 with one video track (`w`×`h`, `durMs`),
     * 2 = MP4 with one audio track (`ch`, `rate`, `durMs`),
     * 3 = truncated RIFF junk (the corrupt row — parser must yield NULL
-    * metadata, n_bytes intact). Headers follow the container specs
-    * byte-for-byte; everything is `concat`/`hex`/`unhex`, so an oracle
-    * re-derives the expected metadata and byte counts arithmetically
-    * ([[syntheticMediaExpected]]).
+    * metadata, n_bytes intact), 4 = MKV with one video track (`w`×`h`),
+    * 5 = MKV with one audio track (`ch`; sampling frequency omitted — the
+    * parser reports the spec default 8000). Headers follow the container
+    * specs byte-for-byte; everything is `concat`/`hex`/`unhex`, so an
+    * oracle re-derives the expected metadata and byte counts
+    * arithmetically.
     */
   def syntheticMedia(fmt: Column, ch: Column, rate: Column, bits: Column,
       dataBytes: Column, w: Column, h: Column, durMs: Column): Column = {
@@ -277,6 +308,8 @@ object Multimodal {
     val corrupt = lit("524946460000") // RIFF sig cut short of any chunk
     unhex(
       when(fmt === 0, wav).when(fmt === 1, mp4v).when(fmt === 2, mp4a)
+        .when(fmt === 4, mkvVideoHex(w, h))
+        .when(fmt === 5, mkvAudioHex(ch))
         .otherwise(corrupt))
   }
 

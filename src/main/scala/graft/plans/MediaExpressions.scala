@@ -91,6 +91,9 @@ object MediaMeta {
       return parseWav(b)
     // ISO BMFF: the first box must be ftyp (size u32 BE, then the fourcc)
     if (b.length >= 12 && cc(b, 4, 'f', 't', 'y', 'p')) return parseMp4(b)
+    // EBML signature 1A 45 DF A3 opens Matroska/WebM
+    if (u8(b, 0) == 0x1A && u8(b, 1) == 0x45 && u8(b, 2) == 0xDF && u8(b, 3) == 0xA3)
+      return parseMkv(b)
     null
   }
 
@@ -271,10 +274,181 @@ object MediaMeta {
       if (video != null && video.height > 0) video.height else null,
       durationMs)
   }
+
+  /** MKV/WebM: EBML element walk — the EBML header element, then the
+    * Segment; inside it `Info` (TimestampScale + optional float Duration)
+    * and `Tracks`/`TrackEntry` (TrackType 1=video 2=audio; `Video`'s
+    * PixelWidth/PixelHeight; `Audio`'s Channels, optional float
+    * SamplingFrequency — spec default 8000 — and optional BitDepth).
+    * The walk stops at the first Cluster (media payload), so cost stays
+    * O(header); unknown-size elements extend to their parent's limit per
+    * the spec; any malformed vint yields null.
+    */
+  private def parseMkv(b: Array[Byte]): InternalRow = {
+    import MkvSupport._
+    var timestampScale = 1000000L // ns per tick, the spec default
+    var durationTicks = Double.NaN
+    var vWidth = -1L
+    var vHeight = -1L
+    var aChannels = -1L
+    var aRate = Double.NaN
+    var aBits = -1L
+    var sawVideo = false
+    var sawAudio = false
+
+    // walk elements in [start, limit); f(id, payloadStart, payloadEnd)
+    // returns false to abort (malformed)
+    def walk(start: Int, limit: Int)(f: (Long, Int, Int) => Boolean): Boolean = {
+      var pos = start
+      while (pos < limit) {
+        val (id, idW) = vint(b, pos, limit, keepMarker = true)
+        if (idW == 0) return false
+        val (sz, szW) = vint(b, pos + idW, limit, keepMarker = false)
+        if (szW == 0) return false
+        val payload = pos + idW + szW
+        val end =
+          if (sz == Long.MaxValue) limit
+          else if (payload + sz > limit || sz < 0) return false
+          else (payload + sz).toInt
+        if (!f(id, payload, end)) return false
+        pos = end
+      }
+      true
+    }
+
+    def parseTrackEntry(start: Int, limit: Int): Boolean = {
+      var trackType = -1L
+      var w = -1L; var h = -1L; var ch = -1L; var bits = -1L
+      var rate = Double.NaN
+      val ok = walk(start, limit) { (id, p, e) =>
+        id match {
+          case 0x83L => trackType = uintAt(b, p, e - p); true // TrackType
+          case 0xE0L => // Video
+            walk(p, e) { (id2, p2, e2) =>
+              id2 match {
+                case 0xB0L => w = uintAt(b, p2, e2 - p2); true // PixelWidth
+                case 0xBAL => h = uintAt(b, p2, e2 - p2); true // PixelHeight
+                case _ => true
+              }
+            }
+          case 0xE1L => // Audio
+            walk(p, e) { (id2, p2, e2) =>
+              id2 match {
+                case 0x9FL => ch = uintAt(b, p2, e2 - p2); true // Channels
+                case 0xB5L => rate = floatAt(b, p2, e2 - p2); true // SamplingFrequency
+                case 0x6264L => bits = uintAt(b, p2, e2 - p2); true // BitDepth
+                case _ => true
+              }
+            }
+          case _ => true
+        }
+      }
+      if (ok) {
+        if (trackType == 1L && !sawVideo) {
+          sawVideo = true; vWidth = w; vHeight = h
+        } else if (trackType == 2L && !sawAudio) {
+          sawAudio = true
+          aChannels = if (ch > 0) ch else 1L // spec default 1
+          aRate = if (rate.isNaN) 8000.0 else rate // spec default 8000
+          aBits = bits
+        }
+      }
+      ok
+    }
+
+    val ok = walk(0, b.length) { (id, p, e) =>
+      id match {
+        case 0x1A45DFA3L => true // EBML header: skip payload
+        case 0x18538067L => // Segment
+          walk(p, e) { (id2, p2, e2) =>
+            id2 match {
+              case 0x1F43B675L => false // Cluster: media payload — stop here
+              case 0x1549A966L => // Info
+                walk(p2, e2) { (id3, p3, e3) =>
+                  id3 match {
+                    case 0x2AD7B1L => timestampScale = uintAt(b, p3, e3 - p3); true
+                    case 0x4489L => durationTicks = floatAt(b, p3, e3 - p3); true
+                    case _ => true
+                  }
+                }
+              case 0x1654AE6BL => // Tracks
+                walk(p2, e2) { (id3, p3, e3) =>
+                  if (id3 == 0xAE) parseTrackEntry(p3, e3) else true
+                }
+              case _ => true
+            }
+          } || true // a Cluster stop is a SUCCESSFUL early exit
+        case _ => true
+      }
+    }
+    if (!ok) return null
+    if (!sawVideo && !sawAudio) return null
+    val mediaType = if (sawVideo) "video" else "audio"
+    val durationMs: Any =
+      if (!durationTicks.isNaN && timestampScale > 0)
+        (durationTicks * timestampScale / 1e6).toLong
+      else null
+    InternalRow(
+      UTF8String.fromString("mkv"), UTF8String.fromString(mediaType),
+      if (sawAudio && aChannels > 0) aChannels.toInt else null,
+      if (sawAudio && !aRate.isNaN && aRate > 0) aRate.toInt else null,
+      if (sawAudio && aBits > 0) aBits.toInt else null,
+      if (sawVideo && vWidth > 0) vWidth.toInt else null,
+      if (sawVideo && vHeight > 0) vHeight.toInt else null,
+      durationMs)
+  }
 }
 
 object MediaExpressions {
   /** Column API for [[MediaMeta]]. */
   def mediaMeta(bin: Column): Column =
     Bridge.column(MediaMeta(Bridge.expression(bin)))
+}
+
+/** MKV/WebM (EBML) parsing support for [[MediaMeta]] — kept in its own
+  * block: EBML is a variable-length-integer element tree, structurally
+  * unlike the fixed-offset RIFF/BMFF walks above.
+  */
+private[plans] object MkvSupport {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+
+  /** Variable-length EBML integer at `pos`: returns (value, width) packed
+    * as (value << 4) | width (width 1..8; value fits 56 bits), or -1 on a
+    * malformed/truncated vint. `keepMarker` reads element IDs (the length
+    * marker stays part of the ID value, the EBML convention); size vints
+    * strip it. An all-ones size value means "unknown" → returns the
+    * special width-only marker with value Long.MaxValue >> 8.
+    */
+  def vint(b: Array[Byte], pos: Int, limit: Int, keepMarker: Boolean): (Long, Int) = {
+    if (pos >= limit) return (-1L, 0)
+    val fb = u8(b, pos)
+    if (fb == 0) return (-1L, 0)
+    val width = java.lang.Integer.numberOfLeadingZeros(fb) - 23 // 1..8
+    if (pos + width > limit) return (-1L, 0)
+    var v: Long = if (keepMarker) fb.toLong else (fb & (0xFF >>> width)).toLong
+    var i = 1
+    while (i < width) { v = (v << 8) | u8(b, pos + i); i += 1 }
+    if (!keepMarker) {
+      // all value bits set = unknown size (stream to end)
+      val allOnes = (1L << (7 * width)) - 1L
+      if (v == allOnes) v = Long.MaxValue
+    }
+    (v, width)
+  }
+
+  /** Unsigned big-endian integer payload of an element. */
+  def uintAt(b: Array[Byte], pos: Int, len: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | u8(b, pos + i); i += 1 }
+    v
+  }
+
+  /** EBML float payload: 4 or 8 bytes IEEE big-endian; NaN on other widths. */
+  def floatAt(b: Array[Byte], pos: Int, len: Int): Double = len match {
+    case 4 => java.lang.Float.intBitsToFloat(uintAt(b, pos, 4).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(uintAt(b, pos, 8))
+    case _ => Double.NaN
+  }
 }

@@ -398,4 +398,41 @@ class RocksDbSoakSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("S1 append-mode session_window on RocksDB: state O(entities), sessions finalize") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val out = StreamSessionize.sessions(
+        input.toDF().toDF("user_id", "ts"), Seq("user_id"), "ts",
+        gap = "30 minutes", watermark = "0 seconds")
+      val query = out.writeStream.format("memory").queryName("sess_append_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // batches advance 40 min (> the 30-min gap): every batch opens a
+        // fresh session per entity and the advancing watermark finalizes
+        // the previous one — constant churn through the store
+        (0 until Batches).foreach { b =>
+          input.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(base + b * 2400000L))))
+          query.processAllAvailable()
+        }
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        // bounded by keys (≤ one open + one finalizing session per key),
+        // NEVER by batches
+        assert(stateRows.max <= 2L * Entities,
+          s"session state must stay O(entities): ${stateRows.mkString(",")}")
+        val settled = stateRows.drop(2)
+        assert(settled.nonEmpty && settled.distinct.size <= 2,
+          s"state grew across batches: ${stateRows.mkString(",")}")
+        // finalized sessions: every batch's session except the open tail
+        // (watermark lag can hold back at most one extra batch per key)
+        val n = spark.table("sess_append_soak").count()
+        assert(n >= Entities.toLong * (Batches - 2) && n % Entities == 0,
+          s"expected >= ${Entities * (Batches - 2)} finalized sessions, got $n")
+      } finally query.stop()
+    }
+  }
 }
