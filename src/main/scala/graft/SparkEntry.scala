@@ -1648,14 +1648,15 @@ object SparkEntry {
       // the LEARNED langid (q_lang_classify's artifact) rides NEXT TO the
       // heuristic — same cleaned-text scan, still zero extra exchanges:
       // features hashed once into _bk, four literal-vector folds, argmax
+      val mlWeights =
+        (0 until 4).map(i => QualityClassifier.seededWeights(256, 101L + i))
       val langMl = lang
-        .withColumn("_bk", LangClassifier.bucketArray(col("text"), 256, 53L))
+        .withColumn("_sums", LangClassifier.classSums(col("text"), mlWeights, 53L))
         .withColumn("lang_ml",
-          LangClassifier.predicted(col("_bk"),
-            Seq("en", "de", "fr", "es"),
-            (0 until 4).map(i => QualityClassifier.seededWeights(256, 101L + i)),
-            0.05, 0.0).getField("lang"))
-        .drop("_bk")
+          LangClassifier.predictedFromSums(col("_sums"),
+            LangClassifier.nFeatures(col("text")),
+            Seq("en", "de", "fr", "es"), 0.05, 0.0).getField("lang"))
+        .drop("_sums")
       val decided = QualityFilter.decide(langMl, Seq(
         "too_short" -> (col("n_tokens") < 20),
         "boiler_heavy" -> (col("n_blocks_dropped") >= 10)))

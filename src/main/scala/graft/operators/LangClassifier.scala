@@ -45,51 +45,50 @@ object LangClassifier {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 1-based bucket-index array: every feature hashed ONCE
-    * (`fnv_mix mod buckets`, power of two required downstream). Keep this
-    * in its OWN projection (a materialized column) so the per-class folds
-    * in [[predicted]] reference the hashed array instead of re-hashing —
-    * CollapseProject leaves a non-cheap multiply-referenced expression
-    * un-inlined, so the materialization holds in the optimized plan.
+  /** Trigram-bag size: `max(len(lower(text)) − 2, 0)` — the size the
+    * [[charTrigrams]] array would have, computed without building it. */
+  def nFeatures(text: Column): Column =
+    greatest(length(lower(text)) - 2, lit(0)).cast("long")
+
+  /** Per-class exact integer feature-weight sums as ONE native string
+    * pass ([[graft.plans.TrigramClassSums]] — whole-stage codegen,
+    * bit-identical to hashing each [[charTrigrams]] member with
+    * `fnv_mix mod B` and folding the literal weight vectors, which as
+    * interpreted higher-order functions dominated the sf10 decade).
+    * Returns `array<bigint>` of length C.
     */
-  def bucketArray(text: Column, buckets: Int, seed: Long): Column = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      s"buckets must be a power of two for engine-portable bucketing, got $buckets")
-    transform(charTrigrams(text), f =>
-      (pmod(HashExpressions.fnvMix(f, seed), lit(buckets.toLong)) + 1L).cast("int"))
+  def classSums(
+      text: Column,
+      weightsPerClass: Seq[Array[Int]],
+      seed: Long): Column = {
+    val b = weightsPerClass.head.length
+    require(b > 0 && (b & (b - 1)) == 0 && weightsPerClass.forall(_.length == b),
+      s"all weight vectors must share one power-of-two length, got " +
+        weightsPerClass.map(_.length).mkString(","))
+    HashExpressions.trigramClassSums(text, weightsPerClass, seed)
   }
 
-  /** `struct(n_features, lang, logit)` from a [[bucketArray]] column:
-    * per-class exact integer folds over the shared bucket array, one IEEE
-    * affine per logit, argmax with ties toward the smaller class index
-    * (max over struct(logit, -index) sorts by logit first, then by the
-    * SMALLER index).
+  /** `struct(n_features, lang, logit)` from a [[classSums]] column: one
+    * IEEE affine per logit, argmax with ties toward the smaller class
+    * index (max over struct(logit, -index) sorts by logit first, then by
+    * the SMALLER index).
     */
-  def predicted(
-      bk: Column,
+  def predictedFromSums(
+      sums: Column,
+      nFeat: Column,
       labels: Seq[String],
-      weightsPerClass: Seq[Array[Int]],
       scale: Double,
       bias: Double): Column = {
-    require(labels.size >= 2 && labels.size == weightsPerClass.size,
-      s"need >= 2 labels, one weight vector per label " +
-        s"(got ${labels.size} labels, ${weightsPerClass.size} vectors)")
-    val b = weightsPerClass.head.length
-    require(weightsPerClass.forall(_.length == b),
-      "all weight vectors must share one length, got " +
-        weightsPerClass.map(_.length).mkString(","))
-    val nf = size(bk).cast("long")
-    val logits = weightsPerClass.map { w =>
-      val wlit = array(w.map(x => lit(x.toLong)): _*)
-      val sum = aggregate(bk, lit(0L), (acc, i) => acc + element_at(wlit, i))
-      lit(bias) + lit(scale) * (sum.cast("double") /
-        greatest(nf, lit(1L)).cast("double"))
+    require(labels.size >= 2, s"need >= 2 labels, got ${labels.size}")
+    val logits = labels.indices.map { i =>
+      lit(bias) + lit(scale) * (element_at(sums, i + 1).cast("double") /
+        greatest(nFeat, lit(1L)).cast("double"))
     }
     val best = array_max(array(logits.zipWithIndex.map { case (lg, i) =>
       struct(lg.as("l"), lit(-i).as("ni"))
     }: _*))
     struct(
-      nf.as("n_features"),
+      nFeat.as("n_features"),
       element_at(array(labels.map(lit): _*),
         (-best.getField("ni")) + 1).as("lang"),
       best.getField("l").as("logit"))
@@ -109,11 +108,15 @@ object LangClassifier {
       scale: Double,
       bias: Double,
       seed: Long): DataFrame = {
-    val hashed = df.select(col(idCol),
-      bucketArray(col(textCol), weightsPerClass.head.length, seed).as("_bk"))
-    hashed
+    require(labels.size == weightsPerClass.size,
+      s"one weight vector per label (got ${labels.size} labels, " +
+        s"${weightsPerClass.size} vectors)")
+    df.select(col(idCol),
+        classSums(col(textCol), weightsPerClass, seed).as("_sums"),
+        nFeatures(col(textCol)).as("_nf"))
       .select(col(idCol),
-        predicted(col("_bk"), labels, weightsPerClass, scale, bias).as("_p"))
+        predictedFromSums(col("_sums"), col("_nf"), labels, scale, bias)
+          .as("_p"))
       .select(col(idCol), col("_p.n_features").as("n_features"),
         col("_p.lang").as("lang"), col("_p.logit").as("logit"))
   }

@@ -70,6 +70,63 @@ object HashKernels {
     z = (z ^ (z >>> 27)) * Mix2
     z ^ (z >>> 31)
   }
+
+  /** [[fnvMix]] over a byte RANGE — bit-identical to hashing the
+    * equivalent substring, without materializing it. */
+  def fnvMixRange(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var h = FnvBasis
+    var i = from
+    while (i < until) {
+      h = (h ^ (bytes(i) & 0xffL)) * FnvPrime
+      i += 1
+    }
+    var z = h + seed * Golden
+    z = (z ^ (z >>> 30)) * Mix1
+    z = (z ^ (z >>> 27)) * Mix2
+    z ^ (z >>> 31)
+  }
+
+  /** One-pass multiclass hashed-char-trigram weight sums — the
+    * [[graft.operators.LangClassifier]] hot kernel: Unicode-lowercase the
+    * string (the `lower()` semantics), walk its code points, and for each
+    * trigram window fold [[fnvMixRange]] over the window's UTF-8 bytes
+    * (bit-identical to `fnv_mix(substr(lower(s), i, 3))`), bucket by
+    * `floorMod(z, B)` (= pmod), and accumulate every class's int8 weight.
+    * Returns a C-length sum array; one string scan, one int-array
+    * allocation, no per-trigram string materialization. Called from
+    * generated code — must stay a plain static-shaped method.
+    */
+  def trigramClassSums(
+      s: UTF8String,
+      weights: Array[Array[Long]],
+      seed: Long,
+      buckets: Int): Array[Long] = {
+    val c = weights.length
+    val out = new Array[Long](c)
+    val lower = s.toLowerCase
+    val n = lower.numChars()
+    if (n < 3) return out
+    val bytes = lower.getBytes
+    // code-point start offsets (starts(n) = total bytes, the end sentinel)
+    val starts = new Array[Int](n + 1)
+    var pos = 0
+    var ci = 0
+    while (ci < n) {
+      starts(ci) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      ci += 1
+    }
+    starts(n) = bytes.length
+    var i = 0
+    while (i <= n - 3) {
+      val z = fnvMixRange(bytes, starts(i), starts(i + 3), seed)
+      val bk = java.lang.Math.floorMod(z, buckets.toLong).toInt
+      var k = 0
+      while (k < c) { out(k) += weights(k)(bk); k += 1 }
+      i += 1
+    }
+    out
+  }
 }
 
 /** Number of leading zero bits of a 64-bit value (0..64). Codegen'd to the
@@ -99,6 +156,53 @@ case class Clz64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native multiclass hashed-trigram scorer: per-class exact integer
+  * weight sums over the char trigrams of the LOWERCASED input — the
+  * whole-stage-codegen replacement for `transform(trigrams, fnv_mix)` +
+  * C interpreted `aggregate` folds, which dominated q_lang_classify's
+  * sf10 decade (the [[graft.plans.NearestCentroid]] precedent: HOFs are
+  * CodegenFallback; a native kernel turns the scan into one string pass).
+  * Semantically IDENTICAL to the HOF formulation (same Unicode lowercase,
+  * same per-trigram byte fold, same pmod bucketing), so the DuckDB replay
+  * is unchanged. Returns `array<bigint>` of length C.
+  */
+case class TrigramClassSums(
+    child: Expression,
+    weights: Array[Array[Long]],
+    seed: Long) extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.forall(_.length == weights.head.length),
+    "need >= 1 weight vector, all of one length")
+  require((weights.head.length & (weights.head.length - 1)) == 0,
+    "bucket count must be a power of two (engine-portable pmod)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"trigram_class_sums requires a string input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "trigram_class_sums"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashKernels.trigramClassSums(
+        input.asInstanceOf[UTF8String], weights, seed, weights.head.length))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("tcsWeights", weights, "long[][]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.HashKernels.trigramClassSums(
+         |    $in, $wRef, ${seed}L, ${weights.head.length}));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column API for [[FnvMix]]. */
   def fnvMix(text: Column, seed: Long): Column =
@@ -107,4 +211,9 @@ object HashExpressions {
   /** Column API for [[Clz64]]. */
   def clz64(bits: Column): Column =
     Bridge.column(Clz64(Bridge.expression(bits)))
+
+  /** Column API for [[TrigramClassSums]]. */
+  def trigramClassSums(text: Column, weights: Seq[Array[Int]], seed: Long): Column =
+    Bridge.column(TrigramClassSums(Bridge.expression(text),
+      weights.map(_.map(_.toLong)).toArray, seed))
 }

@@ -66,6 +66,31 @@ class LangClassifierSpec extends SparkSpec {
     assert(out._4 == logits.max)
   }
 
+  test("native kernel matches the per-trigram formula on multibyte text") {
+    // the one-pass TrigramClassSums kernel folds FNV over each trigram's
+    // UTF-8 byte RANGE of the lowercased string — must be bit-identical
+    // to hashing the materialized substring, including across multibyte
+    // code points
+    val seed = 11L
+    val text = "Héllo Wörld — ça va? ÆØÅ"
+    val lower = text.toLowerCase
+    val cps = lower.codePoints().toArray
+    val tris = (0 to cps.length - 3).map(i =>
+      new String(cps, i, 3))
+    val weights = (0 until 3).map(i => QualityClassifier.seededWeights(B, 70L + i))
+    val expSums = weights.map(w => tris.map(t => w(bucket(t, seed)).toLong).sum)
+    val expLogits = expSums.map(s => 0.1 + 0.05 * (s.toDouble / tris.length))
+    val expBest = expLogits.zipWithIndex.maxBy { case (l, i) => (l, -i) }
+    val out = LangClassifier.classify(
+        Seq((5L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        labels = Seq("x", "y", "z"), weightsPerClass = weights,
+        scale = 0.05, bias = 0.1, seed = seed)
+      .as[(Long, Long, String, Double)].collect().head
+    assert(out._2 == tris.length.toLong, s"n_features ${out._2} != ${tris.length}")
+    assert(out._4 == expBest._1, s"logit ${out._4} != ${expBest._1}")
+    assert(out._3 == Seq("x", "y", "z")(expBest._2))
+  }
+
   test("inference is scan-side: no exchange in the plan") {
     val weights = (0 until 4).map(i => QualityClassifier.seededWeights(B, 101L + i))
     val phys = LangClassifier.classify(
