@@ -3558,6 +3558,17 @@ object SparkEntry {
       Unigram.subwordCounts(docs, "text", art, k = 40)
     }),
 
+    // §2#36j doc-grain tokenization under the trained unigram artifact —
+    // what packing consumes: every eligible word Viterbi-segments ONCE
+    // (vocab-table trick), pieces map to dense ids, documents re-assemble
+    // into their ordered token-id sequences (comma-joined — a string
+    // sequence hashes engine-portably)
+    "q_unigram_doc_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48)
+      Unigram.docTokenIds(docs, "doc_id", "text", art)
+    }),
+
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
     // vs raw models trained IN-PLAN (one map-side-combined bucket count,
     // exchange ≤ B rows/partition), B-entry ratio table compiled into the
@@ -7255,6 +7266,27 @@ object SparkEntry {
     "q_unigram_tokenize" -> ("WITH RECURSIVE " + unigramOracleCtes +
       "\nSELECT piece AS subword, cast(used AS bigint) AS n_occurrences " +
       "FROM u3cnt ORDER BY used DESC, subword LIMIT 40"),
+
+    // doc-grain replay: the round-3 per-word segmentations (u3bt) mapped
+    // to dense ids (rank by piece over the artifact), documents
+    // re-assembled by word position then piece position
+    "q_unigram_doc_ids" -> ("WITH RECURSIVE " + unigramOracleCtes + """,
+        |dtw AS (SELECT doc_id, i AS wpos, tk[i] AS word
+        |  FROM utoks CROSS JOIN unnest(generate_series(1, len(tk))) AS g(i)
+        |  WHERE regexp_full_match(tk[i], '[a-z0-9]+')),
+        |tid AS (SELECT piece, row_number() OVER (ORDER BY piece) AS tid
+        |  FROM u3scr),
+        |wseg AS (SELECT word, ps FROM u3bt WHERE j = 0),
+        |wp AS (SELECT word, i AS ppos, ps[i] AS piece
+        |  FROM wseg CROSS JOIN unnest(generate_series(1, len(ps))) AS g(i)),
+        |wids AS (SELECT word, list(tid ORDER BY ppos) AS ids
+        |  FROM wp JOIN tid USING (piece) GROUP BY word)
+        |SELECT d.doc_id,
+        |  cast(sum(len(w.ids)) AS bigint) AS n_tokens,
+        |  string_agg(array_to_string(w.ids, ','), ',' ORDER BY d.wpos)
+        |    AS token_ids
+        |FROM dtw d JOIN wids w USING (word)
+        |GROUP BY d.doc_id""".stripMargin),
 
     // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
     // (seed 41), then the ratio table is re-derived IN SQL from the bucket

@@ -202,6 +202,56 @@ object Unigram {
       .select(col("piece"), col("used").as("used_cnt"), col("score"))
   }
 
+  /** Doc-grain tokenization under a trained artifact — what a packing
+    * stage actually consumes: each document's eligible words (the
+    * tokenizer's `[a-z0-9]+` universe) Viterbi-segment under the final
+    * piece scores, pieces map to DENSE token ids (rank by piece), and the
+    * document becomes its ordered token-id sequence. Returns
+    * `(idCol, n_tokens, token_ids)` with the ids comma-joined (a
+    * string-typed sequence hashes engine-portably).
+    *
+    * Scale shape: each DISTINCT word segments ONCE (the vocab-table
+    * trick); documents join word→ids and re-assemble by (word position,
+    * piece position) — two vocab-sized joins plus one doc-grain
+    * aggregation, never a per-piece corpus shuffle.
+    */
+  def docTokenIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      artifact: DataFrame,
+      maxLen: Int = MaxPieceLen): DataFrame = {
+    import graft.functions.Text
+    val words = docs.select(col(idCol),
+        posexplode(Text.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("cnt", lit(1L))
+    // dense ids: rank over the BOUNDED artifact table (keepK + singles)
+    val ids = artifact.select(col("piece"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
+        .cast("long").as("tid"))
+    val wordIds = segmented(vocab, artifact, maxLen)
+      .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
+      .join(ids, "piece")
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ppos"), col("tid")))),
+        x => x.getField("tid")).as("ids"))
+    words.join(wordIds, "word")
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("ids"))).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            flatten(transform(
+              array_sort(collect_list(struct(col("wpos"), col("ids")))),
+              x => x.getField("ids"))),
+            t => t.cast("string")),
+          ",").as("token_ids"))
+  }
+
   /** Apply a trained artifact: segment the corpus vocab under the final
     * scores and return the top `k` subword corpus frequencies — the
     * [[Bpe.subwordCounts]] twin. */

@@ -67,6 +67,28 @@ class UnigramSpec extends SparkSpec {
     assert(segs >= 6L)
   }
 
+  test("doc token ids decode back to the document's eligible text") {
+    val docs = Seq(
+      (1L, "the data data engine"),
+      (2L, "engine Data! the"), // 'Data!' fails [a-z0-9]+ and is skipped
+      (3L, "!!! ???")) // no eligible words -> absent from output
+      .toDF("doc_id", "text")
+    val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 16)
+    val idToPiece = art.select($"piece").as[String].collect()
+      .sorted.zipWithIndex.map { case (p, i) => (i + 1L, p) }.toMap
+    val out = Unigram.docTokenIds(docs, "doc_id", "text", art)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    out.foreach { case (docId, n, csv) =>
+      val ids = csv.split(",").map(_.toLong)
+      assert(ids.length == n)
+      val decoded = ids.map(idToPiece).mkString
+      val expected = (if (docId == 1L) "the data data engine" else "engine the")
+        .replace(" ", "")
+      assert(decoded == expected, s"doc $docId decoded '$decoded' != '$expected'")
+    }
+  }
+
   test("training rounds run on the vocab table (no corpus rescan per round)") {
     // structural: trainArtifact only scans docs inside wordVocab; the
     // returned artifact's plan must not reference the documents source
