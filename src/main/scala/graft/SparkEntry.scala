@@ -2295,6 +2295,31 @@ object SparkEntry {
       Multimodal.extractAvMeta(withBytes, "doc_id", "payload")
     }),
 
+    // §2#35d audio-CODEC container metadata — MediaMeta's remaining
+    // families (FLAC STREAMINFO bit fields, ID3v2 + MPEG-1 Layer III MP3
+    // with the CBR duration estimate, Ogg first pages carrying Vorbis and
+    // Opus id packets), gated with the same construct-then-parse device:
+    // real container bytes built in-plan, fmt 4 a truncated-STREAMINFO
+    // corrupt row whose metadata must come back NULL with n_bytes intact
+    "q_media_audio" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(5)).cast("int").as("fmt"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
+        (lit(8000) + pmod(col("doc_id") * 37, lit(32000))).cast("int").as("rate"),
+        (lit(8) + pmod(col("doc_id"), lit(3)) * lit(4)).cast("int").as("bits"),
+        (lit(1000) + pmod(col("doc_id") * 13, lit(100000))).cast("long").as("samples"),
+        (lit(1) + pmod(col("doc_id"), lit(14))).cast("int").as("br_idx"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("sr_idx"),
+        pmod(col("doc_id") * 3, lit(4)).cast("int").as("ch_mode"),
+        pmod(col("doc_id") * 5, lit(256)).cast("int").as("db"))
+      val withBytes = p.withColumn("payload",
+        Multimodal.syntheticAudio(col("fmt"), col("ch"), col("rate"),
+          col("bits"), col("samples"), col("br_idx"), col("sr_idx"),
+          col("ch_mode"), col("db")))
+      Multimodal.extractAvMeta(withBytes, "doc_id", "payload")
+    }),
+
     // §2#37 sketch aggregates: HLL distinct sketch (mergeable across
     // partitions/days — the scale path for distinct counts) next to the
     // exact count (rows-only oracle: sketch estimates are engine-specific)
@@ -7163,6 +7188,45 @@ object SparkEntry {
         |  cast(CASE WHEN fmt = 0 THEN (db * 1000) // (rate * ch * (bits // 8))
         |    WHEN fmt IN (1, 2) THEN durms END AS bigint) AS duration_ms
         |FROM p""".stripMargin,
+
+    // audio-codec twin: expected metadata derived arithmetically from the
+    // same parameter draws the Spark side synthesizes container bytes from
+    "q_media_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 5 AS fmt,
+        |    1 + doc_id % 2 AS ch,
+        |    8000 + (doc_id * 37) % 32000 AS rate,
+        |    8 + (doc_id % 3) * 4 AS bits,
+        |    1000 + (doc_id * 13) % 100000 AS samples,
+        |    1 + doc_id % 14 AS br_idx,
+        |    doc_id % 3 AS sr_idx,
+        |    (doc_id * 3) % 4 AS ch_mode,
+        |    (doc_id * 5) % 256 AS db
+        |  FROM documents),
+        |k AS (SELECT *,
+        |    [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        |     320][br_idx] AS kbps
+        |  FROM p)
+        |SELECT doc_id,
+        |  cast(CASE fmt WHEN 0 THEN 42 WHEN 1 THEN 14 + db WHEN 2 THEN 58
+        |    WHEN 3 THEN 47 ELSE 18 END AS bigint) AS n_bytes,
+        |  CASE WHEN fmt = 0 THEN 'flac' WHEN fmt = 1 THEN 'mp3'
+        |    WHEN fmt IN (2, 3) THEN 'ogg' END AS format,
+        |  CASE WHEN fmt IN (0, 1, 2, 3) THEN 'audio' END AS media_type,
+        |  cast(CASE WHEN fmt IN (0, 2, 3) THEN ch
+        |    WHEN fmt = 1 THEN CASE WHEN ch_mode = 3 THEN 1 ELSE 2 END
+        |    END AS bigint) AS channels,
+        |  cast(CASE WHEN fmt IN (0, 2, 3) THEN rate
+        |    WHEN fmt = 1 THEN CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END
+        |    END AS bigint) AS sample_rate,
+        |  cast(CASE WHEN fmt = 0 THEN bits END AS bigint) AS bits_per_sample,
+        |  cast(NULL AS bigint) AS width,
+        |  cast(NULL AS bigint) AS height,
+        |  cast(CASE WHEN fmt = 0 THEN (samples * 1000) // rate
+        |    WHEN fmt = 1 THEN ((4 + db) * 8) // kbps END AS bigint)
+        |    AS duration_ms
+        |FROM k""".stripMargin,
 
     "q_token_hist" ->
       """SELECT token, cast(count(*) AS bigint) AS cnt FROM (

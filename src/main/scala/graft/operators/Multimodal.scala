@@ -313,6 +313,68 @@ object Multimodal {
         .otherwise(corrupt))
   }
 
+  // ---- in-plan synthesis of real AUDIO-CODEC container bytes ------------
+  //
+  // The construct-then-parse device for the remaining MediaMeta families:
+  // FLAC (STREAMINFO bit fields), MP3 (ID3v2 tag + MPEG-1 Layer III frame
+  // header + CBR payload), and Ogg first pages carrying a Vorbis id packet
+  // or an OpusHead. Every layout byte is a constant; only metadata fields
+  // vary, so an oracle re-derives everything arithmetically.
+
+  /** Real audio-container bytes built in-plan — fmt 0 = FLAC (channels
+    * `ch` 1–8, sample rate `rate` < 2^19, bits 4–32, `samples` < 2^36
+    * total samples), 1 = MP3 with a zero-size ID3v2.4 tag, an MPEG-1
+    * Layer III frame header (`brIdx` 1–14, `srIdx` 0–2, `chMode` 0–3)
+    * and `db` zero payload bytes, 2 = Ogg page 0 with a Vorbis
+    * identification packet (`ch`, `rate`), 3 = Ogg page 0 with an
+    * OpusHead (`ch`, `rate`), 4 = a FLAC whose STREAMINFO declares 34
+    * bytes but truncates after 10 (the corrupt row — parser must yield
+    * NULL metadata, n_bytes intact).
+    */
+  def syntheticAudio(fmt: Column, ch: Column, rate: Column, bits: Column,
+      samples: Column, brIdx: Column, srIdx: Column, chMode: Column,
+      db: Column): Column = {
+    // STREAMINFO packs rate:20 | ch-1:3 | bits-1:5 | samples:36 into one
+    // big-endian 8-byte field; rate < 2^19 keeps the product far inside a
+    // signed long, and the two 4-byte halves dodge hexBE's 7-byte limit
+    val packed = rate.cast("long") * lit(1L << 44) +
+      (ch.cast("long") - 1L) * lit(1L << 41) +
+      (bits.cast("long") - 1L) * lit(1L << 36) + samples.cast("long")
+    val packedHex = concat(
+      hexBE(shiftright(packed, 32), 4), hexBE(pmod(packed, lit(1L << 32)), 4))
+    val flacInfo = concat(
+      lit("1000" + "1000"), // min/max block size 4096
+      lit("000000" + "000000"), // min/max frame size unknown
+      packedHex,
+      lit("0" * 32)) // unpopulated MD5
+    val flac = concat(lit("664C6143" + "80" + "000022"), flacInfo)
+    val mp3 = concat(
+      lit("494433" + "0400" + "00" + "00000000"), // ID3v2.4, flags 0, size 0
+      lit("FFFB"), // frame sync + MPEG-1 + Layer III + no CRC
+      hexBE(brIdx * 16 + srIdx * 4, 1), // bitrate/samplerate idx, no padding
+      hexBE(chMode * 64, 1), // channel mode, no mode ext/copyright/emphasis
+      call_function("repeat", lit("00"), db))
+    // one Ogg page: header (27 B) + 1-entry lacing table + the id packet
+    def oggPage(segLen: Int, packet: Column): Column = concat(
+      lit("4F676753" + "00" + "02" + ("0" * 16) + // OggS, v0, BOS, granule 0
+        ("0" * 8) + ("0" * 8) + ("0" * 8) + "01"), // serial/seq/crc 0, 1 seg
+      lit(f"$segLen%02X"), packet)
+    val vorbisPacket = concat(
+      lit("01" + "766F72626973" + "00000000"), // \x01vorbis, version 0
+      hexLE(ch, 1), hexLE(rate, 4),
+      lit(("0" * 24) + "B8" + "01")) // bitrates 0, blocksizes 2^8/2^11, framing
+    val opusPacket = concat(
+      lit("4F70757348656164" + "01"), // OpusHead, version 1
+      hexLE(ch, 1), lit("0000"), // pre-skip 0
+      hexLE(rate, 4), lit("0000" + "00")) // output gain 0, mapping family 0
+    val corrupt = concat(lit("664C6143" + "80" + "000022"), lit("0" * 20))
+    unhex(
+      when(fmt === 0, flac).when(fmt === 1, mp3)
+        .when(fmt === 2, oggPage(30, vorbisPacket))
+        .when(fmt === 3, oggPage(19, opusPacket))
+        .otherwise(corrupt))
+  }
+
   /** Expected metadata of [[syntheticImage]] bytes, derived arithmetically
     * (no byte parsing) — the oracle side of the construct-then-parse gate,
     * also usable in DuckDB via plain CASE arithmetic.

@@ -10,16 +10,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Audio/video container header parsing as a native codegen'd Catalyst
-  * expression — the [[ImageMeta]] discipline extended to the other two
-  * container families a training corpus's binary columns carry: WAV/RIFF
+  * expression — the [[ImageMeta]] discipline extended to the container
+  * families a training corpus's binary columns carry: WAV/RIFF
   * (fmt-chunk walk: channels, sample rate, bits per sample; duration from
-  * the data chunk against the declared byte rate) and MP4/ISO-BMFF (box
+  * the data chunk against the declared byte rate), MP4/ISO-BMFF (box
   * walk: `moov/mvhd` duration, `trak/tkhd` video dimensions,
   * `trak/mdia/hdlr` handler type, `stbl/stsd` audio sample entry for
-  * channel count and sample rate). O(header) per row — the box walk skips
-  * every box by its declared size and never touches media payloads; no
-  * codec library, no full demux, and the projection stays inside
-  * whole-stage codegen (one static call, no CodegenFallback).
+  * channel count and sample rate), MKV/WebM (EBML element walk), FLAC
+  * (STREAMINFO bit fields: rate/channels/bits/total-samples), MP3
+  * (ID3v2 skip + first MPEG-1 Layer III frame header; duration from the
+  * audio byte count against the frame bitrate) and Ogg (page 0's id
+  * packet: Vorbis identification header or OpusHead). O(header) per
+  * row — every walk skips by declared sizes and never touches media
+  * payloads; no codec library, no full demux, and the projection stays
+  * inside whole-stage codegen (one static call, no CodegenFallback).
   *
   * Returns `struct<format, media_type, channels, sample_rate,
   * bits_per_sample, width, height, duration_ms>` with NULL fields where a
@@ -86,7 +90,9 @@ object MediaMeta {
     * from generated code — must stay a plain static-shaped method.
     */
   def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 16) return null
+    // 12 bytes covers every signature probe below (RIFF+WAVE and ftyp read
+    // through offset 11); each family parser bounds-checks its own walk
+    if (b == null || b.length < 12) return null
     if (cc(b, 0, 'R', 'I', 'F', 'F') && cc(b, 8, 'W', 'A', 'V', 'E'))
       return parseWav(b)
     // ISO BMFF: the first box must be ftyp (size u32 BE, then the fourcc)
@@ -94,6 +100,119 @@ object MediaMeta {
     // EBML signature 1A 45 DF A3 opens Matroska/WebM
     if (u8(b, 0) == 0x1A && u8(b, 1) == 0x45 && u8(b, 2) == 0xDF && u8(b, 3) == 0xA3)
       return parseMkv(b)
+    if (cc(b, 0, 'f', 'L', 'a', 'C')) return parseFlac(b)
+    if (cc(b, 0, 'O', 'g', 'g', 'S')) return parseOgg(b)
+    if (u8(b, 0) == 'I' && u8(b, 1) == 'D' && u8(b, 2) == '3') return parseMp3(b)
+    if (u8(b, 0) == 0xFF && (u8(b, 1) & 0xE0) == 0xE0) return parseMp3(b)
+    null
+  }
+
+  /** FLAC: `fLaC` marker, then metadata blocks (1-byte last-flag + type,
+    * u24 BE length); STREAMINFO (type 0, ≥18 B of interest) packs
+    * `rate:20 | channels−1:3 | bits−1:5 | total_samples:36` into the
+    * 8 bytes after the block/frame size bounds. Duration is the exact
+    * integer `samples·1000 / rate`; a block that overruns the buffer or
+    * a stream whose last block arrives without STREAMINFO yields null.
+    */
+  private def parseFlac(b: Array[Byte]): InternalRow = {
+    var pos = 4
+    while (pos + 4 <= b.length) {
+      val hdr = u8(b, pos)
+      val len = (u8(b, pos + 1) << 16) | (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+      val payload = pos + 4
+      if (payload + len > b.length) return null
+      if ((hdr & 0x7F) == 0) {
+        if (len < 18) return null
+        val x = be64(b, payload + 10)
+        val rate = (x >>> 44).toInt
+        val ch = (((x >>> 41) & 7L) + 1L).toInt
+        val bits = (((x >>> 36) & 0x1FL) + 1L).toInt
+        val samples = x & ((1L << 36) - 1L)
+        if (rate <= 0) return null
+        val durationMs: Any = if (samples > 0) samples * 1000L / rate else null
+        return InternalRow(
+          UTF8String.fromString("flac"), UTF8String.fromString("audio"),
+          ch, rate, bits, null, null, durationMs)
+      }
+      if ((hdr & 0x80) != 0) return null // last block, STREAMINFO never seen
+      pos = payload + len
+    }
+    null
+  }
+
+  // MPEG-1 Layer III frame-header tables (bitrate kbit/s by index 1..14;
+  // sample rate by the 2-bit index; index 0 is "free" and 15/3 invalid)
+  private val Mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3: optional ID3v2 tag (10-byte header + syncsafe u28 size) skipped,
+    * then the first frame header — restricted to MPEG-1 Layer III (the
+    * overwhelmingly dominant encoding; anything else yields null).
+    * Channels from the mode bits (mono = 1, every other mode 2); duration
+    * is the CBR estimate `audio_bytes·8 / bitrate_kbps` in exact integer
+    * ms, the standard header-only estimate (a VBR stream would need the
+    * Xing frame — out of O(header) scope).
+    */
+  private def parseMp3(b: Array[Byte]): InternalRow = {
+    var pos = 0
+    if (u8(b, 0) == 'I' && u8(b, 1) == 'D' && u8(b, 2) == '3') {
+      if (b.length < 10) return null
+      var sz = 0
+      var i = 6
+      while (i < 10) {
+        val v = u8(b, i)
+        if ((v & 0x80) != 0) return null // syncsafe bytes keep the top bit 0
+        sz = (sz << 7) | v
+        i += 1
+      }
+      pos = 10 + sz
+    }
+    if (pos + 4 > b.length) return null
+    if (u8(b, pos) != 0xFF) return null
+    val b1 = u8(b, pos + 1)
+    if ((b1 & 0xE0) != 0xE0) return null
+    if (((b1 >> 3) & 3) != 3 || ((b1 >> 1) & 3) != 1) return null // MPEG-1 L3
+    val b2 = u8(b, pos + 2)
+    val brIdx = (b2 >> 4) & 0xF
+    val srIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val mode = (u8(b, pos + 3) >> 6) & 3
+    val ch = if (mode == 3) 1 else 2
+    val durationMs: Any = (b.length - pos).toLong * 8L / Mp3Bitrates(brIdx)
+    InternalRow(UTF8String.fromString("mp3"), UTF8String.fromString("audio"),
+      ch, Mp3Rates(srIdx), null, null, null, durationMs)
+  }
+
+  /** Ogg: the first page (27-byte header + lacing table) must carry the
+    * stream's identification packet — a Vorbis id header (`\x01vorbis`:
+    * version 0, channels u8, rate LE u32) or an `OpusHead` (channels u8
+    * at +9, input sample rate LE u32 at +12). Duration lives in the LAST
+    * page's granule position, out of O(header) scope — null.
+    */
+  private def parseOgg(b: Array[Byte]): InternalRow = {
+    if (b.length < 28 || u8(b, 4) != 0) return null
+    val nSegs = u8(b, 26)
+    if (nSegs < 1) return null
+    val p = 27 + nSegs
+    if (p + 16 > b.length) return null
+    if (u8(b, p) == 1 &&
+        cc(b, p + 1, 'v', 'o', 'r', 'b') &&
+        u8(b, p + 5) == 'i' && u8(b, p + 6) == 's') {
+      if (le32(b, p + 7) != 0L) return null // vorbis_version must be 0
+      val ch = u8(b, p + 11)
+      val rate = le32(b, p + 12)
+      if (ch <= 0 || rate <= 0) return null
+      return InternalRow(UTF8String.fromString("ogg"), UTF8String.fromString("audio"),
+        ch, rate.toInt, null, null, null, null)
+    }
+    if (cc(b, p, 'O', 'p', 'u', 's') && cc(b, p + 4, 'H', 'e', 'a', 'd')) {
+      val ch = u8(b, p + 9)
+      val rate = le32(b, p + 12)
+      if (ch <= 0 || rate <= 0) return null
+      return InternalRow(UTF8String.fromString("ogg"), UTF8String.fromString("audio"),
+        ch, rate.toInt, null, null, null, null)
+    }
     null
   }
 

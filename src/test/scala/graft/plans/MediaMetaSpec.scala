@@ -220,6 +220,123 @@ class MediaMetaSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  // ---- audio-codec containers (FLAC / MP3 / Ogg) --------------------------
+
+  // independent FLAC builder: marker + STREAMINFO block via ByteBuffer
+  private def goldenFlac(ch: Int, rate: Int, bits: Int, samples: Long): Array[Byte] = {
+    val packed = (rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | samples
+    val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    b.putShort(4096.toShort).putShort(4096.toShort)
+    b.put(new Array[Byte](6)) // min/max frame size unknown
+    b.putLong(packed)
+    b.put(new Array[Byte](16)) // md5
+    b.array()
+  }
+
+  // independent MP3 builder with a REAL (non-empty) ID3v2 tag body — the
+  // in-plan synthesis only emits size-0 tags, so this pins the syncsafe skip
+  private def goldenMp3(brIdx: Int, srIdx: Int, mode: Int, tagBody: Int,
+      payload: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(10 + tagBody + 4 + payload)
+    b.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte).put(0.toByte)
+    b.put(((tagBody >> 21) & 0x7F).toByte).put(((tagBody >> 14) & 0x7F).toByte)
+    b.put(((tagBody >> 7) & 0x7F).toByte).put((tagBody & 0x7F).toByte)
+    b.put(new Array[Byte](tagBody))
+    b.put(0xFF.toByte).put(0xFB.toByte)
+    b.put(((brIdx << 4) | (srIdx << 2)).toByte).put((mode << 6).toByte)
+    b.put(new Array[Byte](payload))
+    b.array()
+  }
+
+  // independent Ogg page builder (27-byte header + 1-seg lacing + packet)
+  private def goldenOgg(packet: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(28 + packet.length)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(2.toByte)
+    b.put(new Array[Byte](20)) // granule + serial + seq + crc
+    b.put(1.toByte).put(packet.length.toByte).put(packet)
+    b.array()
+  }
+  private def vorbisId(ch: Int, rate: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+    b.put(ch.toByte).putInt(rate).putInt(0).putInt(0).putInt(0)
+    b.put(0xB8.toByte).put(1.toByte)
+    b.array()
+  }
+  private def opusHead(ch: Int, rate: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(ch.toByte)
+    b.putShort(0.toShort).putInt(rate).putShort(0.toShort).put(0.toByte)
+    b.array()
+  }
+
+  test("parses FLAC STREAMINFO bit fields at their true values") {
+    assert(parse(goldenFlac(2, 44100, 16, 441000L)) ==
+      Some(("flac", "audio", Some(2), Some(44100), Some(16), None, None, Some(10000L))))
+    assert(parse(goldenFlac(1, 8000, 8, 0L)) == // zero samples: no duration
+      Some(("flac", "audio", Some(1), Some(8000), Some(8), None, None, None)))
+    assert(parse(goldenFlac(8, 192000, 24, 19200L)) ==
+      Some(("flac", "audio", Some(8), Some(192000), Some(24), None, None, Some(100L))))
+  }
+
+  test("parses MP3 across a real ID3v2 tag (syncsafe size skip) with CBR duration") {
+    // 200-byte tag body, 128 kbps (idx 9), 44100 (idx 0), stereo, 3996 B
+    // payload: audio bytes = 4 + 3996 => 32000 bits / 128 kbps = 250 ms
+    assert(parse(goldenMp3(9, 0, 0, 200, 3996)) ==
+      Some(("mp3", "audio", Some(2), Some(44100), None, None, None, Some(250L))))
+    // mono (mode 3), 32 kbps, 32 kHz, no tag body
+    assert(parse(goldenMp3(1, 2, 3, 0, 396)) ==
+      Some(("mp3", "audio", Some(1), Some(32000), None, None, None, Some(100L))))
+    // free-format (idx 0) and reserved (sr idx 3) headers are unparseable
+    assert(parse(goldenMp3(0, 0, 0, 0, 100)) == None)
+    assert(parse(goldenMp3(9, 3, 0, 0, 100)) == None)
+  }
+
+  test("parses Ogg id packets for both Vorbis and Opus streams") {
+    assert(parse(goldenOgg(vorbisId(2, 44100))) ==
+      Some(("ogg", "audio", Some(2), Some(44100), None, None, None, None)))
+    assert(parse(goldenOgg(opusHead(1, 48000))) ==
+      Some(("ogg", "audio", Some(1), Some(48000), None, None, None, None)))
+    // an Ogg page whose first packet is neither id header is unparseable
+    assert(parse(goldenOgg("notanidpacket!".getBytes("US-ASCII"))) == None)
+  }
+
+  test("the in-plan audio hex synthesis agrees byte-for-byte with the builders") {
+    def planBytes(fmt: Int, ch: Int, rate: Int, bits: Int, samples: Long,
+        brIdx: Int, srIdx: Int, chMode: Int, db: Int): Array[Byte] =
+      Seq(Tuple1(0)).toDF("x")
+        .select(Multimodal.syntheticAudio(lit(fmt), lit(ch), lit(rate),
+          lit(bits), lit(samples), lit(brIdx), lit(srIdx), lit(chMode),
+          lit(db)).as("p"))
+        .collect().head.getAs[Array[Byte]](0)
+    assert(planBytes(0, 2, 44100, 16, 441000L, 0, 0, 0, 0).toSeq ==
+      goldenFlac(2, 44100, 16, 441000L).toSeq)
+    assert(planBytes(1, 0, 0, 8, 0L, 9, 1, 2, 7).toSeq ==
+      goldenMp3(9, 1, 2, 0, 7).toSeq)
+    assert(planBytes(2, 2, 44100, 8, 0L, 0, 0, 0, 0).toSeq ==
+      goldenOgg(vorbisId(2, 44100)).toSeq)
+    assert(planBytes(3, 1, 48000, 8, 0L, 0, 0, 0, 0).toSeq ==
+      goldenOgg(opusHead(1, 48000)).toSeq)
+  }
+
+  test("truncated audio containers yield null, never throw") {
+    val flac = goldenFlac(2, 44100, 16, 441000L)
+    (4 to flac.length - 1 by 3).foreach(cut => parse(flac.take(cut)))
+    assert(parse(flac.take(20)) == None)
+    val mp3 = goldenMp3(9, 0, 0, 30, 100)
+    (2 to mp3.length - 1 by 3).foreach(cut => parse(mp3.take(cut)))
+    assert(parse(mp3.take(12)) == None) // cut inside the tag
+    val ogg = goldenOgg(vorbisId(2, 44100))
+    (4 to ogg.length - 1 by 3).foreach(cut => parse(ogg.take(cut)))
+    assert(parse(ogg.take(30)) == None)
+    // ID3 bytes that are not syncsafe (top bit set) are malformed
+    val badTag = mp3.clone(); badTag(6) = 0x80.toByte
+    assert(parse(badTag) == None)
+  }
+
   test("the parse projection stays scan-side (no exchange, no rdd)") {
     val df = Seq((1L, jdkWav(1, 8000, 8, 100))).toDF("doc_id", "payload")
     val out = Multimodal.extractAvMeta(df, "doc_id", "payload")
