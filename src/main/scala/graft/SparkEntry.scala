@@ -1994,6 +1994,25 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))),
 
+    // §2#24c Bloom runtime-filter join — the OTHER big-join lever next to
+    // salting: the build side's key set rides as a bounded bit array and
+    // prunes probe rows BEFORE their shuffle (a ~20%-selective build side
+    // cuts probe shuffle bytes ~5×). No false negatives, so the result is
+    // byte-identical to the plain join and the oracle is the plain SQL join.
+    "q_bloom_join" -> ((s, dir) =>
+      RuntimeFilter.bloomJoin(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("orderkey"), col("l_returnflag"),
+              col("l_quantity")),
+          Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("orderkey"), col("o_orderstatus")),
+          "orderkey", bloomBits = 1 << 16, nHashes = 4)
+        .groupBy(col("o_orderstatus"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))),
+
     // §2#33 LSH-bucketed ANN — the FAST path is now hash-exact too: the
     // default hyperplanes are engine-portable integer-derived uniforms
     // (Similarity.hyperplanes), so the oracle replays buckets, multi-probe
@@ -6657,6 +6676,14 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // Bloom pruning has no false negatives => plain-join oracle
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, l_returnflag, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS total_qty
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
