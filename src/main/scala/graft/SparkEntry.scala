@@ -2013,6 +2013,32 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))),
 
+    // §2#24d bucketed co-located join — the one-time-layout answer to the
+    // recurring fact⋈fact shuffle: both sides written bucketed on their
+    // join key (REAL bucketBy write path, external tables), then joined
+    // with ZERO exchange on either side (BucketJoinPlanSpec pins it; the
+    // only exchange in the gate plan is the final aggregation's). Content
+    // gate: the join result must equal the plain SQL join on the originals.
+    "q_bucket_join" -> ((s, dir) => {
+      Bucketing.dropPrefixed(s, "graft_bkt_")
+      val tmp = gateTmpDir("graft_bucket-")
+      val n = System.nanoTime()
+      val ot = s"graft_bkt_o_$n"
+      val lt = s"graft_bkt_l_$n"
+      Bucketing.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        ot, s"$tmp/orders", "o_orderkey", nBuckets = 8)
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag", "l_quantity"),
+        lt, s"$tmp/lineitem", "l_orderkey", nBuckets = 8)
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))
+    }),
+
     // §2#33 LSH-bucketed ANN — the FAST path is now hash-exact too: the
     // default hyperplanes are engine-portable integer-derived uniforms
     // (Similarity.hyperplanes), so the oracle replays buckets, multi-probe
@@ -6683,6 +6709,13 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS total_qty
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the bucketed layout must be a no-op on join content
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, l_returnflag, cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(12,2))) AS double) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_exact" ->
