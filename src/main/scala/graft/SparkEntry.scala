@@ -3429,6 +3429,36 @@ object SparkEntry {
         QualityClassifier.seededWeights(256, seed = 29L),
         scale = 0.05, bias = 0.0, seed = 29L)),
 
+    // §2#48d classifier EVALUATION over the corpus — bucketed ROC-AUC
+    // (Mann–Whitney with average-rank ties at bucket grain, the MLlib
+    // numBins device) + threshold confusion metrics, measuring the learned
+    // classifier against the rule filter's labels (the distillation check
+    // a production quality model ships with). One corpus scan computes
+    // score AND label; the rank statistic aggregates a bounded bucket
+    // table. Every rank is a multiple of 0.5 < 2^52 ⇒ exact doubles, one
+    // rounding step (the final division) — hash-exact cross-engine.
+    "q_classifier_eval" -> ((s, dir) => {
+      val w = QualityClassifier.seededWeights(256, seed = 29L)
+      val st = graft.plans.TextExpressions.tokenStats(col("text"), Text.EnStopwords)
+      val sig = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          st.as("_st"),
+          size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"),
+          size(QualityClassifier.features(col("text"))).cast("long").as("n_features"),
+          QualityClassifier.weightSum(col("text"), w, seed = 29L).as("sum_w"))
+        .select(col("doc_id"), col("n_features"), col("sum_w"),
+          (!(col("_st.n_tokens") < 32 ||
+            (col("_st.n_tokens") - col("n_distinct")).cast("double")
+              > lit(0.6) * col("_st.n_tokens").cast("double") ||
+            col("_st.stopword_cnt").cast("double")
+              < lit(0.03) * col("_st.n_tokens").cast("double"))).as("label"))
+      Eval.binaryMetrics(sig,
+        bucket = floor(col("sum_w").cast("double") * lit(16.0)
+          / greatest(col("n_features"), lit(1L)).cast("double")).cast("long"),
+        label = col("label"),
+        predicted = col("sum_w") > 0)
+    }),
+
     // §2#48b segment-grain quality classification — the learned filter at
     // the grain where production boilerplate removal operates: every
     // aligned 8-word segment (WordSegments kernel) is scored by the SAME
@@ -7348,6 +7378,77 @@ object SparkEntry {
          |      AS logit
          |  FROM sc)
          |SELECT doc_id, n_features, sum_w, logit, logit > 0 AS pass FROM lg""".stripMargin
+    },
+
+    // eval replay: the SAME classifier chain + the SAME rule labels, then
+    // bucketed average-rank AUC — every rank a multiple of 0.5 (exact
+    // doubles), one rounding step per ratio
+    "q_classifier_eval" -> {
+      val wlist = QualityClassifier.seededWeights(256, 29L).mkString("[", ", ", "]")
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |feats AS (SELECT doc_id, list_concat(tk,
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+         |    ELSE [] END) AS fs
+         |  FROM toks),
+         |base AS (SELECT doc_id, len(fs) AS n_features FROM feats),
+         |h0 AS (SELECT doc_id, unnest(fs) AS shingle FROM feats),
+         |folded AS (SELECT doc_id, $FnvFoldSql AS h FROM h0),
+         |z0 AS (SELECT doc_id,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden) % 18446744073709551616
+         |      AS UBIGINT) AS z FROM folded),
+         |z1 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 30)", Mix1B)} AS z FROM z0),
+         |z2 AS (SELECT doc_id, ${mulModSql("xor(z, z >> 27)", Mix2B)} AS z FROM z1),
+         |hv AS (SELECT doc_id, xor(z, z >> 31) AS z FROM z2),
+         |wsum AS (SELECT doc_id,
+         |    sum(($wlist)[cast(z % 256 AS bigint) + 1]) AS sum_w
+         |  FROM hv GROUP BY 1),
+         |sc AS (SELECT b.doc_id, cast(b.n_features AS bigint) AS n_features,
+         |    cast(coalesce(w.sum_w, 0) AS bigint) AS sum_w
+         |  FROM base b LEFT JOIN wsum w USING (doc_id)),
+         |lab AS (SELECT doc_id, NOT (len(tk) < 32
+         |    OR cast(len(tk) - len(list_distinct(tk)) AS double)
+         |      > 0.6 * cast(len(tk) AS double)
+         |    OR cast(len(list_filter(tk, t -> list_contains(
+         |        ['the','a','an','of','and','to','in','is','it','that'], t)))
+         |        AS double)
+         |      < 0.03 * cast(len(tk) AS double)) AS label
+         |  FROM toks),
+         |ev AS (SELECT sc.doc_id,
+         |    cast(floor(cast(sum_w AS double) * 16.0
+         |      / cast(greatest(n_features, 1) AS double)) AS bigint) AS bucket,
+         |    lab.label AS label, sum_w > 0 AS pred
+         |  FROM sc JOIN lab USING (doc_id)),
+         |g AS (SELECT bucket, count(*) AS cnt,
+         |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn
+         |  FROM ev GROUP BY 1),
+         |r AS (SELECT *, sum(cnt) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) - cnt AS cum_less FROM g),
+         |a AS (SELECT cast(sum(pos) AS bigint) AS n_pos,
+         |    cast(sum(cnt - pos) AS bigint) AS n_neg,
+         |    sum(cast(pos AS double) * (cast(cum_less AS double)
+         |      + (cast(cnt AS double) + 1.0) / 2.0)) AS rank_sum,
+         |    cast(sum(tp) AS bigint) AS tp, cast(sum(fp) AS bigint) AS fp,
+         |    cast(sum(fn) AS bigint) AS fn, cast(sum(cnt) AS bigint) AS n
+         |  FROM r)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    (rank_sum - cast(n_pos AS double) * (cast(n_pos AS double) + 1.0)
+         |      / 2.0)
+         |    / (cast(n_pos AS double) * cast(n_neg AS double)) END AS auc,
+         |  tp, fp, fn, n - tp - fp - fn AS tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN cast(tp AS double) / cast(tp + fp AS double) END AS "precision",
+         |  CASE WHEN tp + fn > 0
+         |    THEN cast(tp AS double) / cast(tp + fn AS double) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN cast(2 * tp AS double) / cast(2 * tp + fp + fn AS double)
+         |    END AS f1
+         |FROM a""".stripMargin
     },
 
     // multiclass langid replay: ONE shared splitmix bucket chain over the
