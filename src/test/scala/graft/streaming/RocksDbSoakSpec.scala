@@ -435,4 +435,60 @@ class RocksDbSoakSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("stream-stream LEFT OUTER join on RocksDB: eviction emits outer rows, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val views = MemoryStream[(Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+      val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "10 minutes")
+      val pu = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      val joined = v.join(pu,
+        $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+          $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"), "left_outer")
+      val query = joined.writeStream.format("memory").queryName("sslj_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // only EVEN keys ever get a purchase: half of each batch's views
+        // can only leave the store as watermark-evicted outer rows
+        (0 until Batches).foreach { b =>
+          val t = base + b * 1200000L
+          views.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(t))))
+          purchases.addData((0 until Entities by 2).map(k =>
+            (k.toLong, new java.sql.Timestamp(t + 300000L))))
+          query.processAllAvailable()
+        }
+        // far-future flush pair so the final batches' outer rows finalize
+        val flushT = base + (Batches + 8) * 1200000L
+        views.addData(Seq((-1L, new java.sql.Timestamp(flushT))))
+        purchases.addData(Seq((-1L, new java.sql.Timestamp(flushT))))
+        query.processAllAvailable()
+        views.addData(Seq((-1L, new java.sql.Timestamp(flushT + 1200000L))))
+        purchases.addData(Seq((-1L, new java.sql.Timestamp(flushT + 1200000L))))
+        query.processAllAvailable()
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= 6L * Entities,
+          s"outer-join state exceeded the watermark horizon: ${stateRows.mkString(",")}")
+        // emitted = batch LEFT join over everything (flush keys excluded):
+        // matched pairs AND every odd-key view as a null-extended row
+        val out = spark.table("sslj_soak").filter($"v_user" =!= -1L)
+        val matched = out.filter($"p_user".isNotNull).count()
+        val outer = out.filter($"p_user".isNull).count()
+        val allV = (0 until Batches).flatMap(b => (0 until Entities).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L))))
+        val allP = (0 until Batches).flatMap(b => (0 until Entities by 2).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L + 300000L))))
+        val batchMatched = allV.toDF("v_user", "v_ts").join(allP.toDF("p_user", "p_ts"),
+          $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+            $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES")).count()
+        assert(matched == batchMatched,
+          s"matched rows: stream $matched vs batch $batchMatched")
+        assert(outer == (Entities / 2).toLong * Batches,
+          s"every odd-key view must surface as ONE outer row, got $outer")
+      } finally query.stop()
+    }
+  }
 }
