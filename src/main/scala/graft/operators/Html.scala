@@ -69,18 +69,45 @@ object Html {
       idCol: String,
       htmlCol: String,
       minWords: Int = 5,
+      maxLinkDensity: Double = 0.33): DataFrame =
+    signals(
+      df.select(col(idCol),
+          posexplode(graft.plans.HtmlExpressions.htmlBlocks(col(htmlCol)))
+            .as(Seq("block_idx", "_b")))
+        .select(col(idCol), col("block_idx"),
+          col("_b.text").as("text"), col("_b.link_chars").as("link_chars")),
+      minWords, maxLinkDensity)
+
+  /** The regex formulation of [[blocks]] — kept as the executable
+    * specification the native [[graft.plans.HtmlKernels]] kernel is
+    * differentially tested against (HtmlKernelSpec); the DuckDB oracle
+    * replays THESE patterns.
+    */
+  private[graft] def blocksRegex(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minWords: Int = 5,
       maxLinkDensity: Double = 0.33): DataFrame = {
     val linkChars = aggregate(
       transform(
         regexp_extract_all(col("_raw"), lit(LinkRe), lit(1)),
         x => length(cleanText(x)).cast("long")),
       lit(0L), (a, x) => a + x)
-    df.select(col(idCol),
-        posexplode(split(stripNonContent(col(htmlCol)), BlockSplitRe))
-          .as(Seq("block_idx", "_raw")))
-      .select(col(idCol), col("block_idx"),
-        cleanText(col("_raw")).as("text"), linkChars.as("link_chars"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    signals(
+      df.select(col(idCol),
+          posexplode(split(stripNonContent(col(htmlCol)), BlockSplitRe))
+            .as(Seq("block_idx", "_raw")))
+        .select(col(idCol), col("block_idx"),
+          cleanText(col("_raw")).as("text"), linkChars.as("link_chars")),
+      minWords, maxLinkDensity)
+  }
+
+  /** Per-block signals + keep decision over `(.., block_idx, text,
+    * link_chars)` rows — shared by the kernel and regex paths.
+    */
+  private def signals(b: DataFrame, minWords: Int, maxLinkDensity: Double): DataFrame =
+    b.withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words",
         when(col("text") === "", lit(0L))
           .otherwise(size(split(col("text"), " ")).cast("long")))
@@ -90,7 +117,6 @@ object Html {
       .withColumn("kept",
         col("n_words") >= minWords && col("link_density") <= maxLinkDensity)
       .where(col("n_chars") > 0)
-  }
 
   /** Document-grain extraction: kept blocks joined in block order, with the
     * kept/dropped tallies a curation report wants. Documents whose every
