@@ -44,6 +44,18 @@ object Unigram {
     * Long overflow when two of them add. */
   val Neg: Long = -(1L << 40)
 
+  /** Per-character unknown penalty (the SentencePiece unk-edge device):
+    * single characters ABSENT from the piece table score this instead of
+    * [[Neg]], so applying an artifact to unseen text segments around the
+    * unknown chars (each becomes one UNK token) rather than collapsing
+    * the whole word. Calibration: any real piece scores ≥ −2^23-ish
+    * (ilog2q spans ≤ 63·2^16), so one unk char (−2^32) outweighs every
+    * real path, yet eight of them (−2^35) stay far above one [[Neg]]
+    * (−2^40) — segmentation minimizes unk-char count, never prefers an
+    * unknown multi-char piece. Unreachable during training: seeding and
+    * pruning always keep every single character. */
+  val UnkScore: Long = -(1L << 32)
+
   /** Exact-integer quantized log2: `e·2^16 + ((c − 2^e) << 16) >> e`
     * with `e = 63 − clz64(c)` — the exponent plus a linearly-interpolated
     * 16-bit mantissa fraction. Monotone in `c` (the property scoring
@@ -100,10 +112,12 @@ object Unigram {
         def cand(k: Int): Column = {
           val i = j - k
           val piece = word.substr(i + 1, lit(k))
+          // unknown single char: the UNK edge; unknown multi-char: dead
+          val miss = if (k == 1) UnkScore else Neg
           when(i >= 0,
             struct(
               (element_at(acc, (i + 1).cast("int")).getField("s") +
-                coalesce(element_at(m, piece), lit(Neg))).as("s"),
+                coalesce(element_at(m, piece), lit(miss))).as("s"),
               i.cast("int").as("bp")))
             .otherwise(struct(lit(2L * Neg).as("s"), lit(-1).as("bp")))
         }
@@ -232,14 +246,22 @@ object Unigram {
       row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("piece")))
         .cast("long").as("tid"))
+    // OOV safety (applying an artifact to unseen text): unknown chars
+    // segment as single-char UNK edges ([[UnkScore]]) and map to the
+    // reserved id 0 (dense ids start at 1); a word with NO artifact-known
+    // substring — dropped by segmented's inner piece join — becomes one
+    // word-grain UNK token. Both left joins are no-ops on self-trained
+    // corpora (single characters are never pruned, so every word segments
+    // into artifact pieces): gate hashes unchanged.
     val wordIds = segmented(vocab, artifact, maxLen)
       .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
-      .join(ids, "piece")
+      .join(ids, Seq("piece"), "left")
       .groupBy(col("word"))
       .agg(transform(
         array_sort(collect_list(struct(col("ppos"), col("tid")))),
-        x => x.getField("tid")).as("ids"))
-    words.join(wordIds, "word")
+        x => coalesce(x.getField("tid"), lit(0L))).as("ids"))
+    words.join(wordIds, Seq("word"), "left")
+      .withColumn("ids", coalesce(col("ids"), array(lit(0L))))
       .groupBy(col(idCol))
       .agg(
         sum(size(col("ids"))).cast("long").as("n_tokens"),

@@ -223,25 +223,30 @@ object MediaMeta {
     * (the RIFF word-alignment rule).
     */
   private def parseWav(b: Array[Byte]): InternalRow = {
-    var pos = 12
+    // pos is Long: a declared chunk size is unsigned 32-bit (up to 0xFFFFFFFF),
+    // so Int arithmetic could wrap negative (crash) or to 0 (infinite loop).
+    // With Long pos the increment is always >= 8, so the walk strictly advances
+    // and a chunk whose declared size overruns the buffer simply ends the scan
+    // (header-only probes of truncated files still yield the declared duration).
+    var pos = 12L
     var channels = -1
     var sampleRate = -1L
     var byteRate = -1L
     var bits = -1
     var dataSize = -1L
     while (pos + 8 <= b.length) {
-      val size = le32(b, pos + 4)
-      if (size < 0) return null
-      if (cc(b, pos, 'f', 'm', 't', ' ')) {
+      val p = pos.toInt
+      val size = le32(b, p + 4)
+      if (cc(b, p, 'f', 'm', 't', ' ')) {
         if (size < 16 || pos + 8 + 16 > b.length) return null
-        channels = le16(b, pos + 10)
-        sampleRate = le32(b, pos + 12)
-        byteRate = le32(b, pos + 16)
-        bits = le16(b, pos + 22)
-      } else if (cc(b, pos, 'd', 'a', 't', 'a')) {
+        channels = le16(b, p + 10)
+        sampleRate = le32(b, p + 12)
+        byteRate = le32(b, p + 16)
+        bits = le16(b, p + 22)
+      } else if (cc(b, p, 'd', 'a', 't', 'a')) {
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1)
+      pos += 8L + size + (size & 1L)
     }
     if (channels <= 0 || sampleRate <= 0 || bits <= 0) return null
     val durationMs: Any =
@@ -475,13 +480,16 @@ object MediaMeta {
       ok
     }
 
+    // Cluster is a SUCCESSFUL early exit; a malformed walk is not. The
+    // flag distinguishes the two, since both surface as `false` from walk.
+    var clusterStop = false
     val ok = walk(0, b.length) { (id, p, e) =>
       id match {
         case 0x1A45DFA3L => true // EBML header: skip payload
         case 0x18538067L => // Segment
           walk(p, e) { (id2, p2, e2) =>
             id2 match {
-              case 0x1F43B675L => false // Cluster: media payload — stop here
+              case 0x1F43B675L => clusterStop = true; false // Cluster: media payload — stop here
               case 0x1549A966L => // Info
                 walk(p2, e2) { (id3, p3, e3) =>
                   id3 match {
@@ -496,11 +504,13 @@ object MediaMeta {
                 }
               case _ => true
             }
-          } || true // a Cluster stop is a SUCCESSFUL early exit
+          } && !clusterStop // stop the whole walk once media payload starts
         case _ => true
       }
     }
-    if (!ok) return null
+    // success = a clean walk, or the intentional first-Cluster early exit;
+    // a malformed vint / overrunning element anywhere before that is null
+    if (!ok && !clusterStop) return null
     if (!sawVideo && !sawAudio) return null
     val mediaType = if (sawVideo) "video" else "audio"
     val durationMs: Any =

@@ -158,10 +158,10 @@ case class NearestCentroid(
         s += d * d
         i += 1
       }
-      // a NaN sum (NaN/±Inf elements) fails every strict-< comparison and
-      // would silently leave bestCell at its initializer — surface it as
-      // null instead, the same rule as a null element
-      if (java.lang.Double.isNaN(s)) return null
+      // a non-finite sum (NaN or ±Inf elements) either fails every strict-<
+      // comparison or pins +Infinity at cell 0 — surface it as null instead,
+      // the same rule as a null element
+      if (!java.lang.Double.isFinite(s)) return null
       // strict < + ascending-cell iteration == array_min's (d2, cell) order
       if (s < best) { best = s; bestCell = cells(k) }
       k += 1
@@ -195,7 +195,7 @@ case class NearestCentroid(
          |    double $d = (double) $v.$get($i) - $c[$i];
          |    $s += $d * $d;
          |  }
-         |  if (!${ev.isNull} && Double.isNaN($s)) { ${ev.isNull} = true; }
+         |  if (!${ev.isNull} && !Double.isFinite($s)) { ${ev.isNull} = true; }
          |  if (!${ev.isNull} && $s < $best) { $best = $s; $bestCell = $cellsRef[$k]; }
          |}
          |if (!${ev.isNull}) {

@@ -89,6 +89,27 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("OOV pieces map to the reserved UNK id 0, never silently drop") {
+    // artifact trained on a/b/c text only; apply to documents with chars
+    // the artifact has never seen
+    val train = Seq((1L, "abc abc cab")).toDF("doc_id", "text")
+    val art = Unigram.trainArtifact(train, "text", rounds = 1, keepK = 8)
+    val docs = Seq(
+      (10L, "abc"), // fully in-vocab
+      (11L, "abz"), // 'z' unknown -> UNK mid-sequence, a+b still counted
+      (12L, "xyz")) // no known substring at all -> one word-grain UNK
+      .toDF("doc_id", "text")
+    val out = Unigram.docTokenIds(docs, "doc_id", "text", art)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L), "no document may vanish")
+    val byDoc = out.map(o => o._1 -> o).toMap
+    assert(!byDoc(10L)._3.split(",").contains("0"))
+    val ids11 = byDoc(11L)._3.split(",").map(_.toLong)
+    assert(ids11.contains(0L) && ids11.exists(_ > 0L))
+    assert(byDoc(11L)._2 == ids11.length)
+    assert(byDoc(12L)._3 == "0" && byDoc(12L)._2 == 1L)
+  }
+
   test("training rounds run on the vocab table (no corpus rescan per round)") {
     // structural: trainArtifact only scans docs inside wordVocab; the
     // returned artifact's plan must not reference the documents source

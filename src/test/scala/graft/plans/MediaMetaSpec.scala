@@ -197,7 +197,7 @@ class MediaMetaSpec extends SparkSpec {
 
   test("corrupt, truncated and alien bytes all yield null, never throw") {
     assert(parse(Array[Byte]()) == None)
-    assert(parse("RIFF  ".getBytes("US-ASCII")) == None)
+    assert(parse("RIFF\u0000\u0000".getBytes("US-ASCII")) == None)
     assert(parse("RIFFxxxxWAVEjunkjunkjunk".getBytes("US-ASCII")) == None)
     // truncated JDK WAV: cut inside the fmt chunk
     assert(parse(jdkWav(2, 16000, 16, 100).take(20)) == None)
@@ -209,6 +209,42 @@ class MediaMetaSpec extends SparkSpec {
       Array[Byte](0, 0, 0, 2, 'm', 'o', 'o', 'v')
     assert(parse(tiny) == None)
     assert(parse(jdkEncodedPngIsNotMedia) == None)
+  }
+
+  test("WAV chunk sizes >= 2^31 neither crash nor hang the walk") {
+    // declared size 0x80000000 (Int.MinValue when narrowed): must not
+    // drive the walk position negative
+    def riff(chunkSize: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("JUNK".getBytes("US-ASCII")).putInt(chunkSize.toInt)
+        .putInt(0)
+      b.array()
+    }
+    assert(parse(riff(0x80000000L)) == None)
+    // declared size 0xFFFFFFF8 made the old Int increment exactly 0 —
+    // an infinite loop; with a Long position the walk strictly advances
+    assert(parse(riff(0xFFFFFFF8L)) == None)
+    assert(parse(riff(0xFFFFFFFFL)) == None)
+    // a valid fmt chunk followed by an oversized data declaration still
+    // reports the header fields (header-only probe of a truncated file)
+    val good = jdkWav(1, 8000, 16, 100)
+    val probe = good.take(good.length - 100) // cut inside data payload
+    assert(parse(probe).exists(_._3 == Some(1)))
+  }
+
+  test("malformed EBML inside the MKV Segment yields null, not partial rows") {
+    val full = goldenMkv(video = true, 64, 64, 0, 0f, 100f, 0)
+    // corrupt a vint INSIDE the Segment (zero first byte = malformed):
+    // find the Segment id 0x18538067 and zero a byte in its interior
+    val segAt = full.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    assert(segAt >= 0)
+    val bad = full.clone()
+    bad(segAt + 5) = 0 // first content byte (after 4-byte id + 1-byte size
+                       // vint) → zero id vint, malformed
+    assert(parse(bad) == None)
   }
 
   private def jdkEncodedPngIsNotMedia: Array[Byte] = {

@@ -53,4 +53,20 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Double].collect()
     assert(r.head == 11.0)
   }
+
+  test("NearestCentroid nulls non-finite inputs instead of pinning cell 0") {
+    val model = Array((0L, Array(0.0, 0.0)), (7L, Array(10.0, 10.0)))
+    def assign(v: Array[Float]): Option[Long] = {
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(VectorExpressions.nearestCentroid($"v", model).as("n"))
+        .select($"n.cell").collect().head
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    assert(assign(Array(9.0f, 9.0f)) == Some(7L))
+    assert(assign(Array(Float.NaN, 1.0f)) == None)
+    // +Inf gave s = +Infinity for EVERY centroid: strict < never fired and
+    // the old NaN-only check silently returned (Infinity, cell 0)
+    assert(assign(Array(Float.PositiveInfinity, 1.0f)) == None)
+    assert(assign(Array(Float.NegativeInfinity, 1.0f)) == None)
+  }
 }
