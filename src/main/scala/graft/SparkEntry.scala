@@ -354,6 +354,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB CTE chain replaying `Bpe.trainBytes(documents, "text", m)`:
+    * the byte-level (GPT-2-shape) variant of [[bpeOracleCtes]] — the
+    * regex pre-tokenizer chunks raw text (no lowercase, no filter), each
+    * pre-token encodes to sentinel-delimited 2-digit-hex BYTE symbols
+    * (`hex(encode(word))`), then the identical merge-round replay. RE2
+    * (DuckDB) and Java regex (Spark) agree on the ASCII-class,
+    * no-lookahead pattern match for match.
+    */
+  private def bpeBytesOracleCtes(m: Int): String = {
+    val pat = graft.operators.Bpe.BytePretokenPattern
+    val sb = new StringBuilder
+    sb.append(
+      s"""bbtoks AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS word
+         |  FROM documents),
+         |bbwv AS (SELECT word, count(*) AS cnt FROM bbtoks GROUP BY 1),
+         |bbv0 AS (SELECT word, chr(1) || array_to_string(
+         |    list_transform(range(1, length(hx) // 2 + 1),
+         |      i -> substring(hx, i * 2 - 1, 2)),
+         |    chr(1) || chr(1)) || chr(1) AS s, cnt
+         |  FROM (SELECT word, hex(encode(word)) AS hx, cnt FROM bbwv))""".stripMargin)
+    for (j <- 1 to m) {
+      sb.append(
+        s""",
+           |bbp$j AS (SELECT u.a AS a, u.b AS b, sum(cnt) AS pcnt FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |      i -> struct_pack(a := sy[i], b := sy[i + 1]))) AS u
+           |    FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+           |      chr(1) || chr(1)) AS sy, cnt FROM bbv${j - 1})
+           |  ) GROUP BY 1, 2),
+           |bbb$j AS (SELECT a, b, pcnt FROM bbp$j ORDER BY pcnt DESC, a, b LIMIT 1),
+           |bbv$j AS (SELECT bbv${j - 1}.word, replace(bbv${j - 1}.s,
+           |    chr(1) || bbb$j.a || chr(1) || chr(1) || bbb$j.b || chr(1),
+           |    chr(1) || bbb$j.a || bbb$j.b || chr(1)) AS s, bbv${j - 1}.cnt
+           |  FROM bbv${j - 1}, bbb$j)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Recursive-CTE replay of [[graft.operators.Unigram]]'s hard-EM
     * trajectory (requires `WITH RECURSIVE`): seed substring counts,
     * integer ilog2q scores (exponent CASE chain + shifted mantissa
@@ -3692,6 +3730,29 @@ object SparkEntry {
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
+    }),
+
+    // §2#36k BYTE-level BPE training (the GPT-2/tiktoken shape): regex
+    // pre-tokenizer chunks raw text, the alphabet is UTF-8 BYTES as hex
+    // symbols (any input tokenizes, no unknown symbol), then the same
+    // vocab-table merge discipline — corpus scanned once, each round one
+    // vocab-sized pair count + a 1-row argmax + one literal replace
+    "q_bpe_bytes_train" -> ((s, dir) =>
+      Bpe.mergeTable(s, Bpe.trainBytes(Tables.documents(s, dir), "text", m = 8))),
+
+    // §2#36l the byte-level tokenizer APPLIED: segmentation on the
+    // pre-token vocab, global top-40 subword byte sequences (hex)
+    "q_bpe_bytes_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.byteSubwordCounts(docs, "text", Bpe.trainBytes(docs, "text", m = 8), k = 40)
+    }),
+
+    // §2#36m doc-grain byte tokenization — what packing consumes at the
+    // GPT-2 grain: each DISTINCT pre-token segments once (vocab-table
+    // trick), documents re-assemble into ordered hex-token sequences
+    "q_bpe_bytes_doc_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.docByteTokens(docs, "doc_id", "text", Bpe.trainBytes(docs, "text", m = 8))
     }),
 
     // §2#36h unigram-LM tokenizer TRAINING (SentencePiece family, Kudo
@@ -7546,6 +7607,40 @@ object SparkEntry {
          |  FROM sw GROUP BY 1)
          |SELECT subword, n_occurrences FROM agg
          |ORDER BY n_occurrences DESC, subword LIMIT 40""".stripMargin),
+
+    // byte-level BPE trajectory replay: regex pre-tokens, hex byte
+    // symbols, then the identical merge-round replay (replace semantics
+    // again identical in both engines)
+    "q_bpe_bytes_train" -> (
+      s"""WITH ${bpeBytesOracleCtes(8)}
+         |${(1 to 8).map(j =>
+            s"SELECT cast($j AS bigint) AS step, a AS sym_a, b AS sym_b, " +
+              s"cast(pcnt AS bigint) AS pair_cnt FROM bbb$j")
+            .mkString("", "\nUNION ALL\n", "")}""".stripMargin),
+
+    "q_bpe_bytes_tokenize" -> (
+      s"""WITH ${bpeBytesOracleCtes(8)},
+         |bsw AS (SELECT unnest(string_split(substring(s, 2, length(s) - 2),
+         |    chr(1) || chr(1))) AS subword, cnt FROM bbv8),
+         |bagg AS (SELECT subword, cast(sum(cnt) AS bigint) AS n_occurrences
+         |  FROM bsw GROUP BY 1)
+         |SELECT subword, n_occurrences FROM bagg
+         |ORDER BY n_occurrences DESC, subword LIMIT 40""".stripMargin),
+
+    "q_bpe_bytes_doc_ids" -> (
+      s"""WITH ${bpeBytesOracleCtes(8)},
+         |bwt AS (SELECT word, string_split(substring(s, 2, length(s) - 2),
+         |    chr(1) || chr(1)) AS toks FROM bbv8),
+         |bdw AS (SELECT doc_id, u.i AS wpos, u.w AS word FROM (
+         |    SELECT doc_id, regexp_extract_all(text,
+         |      '${graft.operators.Bpe.BytePretokenPattern}') AS tks FROM documents),
+         |  unnest(list_transform(range(1, len(tks) + 1),
+         |    i -> struct_pack(i := i, w := tks[i]))) AS t(u))
+         |SELECT doc_id,
+         |  cast(sum(len(toks)) AS bigint) AS n_tokens,
+         |  array_to_string(flatten(list(toks ORDER BY wpos)), ',') AS token_hex
+         |FROM bdw JOIN bwt USING (word)
+         |GROUP BY doc_id""".stripMargin),
 
     // unigram-LM trajectory replay: seed counts, integer ilog2q scores,
     // recursive Viterbi DP + backtrace, two pruning rounds, final artifact

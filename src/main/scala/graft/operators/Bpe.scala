@@ -77,11 +77,23 @@ object Bpe {
   def train(
       docs: DataFrame,
       textCol: String,
+      m: Int): Array[(Int, String, String, Long)] =
+    trainOnVocab(
+      wordVocab(docs, textCol)
+        .select(symStr(col("word")).as("s"), col("cnt")),
+      m)
+
+  /** The merge loop over any sentinel-delimited (s, cnt) vocab frame —
+    * shared by the char-grain [[train]] and byte-grain
+    * [[trainBytes]] paths. Each round: one vocab-sized pair
+    * count + a 1-row argmax collect + one literal replace;
+    * `localCheckpoint` pins each round so plans don't nest.
+    */
+  private def trainOnVocab(
+      vocab0: DataFrame,
       m: Int): Array[(Int, String, String, Long)] = {
     require(m > 0, s"need at least one merge, got $m")
-    var vocab = wordVocab(docs, textCol)
-      .select(symStr(col("word")).as("s"), col("cnt"))
-      .localCheckpoint(true)
+    var vocab = vocab0.localCheckpoint(true)
     val merges = Array.newBuilder[(Int, String, String, Long)]
     var step = 1
     var done = false
@@ -134,5 +146,109 @@ object Bpe {
       .agg(sum(col("cnt")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("subword"))
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Byte-level BPE (the GPT-2/tiktoken shape, Radford et al. 2019): the
+  // alphabet is the 256 UTF-8 BYTES, not characters, so ANY input —
+  // uppercase, punctuation, emoji, arbitrary Unicode — tokenizes with no
+  // unknown symbol, and a regex pre-tokenizer chunks text before merging
+  // so merges never cross word/punctuation boundaries. This is the grain
+  // production LLM pipelines count and pack tokens at.
+  // ---------------------------------------------------------------------
+
+  /** Regex pre-tokenizer: space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual space runs —
+    * the GPT-2 pattern's shape restricted to ASCII classes and no
+    * lookahead, so Java regex (Spark) and RE2 (DuckDB) agree match for
+    * match. (GPT-2 proper uses `\p{L}`/`\p{N}` and a `\s+(?!\S)`
+    * lookahead; RE2 has no lookahead, so trailing-space attachment
+    * differs from GPT-2 on multi-space runs — deterministically so.)
+    */
+  val BytePretokenPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** Pre-token vocabulary with counts: ONE corpus scan, the byte-level
+    * twin of [[wordVocab]] (no lowercase, no filter — every byte of every
+    * token participates). */
+  def byteVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+        explode(regexp_extract_all(col(textCol),
+          lit(BytePretokenPattern), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sentinel-delimited BYTE-symbol encoding: each UTF-8 byte as its
+    * 2-digit uppercase hex (merged symbols concatenate to longer hex
+    * strings). Hex never collides with the U+0001 sentinel regardless of
+    * input bytes — stronger than the char-grain encoding's `[a-z0-9]+`
+    * precondition — and hex strings hash engine-portably. */
+  private def byteSymStr(word: Column): Column = {
+    val hx = hex(encode(word, "UTF-8"))
+    concat(lit(D),
+      concat_ws(D + D,
+        transform(
+          sequence(lit(1), (length(hx) / 2).cast("int")),
+          i => substring(hx, i * 2 - 1, lit(2)))),
+      lit(D))
+  }
+
+  /** Train `m` byte-grain merges over the pre-token vocabulary. Merge
+    * table symbols are hex byte sequences (`"74"`, `"7468"`, ...). */
+  def trainBytes(
+      docs: DataFrame,
+      textCol: String,
+      m: Int): Array[(Int, String, String, Long)] =
+    trainOnVocab(
+      byteVocab(docs, textCol)
+        .select(byteSymStr(col("word")).as("s"), col("cnt")),
+      m)
+
+  /** Apply a byte-grain merge list: per-subword corpus frequencies, the
+    * subword as its hex byte sequence (top `k` by count, ties to the
+    * smaller hex string). Segmentation runs on the pre-token VOCAB —
+    * the corpus is scanned once for counts. */
+  def byteSubwordCounts(
+      docs: DataFrame,
+      textCol: String,
+      merges: Array[(Int, String, String, Long)],
+      k: Int): DataFrame = {
+    val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
+      replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    byteVocab(docs, textCol)
+      .select(col("cnt"), explode(symsOf(applied)).as("subword"))
+      .groupBy(col("subword"))
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("subword"))
+      .limit(k)
+  }
+
+  /** Doc-grain byte tokenization — the packing-stage consumable, the
+    * [[Unigram.docTokenIds]] twin at the byte-BPE grain: each document's
+    * pre-token sequence segments under the merges (each DISTINCT
+    * pre-token once, the vocab-table trick) and the document becomes its
+    * ordered comma-joined hex-token sequence plus a token count. */
+  def docByteTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Array[(Int, String, String, Long)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(regexp_extract_all(col(textCol),
+        lit(BytePretokenPattern), lit(0))).as(Seq("wpos", "word")))
+    val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
+      replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    val wordToks = words.select(col("word")).distinct()
+      .select(col("word"), symsOf(applied).as("toks"))
+    words.join(wordToks, "word")
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("toks"))).cast("long").as("n_tokens"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("wpos"), col("toks")))),
+            x => x.getField("toks"))),
+          ",").as("token_hex"))
   }
 }

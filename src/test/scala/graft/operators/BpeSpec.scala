@@ -47,4 +47,45 @@ class BpeSpec extends SparkSpec {
     val m2 = Bpe.train(docs.coalesce(1), "text", m = 4)
     assert(m1.toSeq == m2.toSeq)
   }
+
+  test("byte-level pre-tokenizer keeps GPT-2 space attachment and covers any input") {
+    val docs = Seq("The cat, the Cat! Über-42").toDF("text")
+    val toks = Bpe.byteVocab(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // leading spaces attach to the following chunk; case preserved
+    assert(toks.contains("The") && toks.contains(" the") && toks.contains(" Cat"))
+    assert(toks.contains(",") && toks.contains("! ") == false)
+    assert(toks.contains("-42") == false && toks.contains("42"))
+    // non-ASCII survives (as its own punctuation-class run with the space)
+    assert(toks.keys.exists(_.contains("Ü")))
+    // full coverage: pre-token lengths sum to the input length
+    assert(toks.map { case (w, c) => w.length * c }.sum == "The cat, the Cat! Über-42".length)
+  }
+
+  test("byte-level merges operate on hex byte symbols") {
+    val merges = Bpe.trainBytes(Seq.fill(5)("to to to").toDF("text"), "text", m = 2)
+    // 't'=0x74 'o'=0x6F: first merge is (74, 6F) -> "746F"
+    assert(merges(0)._2 == "74" && merges(0)._3 == "6F")
+    val subs = Bpe.byteSubwordCounts(
+      Seq.fill(5)("to to to").toDF("text"), "text", merges, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(subs.contains("746F") || subs.contains("20746F"), s"got ${subs.keys}")
+  }
+
+  test("doc byte tokens decode back to the original text bytes") {
+    val docs = Seq((1L, "Hi there!"), (2L, "x 42")).toDF("doc_id", "text")
+    val merges = Bpe.trainBytes(docs, "text", m = 3)
+    val out = Bpe.docByteTokens(docs, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    out.foreach { case (id, n, hexCsv) =>
+      val toks = hexCsv.split(",")
+      assert(toks.length == n)
+      val bytes = toks.flatMap(t => t.grouped(2))
+        .map(h => Integer.parseInt(h, 16).toByte)
+      val decoded = new String(bytes, "UTF-8")
+      val expected = if (id == 1L) "Hi there!" else "x 42"
+      assert(decoded == expected, s"doc $id decoded '$decoded'")
+    }
+  }
 }
