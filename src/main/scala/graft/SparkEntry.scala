@@ -204,10 +204,10 @@ object SparkEntry {
     * corpus-scaled `max(8, ⌈n/1024⌉)` for q_semdedup, whose operator
     * contract is k ∝ corpus size).
     */
-  private def kMeansCtes(kSql: String): String =
+  private def kMeansCtes(kSql: String, srcWhere: String = "TRUE"): String =
     s"""emb AS (
       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-      |  FROM embeddings
+      |  FROM embeddings WHERE $srcWhere
       |), w0 AS (
       |  SELECT vec_id AS cell, v AS w FROM (
       |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM emb)
@@ -2211,6 +2211,26 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val k = math.max(8L, (emb.count() + 1023L) / 1024L).toInt
       SemDeDup.semDedup(emb, "vec_id", "embedding", k = k, iters = 2, tau = 0.3)
+    }),
+
+    // §2#32c INCREMENTAL SemDeDup — the production mode of arXiv:2303.09540
+    // and the vector-curation sibling of q_dedup_incremental /
+    // q_embed_incremental: the k-means model trains on the CORPUS once
+    // (k = max(8, ⌈n_corpus/1024⌉), the q_semdedup scaling), the corpus
+    // assignment persists as a (id, cell, vec, norm) INDEX, and the new
+    // batch (vec_id ≡ 0 mod 5) pays only its own scan-side assignment +
+    // a cell equi-join against the stored index — the corpus is never
+    // re-clustered or self-joined. Hash-exact: the oracle replays the
+    // 2-iter Lloyd trajectory on the corpus and splits at the pair join.
+    "q_semdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      val corpus = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      val k = math.max(8L, (corpus.count() + 1023L) / 1024L).toInt
+      val model = KMeans.lloydModel(corpus, "vec_id", "embedding", k = k, iters = 2)
+      SemDeDup.semDedupAgainst(batch,
+        SemDeDup.semDedupIndex(corpus, "vec_id", "embedding", model),
+        "vec_id", "embedding", model, tau = 0.3)
     }),
 
     // §2#33d IVF ANN with DETERMINISTIC integer centroids
@@ -6214,6 +6234,49 @@ object SparkEntry {
          |  (row_number() OVER (PARTITION BY component ORDER BY d2 DESC, vec_id)) = 1
          |    AS is_kept
          |FROM allv""".stripMargin),
+
+    "q_semdedup_incremental" ->
+      (s"""WITH ${kMeansCtes(
+             "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings" +
+               " WHERE vec_id % 5 <> 0",
+             "vec_id % 5 <> 0")},
+         |bemb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |  FROM embeddings WHERE vec_id % 5 = 0
+         |), bd AS (
+         |  SELECT e.vec_id, s.cell,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+         |  FROM bemb e, w2 s
+         |), ba AS (
+         |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM bd)
+         |  WHERE rn = 1
+         |), nc AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+         |    list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+         |    (acc, x) -> acc + x)) AS nv
+         |  FROM emb
+         |), nb AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+         |    list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+         |    (acc, x) -> acc + x)) AS nv
+         |  FROM bemb
+         |)
+         |SELECT id_new, id_corpus, cosine FROM (
+         |  SELECT b.vec_id AS id_new, c.vec_id AS id_corpus,
+         |    CASE WHEN na.nv * nb2.nv > 0 THEN
+         |      list_reduce(list_prepend(cast(0.0 AS double),
+         |        list_transform(range(1, len(ec.v) + 1), i -> ec.v[i] * eb.v[i])),
+         |        (acc, x) -> acc + x) / (na.nv * nb2.nv)
+         |    ELSE 0.0 END AS cosine
+         |  FROM ba b JOIN af c ON b.cell = c.cell
+         |  JOIN bemb eb ON eb.vec_id = b.vec_id
+         |  JOIN emb ec ON ec.vec_id = c.vec_id
+         |  JOIN nc na ON na.vec_id = c.vec_id
+         |  JOIN nb nb2 ON nb2.vec_id = b.vec_id
+         |) WHERE cosine >= 0.3""".stripMargin),
 
     "q_knn_ivf_det" ->
       """WITH cent AS (

@@ -231,7 +231,31 @@ object KMeans {
       idCol: String,
       vecCol: String,
       seeds: Array[(Long, Array[Double])],
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    assign(df, idCol, vecCol, lloydModelFrom(df, idCol, vecCol, seeds, iters))
+
+  /** The TRAINED MODEL a Lloyd run converges to — the k·D parameter array
+    * incremental consumers persist and re-assign against (SemDeDup batch
+    * mode, IVF coarse quantizers). Same trajectory as [[lloyd]]: calling
+    * `assign(df, model)` on the training frame reproduces [[lloyd]]'s
+    * output bit for bit.
+    */
+  def lloydModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[(Long, Array[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k, iters=$iters)")
+    lloydModelFrom(df, idCol, vecCol, seedSmallestIds(df, idCol, vecCol, k), iters)
+  }
+
+  private def lloydModelFrom(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Array[(Long, Array[Double])],
+      iters: Int): Array[(Long, Array[Double])] = {
     require(iters >= 0, s"need iters >= 0 (got $iters)")
     var centroids = seeds
     var it = 0
@@ -239,7 +263,7 @@ object KMeans {
       centroids = updateCentroids(assign(df, idCol, vecCol, centroids), vecCol)
       it += 1
     }
-    assign(df, idCol, vecCol, centroids)
+    centroids
   }
 
   /** Lloyd with k-means|| seeding — the quality path when smallest-id

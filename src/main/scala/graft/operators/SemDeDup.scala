@@ -62,4 +62,57 @@ object SemDeDup {
       .withColumn("is_kept", row_number().over(w) === 1)
       .select(col(idCol), col("cell"), col("component"), col("is_kept"))
   }
+
+  /** The persistable SemDeDup corpus INDEX: `(id, cell, vec, norm)` under
+    * a trained k-means model — what production mode WRITES (partitioned by
+    * `cell`). Re-clustering a 100 TB corpus for every daily increment is
+    * the anti-pattern; the model is trained once, the corpus assigned
+    * once, and each new batch pays only its own assignment + its cells'
+    * members (the [[Dedup.minhashIndex]] / [[Similarity.ivfIndex]]
+    * pattern). Norms ride in the index so the batch join never recomputes
+    * them per pair.
+    */
+  def semDedupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    KMeans.assign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).cast("long").as("id"), col("cell"),
+        col(vecCol).as("vec"), Vectors.norm(col(vecCol)).as("norm"))
+
+  /** INCREMENTAL SemDeDup — the production mode of arXiv:2303.09540: a new
+    * `batch` assigns into the PERSISTED k-means cells (the same trained
+    * `centroids` the index was built under; the corpus is NOT re-clustered
+    * or re-scanned — only the stored index is read) and compares only
+    * against its cells' existing members. Returns every above-threshold
+    * `(id_new, id_corpus, cosine)` pair — the duplicate evidence a
+    * curation pipeline filters the new batch by.
+    *
+    * Scale shape: one scan-side batch assignment (the k·D model rides as
+    * a literal), one `cell` equi-join whose corpus side is the stored
+    * index (partition-pruned to the batch's cells when the index is
+    * written partitioned by `cell`), cosines as bit-exact sequential
+    * folds. Candidate volume is Σ_c n_batch(c)·n_corpus(c) — linear while
+    * the model's k grows with the corpus, the SemDeDup contract.
+    */
+  def semDedupAgainst(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      tau: Double): DataFrame = {
+    val b = KMeans.assign(batch, idCol, vecCol, centroids)
+      .select(col("cell"), col(idCol).cast("long").as("id_new"),
+        col(vecCol).as("_vb"), Vectors.norm(col(vecCol)).as("_nb"))
+    val c = index.select(col("cell"), col("id").as("id_corpus"),
+      col("vec").as("_va"), col("norm").as("_na"))
+    val nn = col("_na") * col("_nb")
+    b.join(c, Seq("cell"))
+      .withColumn("cosine",
+        when(nn > 0, Vectors.dot(col("_va"), col("_vb")) / nn).otherwise(lit(0.0)))
+      .filter(col("cosine") >= tau)
+      .select(col("id_new"), col("id_corpus"), col("cosine"))
+  }
 }

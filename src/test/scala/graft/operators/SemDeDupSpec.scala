@@ -41,4 +41,32 @@ class SemDeDupSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"),
       s"in-cell pairing must not plan a cartesian:\n$phys")
   }
+
+  test("incremental mode reads the corpus from the STORED index, never re-assigns it") {
+    val corpus = vecs.filter($"vec_id" =!= 10L)
+    val batch = vecs.filter($"vec_id" === 10L)
+    val model = KMeans.lloydModel(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_idx").toString
+    SemDeDup.semDedupIndex(corpus, "vec_id", "embedding", model)
+      .write.mode("overwrite").parquet(dir)
+    val out = SemDeDup.semDedupAgainst(
+      batch, spark.read.parquet(dir), "vec_id", "embedding", model, tau = 0.95)
+    val phys = out.queryExecution.executedPlan.toString
+    // at most ONE nearest-centroid assignment in the plan: the batch's
+    // (a local batch may constant-fold it away entirely). The corpus side
+    // must come from the parquet index scan untouched.
+    assert("nearest_centroid|NearestCentroid".r.findAllIn(phys).size <= 1,
+      s"corpus must not be re-assigned:\n$phys")
+    assert(phys.contains("semdedup_idx"), "corpus side must scan the stored index")
+    // content identity vs a from-scratch comparison of the same split
+    val direct = SemDeDup.semDedupAgainst(
+      batch, SemDeDup.semDedupIndex(corpus, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, tau = 0.95)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(out.as[(Long, Long, Double)].collect().sorted.toSeq == direct.toSeq)
+    // 10 is a scaled copy of 0/11/12's direction: all three corpus members
+    // of its cell cross tau
+    val hits = direct.map(_._2).toSet
+    assert(Seq(0L, 11L, 12L).forall(hits.contains), s"got $hits")
+  }
 }
