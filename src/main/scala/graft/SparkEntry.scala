@@ -2738,6 +2738,62 @@ object SparkEntry {
       s.table(name).filter(col("user_id") =!= lit(-1L))
     }),
 
+    // §2#11f watermarked stream-stream FULL OUTER interval join — BOTH
+    // state stores' watermark cleanup must emit null-extended rows: an
+    // unmatched view when no purchase can still arrive in its window, an
+    // unmatched purchase when no view can still open one over it. The
+    // q_stream_left_join sentinel device generalizes: the sentinel pair
+    // rides both inputs, driving the global watermark (the MIN over both)
+    // past every open window on each side, so the emitted set equals the
+    // batch FULL JOIN oracle exactly.
+    "q_stream_full_join" -> ((s, dir) => withGateShuffle(s) {
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      val mendUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val (rdir, stream) = orderedReplay(s, ev, Seq("ts"), "q_stream_full_join")
+      val t1 = mendUs + 4L * 3600L * 1000000L
+      val t2 = t1 + 4L * 3600L * 1000000L
+      Seq(t1, t2).foreach { t =>
+        graft.streaming.FileReplay.appendFile(
+          s.range(1).select(
+            expr(s"timestamp_micros(${t}L)").as("ts"),
+            lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+            lit("view").as("event_type"))
+            .unionByName(s.range(1).select(
+              expr(s"timestamp_micros(${t}L)").as("ts"),
+              lit(-1L).as("user_id"), lit(-2L).as("event_id"),
+              lit("purchase").as("event_type"))), rdir)
+      }
+      val views = stream.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+          col("view_id"), col("purchase_id"),
+          unix_micros(col("v_ts")).as("view_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+      val name = freshStreamTable(s, "q_stream_full_join_")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      s.table(name).filter(col("user_id") =!= lit(-1L))
+    }),
+
     // §2#19d the tumbling-window stream (S3) driver-gated through the REAL
     // Structured Streaming stateful-agg path: events streamed as a bounded
     // file source, StreamBucketAgg.tumbling's final window state must equal
@@ -5895,6 +5951,16 @@ object SparkEntry {
         |  epoch_us(a.ts) AS view_us, epoch_us(b.ts) AS purchase_us
         |FROM (SELECT * FROM events WHERE event_type = 'view') a
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin),
+
+    // BOTH sides' watermark cleanup must reconstruct the batch FULL JOIN
+    "q_stream_full_join" -> (
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.event_id AS view_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS view_us, epoch_us(b.ts) AS purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin),
 

@@ -491,4 +491,67 @@ class RocksDbSoakSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("stream-stream FULL OUTER join on RocksDB: both sides evict to outer rows") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val views = MemoryStream[(Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+      val v = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "10 minutes")
+      val pu = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+      val joined = v.join(pu,
+        $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+          $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES"), "full_outer")
+      val query = joined.writeStream.format("memory").queryName("ssfj_soak")
+        .outputMode("append").start()
+      try {
+        val base = sqlTs("2024-01-01 10:00:00").getTime
+        // views for keys [0, Entities); purchases for EVEN keys (matched)
+        // plus keys [2*Entities, 2*Entities + Entities/4) that have NO
+        // views — those can only leave the store as right-outer rows
+        (0 until Batches).foreach { b =>
+          val t = base + b * 1200000L
+          views.addData((0 until Entities).map(k =>
+            (k.toLong, new java.sql.Timestamp(t))))
+          purchases.addData(
+            (0 until Entities by 2).map(k =>
+              (k.toLong, new java.sql.Timestamp(t + 300000L))) ++
+            (2 * Entities until 2 * Entities + Entities / 4).map(k =>
+              (k.toLong, new java.sql.Timestamp(t + 300000L))))
+          query.processAllAvailable()
+        }
+        val flushT = base + (Batches + 8) * 1200000L
+        views.addData(Seq((-1L, new java.sql.Timestamp(flushT))))
+        purchases.addData(Seq((-1L, new java.sql.Timestamp(flushT))))
+        query.processAllAvailable()
+        views.addData(Seq((-1L, new java.sql.Timestamp(flushT + 1200000L))))
+        purchases.addData(Seq((-1L, new java.sql.Timestamp(flushT + 1200000L))))
+        query.processAllAvailable()
+        val stateRows = query.recentProgress.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.head.numRowsTotal)
+        assert(stateRows.max <= 8L * Entities,
+          s"full-outer-join state exceeded the watermark horizon: ${stateRows.mkString(",")}")
+        // EXACT outer-row accounting per side: every odd-key view is one
+        // left-outer row, every no-view-key purchase one right-outer row
+        val out = spark.table("ssfj_soak")
+          .filter(coalesce($"v_user", $"p_user") =!= -1L)
+        val matched = out.filter($"v_user".isNotNull && $"p_user".isNotNull).count()
+        val leftOuter = out.filter($"p_user".isNull).count()
+        val rightOuter = out.filter($"v_user".isNull).count()
+        val allV = (0 until Batches).flatMap(b => (0 until Entities).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L))))
+        val allP = (0 until Batches).flatMap(b => (0 until Entities by 2).map(k =>
+          (k.toLong, new java.sql.Timestamp(base + b * 1200000L + 300000L))))
+        val batchMatched = allV.toDF("v_user", "v_ts").join(allP.toDF("p_user", "p_ts"),
+          $"v_user" === $"p_user" && $"p_ts" >= $"v_ts" &&
+            $"p_ts" <= $"v_ts" + expr("INTERVAL 30 MINUTES")).count()
+        assert(matched == batchMatched,
+          s"matched rows: stream $matched vs batch $batchMatched")
+        assert(leftOuter == (Entities / 2).toLong * Batches,
+          s"every odd-key view must surface as ONE left-outer row, got $leftOuter")
+        assert(rightOuter == (Entities / 4).toLong * Batches,
+          s"every no-view-key purchase must surface as ONE right-outer row, got $rightOuter")
+      } finally query.stop()
+    }
+  }
 }
