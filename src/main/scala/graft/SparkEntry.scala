@@ -4001,6 +4001,43 @@ object SparkEntry {
         .unionByName(one("skewed", hotv, clk))
     }),
 
+    // §2#24f the advisor's decisions EXECUTED (operators/Skew.scala:
+    // executeAdvised): the same three scenarios run through the advised
+    // physical strategy — dim join takes the broadcast hint, the balanced
+    // fact×fact takes a sort-merge shuffle, the planted hot key takes the
+    // salted join with the sketch-derived bucket count. The gate digests
+    // each joined result (count + column checksums) and the oracle is the
+    // PLAIN SQL join — content identity is exactly what the three
+    // strategies must preserve. Spec pins the three plan shapes.
+    "q_join_advise_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purDim = ev.filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(25L)).as("k"), col("event_id").as("a_id"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("event_id").as("a_id"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("k"), col("event_id").as("b_id"))
+      val dim = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          (col("n_regionkey").cast("long") * 1000L +
+            col("n_nationkey").cast("long")).as("b_id"))
+      val hotv = ev.filter(col("event_type") === "view")
+        .select(when(pmod(col("user_id"), lit(4L)) < 1L, lit(-1L))
+          .otherwise(col("user_id")).as("k"), col("event_id").as("a_id"))
+      def digest(name: String, a: DataFrame, b: DataFrame) =
+        Skew.executeAdvised(a, b, "k", "a_id", "b_id",
+            broadcastMaxRows = 1000L, hotKeyThreshold = 500L)
+          .agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum(col("a_id")), lit(0L)).cast("long").as("sum_a_id"),
+            coalesce(sum(col("b_id")), lit(0L)).cast("long").as("sum_b_id"),
+            coalesce(sum(col("k")), lit(0L)).cast("long").as("sum_k"))
+          .select(lit(name).as("scenario"), col("n_pairs"), col("sum_a_id"),
+            col("sum_b_id"), col("sum_k"))
+      digest("dim_join", purDim, dim)
+        .unionByName(digest("fact_fact", pur, clk))
+        .unionByName(digest("skewed", hotv, clk))
+    }),
+
     // §2#54 spatial neighbor join by grid-cell blocking: all point pairs
     // within 0.25° (flat-grid µdeg metric, exact int64 — no trig), cell =
     // radius so the 3×3 neighborhood is a complete cover. The oracle is the
@@ -5370,6 +5407,34 @@ object SparkEntry {
          |SELECT * FROM s2_adv UNION ALL
          |SELECT * FROM s3_adv""".stripMargin
     },
+
+    // the advised strategies executed: whatever physical shape the advisor
+    // picked, the result must equal the PLAIN SQL equi-join — digested as
+    // count + column checksums per scenario
+    "q_join_advise_exec" ->
+      """WITH purd AS (SELECT user_id % 25 AS k, event_id AS a_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |dim AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  CAST(n_regionkey AS BIGINT) * 1000 + CAST(n_nationkey AS BIGINT) AS b_id
+        |  FROM nation),
+        |purf AS (SELECT user_id AS k, event_id AS a_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |clk AS (SELECT user_id AS k, event_id AS b_id FROM events
+        |  WHERE event_type = 'click'),
+        |hotv AS (SELECT CASE WHEN user_id % 4 < 1 THEN -1 ELSE user_id END AS k,
+        |  event_id AS a_id FROM events WHERE event_type = 'view'),
+        |dg AS (
+        |  SELECT 'dim_join' AS scenario, a.a_id, b.b_id, a.k
+        |  FROM purd a JOIN dim b USING (k)
+        |  UNION ALL
+        |  SELECT 'fact_fact', a.a_id, b.b_id, a.k FROM purf a JOIN clk b USING (k)
+        |  UNION ALL
+        |  SELECT 'skewed', a.a_id, b.b_id, a.k FROM hotv a JOIN clk b USING (k))
+        |SELECT scenario, cast(count(*) AS bigint) AS n_pairs,
+        |  cast(coalesce(sum(a_id), 0) AS bigint) AS sum_a_id,
+        |  cast(coalesce(sum(b_id), 0) AS bigint) AS sum_b_id,
+        |  cast(coalesce(sum(k), 0) AS bigint) AS sum_k
+        |FROM dg GROUP BY 1""".stripMargin,
 
     // spatial neighbor join: the oracle is exhaustive MODULO A THEOREM —
     // the join carries only the |Δlat| <= r band, which d² <= r² implies,

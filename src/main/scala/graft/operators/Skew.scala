@@ -85,4 +85,62 @@ object Skew {
         exactDiv(hot + lit(hotKeyThreshold - 1), hotKeyThreshold))
         .otherwise(lit(1L)).as("salt_buckets"))
   }
+
+  /** EXECUTE an equi-join under [[adviseJoin]]'s decision — the loop the
+    * advisor exists to close: sketch both sides (one map-side-combined
+    * pass each), collect the 1-row decision (parameters, not data), and
+    * apply the recommended physical strategy:
+    *
+    *  - `broadcast` → the smaller side gets the broadcast hint (a hash
+    *    join with no shuffle of the big side);
+    *  - `salt` → [[saltedJoin]] with the advised bucket count, salting
+    *    whichever side carries the hot key and replicating the other;
+    *  - `shuffle` → a plain sort-merge join (the `merge` hint — at fact ×
+    *    fact scale SMJ is the strategy that spills gracefully), no
+    *    broadcast regardless of what the session's autoBroadcast
+    *    threshold would guess from possibly-stale size stats.
+    *
+    * Output columns are normalized to `key, left..., right...` in every
+    * branch, so the result is content-identical (rows AND schema) across
+    * all three strategies — pinned by the q_join_advise_exec gate.
+    *
+    * `leftRowId`/`rightRowId` deterministically spread the salted side's
+    * hot key ([[saltedJoin]]'s contract); they are only consulted on the
+    * salt path.
+    */
+  def executeAdvised(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftRowId: String,
+      rightRowId: String,
+      broadcastMaxRows: Long,
+      hotKeyThreshold: Long,
+      depth: Int = 4,
+      width: Int = 4096,
+      seed: Long = 23L): DataFrame = {
+    val aC = Sketch.countMinCounters(left, Nil, col(key), depth, width, seed)
+    val bC = Sketch.countMinCounters(right, Nil, col(key), depth, width, seed)
+    val advice = adviseJoin(aC, bC, broadcastMaxRows, hotKeyThreshold)
+      .collect().head
+    val outCols = (key +: (left.columns.filterNot(_ == key) ++
+      right.columns.filterNot(_ == key)).toSeq).map(col)
+    advice.getAs[String]("decision") match {
+      case "broadcast" =>
+        val joined =
+          if (advice.getAs[String]("broadcast_side") == "a")
+            broadcast(left).join(right, Seq(key))
+          else left.join(broadcast(right), Seq(key))
+        joined.select(outCols: _*)
+      case "salt" =>
+        val buckets = advice.getAs[Long]("salt_buckets").toInt
+        val joined =
+          if (advice.getAs[Long]("hot_a") >= advice.getAs[Long]("hot_b"))
+            saltedJoin(left, right, key, leftRowId, buckets)
+          else saltedJoin(right, left, key, rightRowId, buckets)
+        joined.select(outCols: _*)
+      case _ =>
+        left.join(right.hint("merge"), Seq(key)).select(outCols: _*)
+    }
+  }
 }

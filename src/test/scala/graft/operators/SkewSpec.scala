@@ -95,4 +95,33 @@ class SkewSpec extends SparkSpec {
     val truePairs = a.join(b, "k").count()
     assert(adv.getAs[Long]("est_pairs") >= truePairs)
   }
+
+  test("executeAdvised: broadcast / sort-merge / salted plans, identical content") {
+    import org.apache.spark.sql.functions._
+    val factA = spark.range(5000)
+      .select(pmod(col("id"), lit(500)).as("k"), col("id").as("a_id"))
+    val factB = spark.range(6000)
+      .select(pmod(col("id"), lit(600)).as("k"), (col("id") + 7).as("b_id"))
+    val dim = spark.range(40).select(col("id").as("k"), (col("id") * 2).as("b_id"))
+    val hot = spark.range(5000)
+      .select(when(col("id") < 3000, lit(-1L)).otherwise(col("id")).as("k"),
+        col("id").as("a_id"))
+    def run(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Skew.executeAdvised(a, b, "k", "a_id", "b_id",
+        broadcastMaxRows = 100L, hotKeyThreshold = 500L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sorted.toSeq
+    // the three scenarios take three DISTINCT physical strategies...
+    val bPlan = run(factA, dim).queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), s"dim scenario must broadcast:\n$bPlan")
+    val shPlan = run(factA, factB).queryExecution.executedPlan.toString
+    assert(shPlan.contains("SortMergeJoin") && !shPlan.contains("BroadcastHashJoin"),
+      s"balanced scenario must sort-merge:\n$shPlan")
+    val saPlan = run(hot, factB).queryExecution.executedPlan.toString
+    assert(saPlan.contains("_salt"), s"hot scenario must salt:\n$saPlan")
+    // ...and every strategy preserves the plain join's content exactly
+    assert(rows(run(factA, dim)) == rows(factA.join(dim, Seq("k"))))
+    assert(rows(run(factA, factB)) == rows(factA.join(factB, Seq("k"))))
+    assert(rows(run(hot, factB)) == rows(hot.join(factB, Seq("k"))))
+  }
 }
