@@ -2407,7 +2407,7 @@ object SparkEntry {
     "q_media_audio" -> ((s, dir) => {
       val p = Tables.documents(s, dir).select(
         col("doc_id"),
-        pmod(col("doc_id"), lit(5)).cast("int").as("fmt"),
+        pmod(col("doc_id"), lit(6)).cast("int").as("fmt"),
         (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
         (lit(8000) + pmod(col("doc_id") * 37, lit(32000))).cast("int").as("rate"),
         (lit(8) + pmod(col("doc_id"), lit(3)) * lit(4)).cast("int").as("bits"),
@@ -7605,7 +7605,7 @@ object SparkEntry {
     // same parameter draws the Spark side synthesizes container bytes from
     "q_media_audio" ->
       """WITH p AS (SELECT doc_id,
-        |    doc_id % 5 AS fmt,
+        |    doc_id % 6 AS fmt,
         |    1 + doc_id % 2 AS ch,
         |    8000 + (doc_id * 37) % 32000 AS rate,
         |    8 + (doc_id % 3) * 4 AS bits,
@@ -7621,22 +7621,27 @@ object SparkEntry {
         |  FROM p)
         |SELECT doc_id,
         |  cast(CASE fmt WHEN 0 THEN 42 WHEN 1 THEN 14 + db WHEN 2 THEN 58
-        |    WHEN 3 THEN 47 ELSE 18 END AS bigint) AS n_bytes,
-        |  CASE WHEN fmt = 0 THEN 'flac' WHEN fmt = 1 THEN 'mp3'
+        |    WHEN 3 THEN 47
+        |    WHEN 5 THEN 26 + (CASE WHEN ch_mode = 3 THEN 17 ELSE 32 END) + db
+        |    ELSE 18 END AS bigint) AS n_bytes,
+        |  CASE WHEN fmt = 0 THEN 'flac' WHEN fmt IN (1, 5) THEN 'mp3'
         |    WHEN fmt IN (2, 3) THEN 'ogg' END AS format,
-        |  CASE WHEN fmt IN (0, 1, 2, 3) THEN 'audio' END AS media_type,
+        |  CASE WHEN fmt IN (0, 1, 2, 3, 5) THEN 'audio' END AS media_type,
         |  cast(CASE WHEN fmt IN (0, 2, 3) THEN ch
-        |    WHEN fmt = 1 THEN CASE WHEN ch_mode = 3 THEN 1 ELSE 2 END
+        |    WHEN fmt IN (1, 5) THEN CASE WHEN ch_mode = 3 THEN 1 ELSE 2 END
         |    END AS bigint) AS channels,
         |  cast(CASE WHEN fmt IN (0, 2, 3) THEN rate
-        |    WHEN fmt = 1 THEN CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
-        |      ELSE 32000 END
+        |    WHEN fmt IN (1, 5) THEN CASE sr_idx WHEN 0 THEN 44100
+        |      WHEN 1 THEN 48000 ELSE 32000 END
         |    END AS bigint) AS sample_rate,
         |  cast(CASE WHEN fmt = 0 THEN bits END AS bigint) AS bits_per_sample,
         |  cast(NULL AS bigint) AS width,
         |  cast(NULL AS bigint) AS height,
         |  cast(CASE WHEN fmt = 0 THEN (samples * 1000) // rate
-        |    WHEN fmt = 1 THEN ((4 + db) * 8) // kbps END AS bigint)
+        |    WHEN fmt = 1 THEN ((4 + db) * 8) // kbps
+        |    WHEN fmt = 5 THEN (samples * 1152 * 1000) //
+        |      (CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |        ELSE 32000 END) END AS bigint)
         |    AS duration_ms
         |FROM k""".stripMargin,
 

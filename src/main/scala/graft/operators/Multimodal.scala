@@ -329,7 +329,8 @@ object Multimodal {
     * identification packet (`ch`, `rate`), 3 = Ogg page 0 with an
     * OpusHead (`ch`, `rate`), 4 = a FLAC whose STREAMINFO declares 34
     * bytes but truncates after 10 (the corrupt row — parser must yield
-    * NULL metadata, n_bytes intact).
+    * NULL metadata, n_bytes intact), 5 = VBR MP3 whose first frame
+    * carries a Xing header with `samples` as the frame count.
     */
   def syntheticAudio(fmt: Column, ch: Column, rate: Column, bits: Column,
       samples: Column, brIdx: Column, srIdx: Column, chMode: Column,
@@ -368,10 +369,25 @@ object Multimodal {
       hexLE(ch, 1), lit("0000"), // pre-skip 0
       hexLE(rate, 4), lit("0000" + "00")) // output gain 0, mapping family 0
     val corrupt = concat(lit("664C6143" + "80" + "000022"), lit("0" * 20))
+    // fmt 5 = VBR MP3: same tag + frame header, then the MPEG-1 side-info
+    // region (17 B mono / 32 B otherwise, zeros) and a Xing header with the
+    // FRAMES flag carrying `samples` as the total frame count — the
+    // header-only exact-duration path (frames·1152/rate)
+    val mp3vbr = concat(
+      lit("494433" + "0400" + "00" + "00000000"),
+      lit("FFFB"),
+      hexBE(brIdx * 16 + srIdx * 4, 1),
+      hexBE(chMode * 64, 1),
+      call_function("repeat", lit("00"),
+        when(chMode === 3, 17).otherwise(32)),
+      lit("58696E67" + "00000001"), // "Xing", flags = FRAMES
+      hexBE(samples, 4),
+      call_function("repeat", lit("00"), db))
     unhex(
       when(fmt === 0, flac).when(fmt === 1, mp3)
         .when(fmt === 2, oggPage(30, vorbisPacket))
         .when(fmt === 3, oggPage(19, opusPacket))
+        .when(fmt === 5, mp3vbr)
         .otherwise(corrupt))
   }
 

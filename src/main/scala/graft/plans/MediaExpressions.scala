@@ -149,10 +149,11 @@ object MediaMeta {
   /** MP3: optional ID3v2 tag (10-byte header + syncsafe u28 size) skipped,
     * then the first frame header — restricted to MPEG-1 Layer III (the
     * overwhelmingly dominant encoding; anything else yields null).
-    * Channels from the mode bits (mono = 1, every other mode 2); duration
-    * is the CBR estimate `audio_bytes·8 / bitrate_kbps` in exact integer
-    * ms, the standard header-only estimate (a VBR stream would need the
-    * Xing frame — out of O(header) scope).
+    * Channels from the mode bits (mono = 1, every other mode 2). Duration:
+    * a Xing/Info header in the first frame (after the 17/32-byte MPEG-1
+    * side info — still O(header)) with the FRAMES flag gives the exact
+    * `frames·1152/rate`; otherwise the CBR estimate
+    * `audio_bytes·8 / bitrate_kbps` in exact integer ms.
     */
   private def parseMp3(b: Array[Byte]): InternalRow = {
     var pos = 0
@@ -179,7 +180,21 @@ object MediaMeta {
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
     val mode = (u8(b, pos + 3) >> 6) & 3
     val ch = if (mode == 3) 1 else 2
-    val durationMs: Any = (b.length - pos).toLong * 8L / Mp3Bitrates(brIdx)
+    // VBR: a Xing/Info header sits in the FIRST frame right after the
+    // side info (MPEG-1: 17 bytes mono, 32 stereo) — still O(header).
+    // FRAMES flag set → duration = frames · 1152 samples / rate, exact
+    // integer ms; otherwise fall back to the CBR byte-length estimate
+    // (wrong for VBR, the common podcast/user-audio case).
+    val xp = pos + 4 + (if (mode == 3) 17 else 32)
+    var durationMs: Any = (b.length - pos).toLong * 8L / Mp3Bitrates(brIdx)
+    if (xp + 8 <= b.length &&
+        (cc(b, xp, 'X', 'i', 'n', 'g') || cc(b, xp, 'I', 'n', 'f', 'o'))) {
+      val flags = be32(b, xp + 4)
+      if ((flags & 1L) != 0 && xp + 12 <= b.length) {
+        val frames = be32(b, xp + 8)
+        if (frames > 0) durationMs = frames * 1152L * 1000L / Mp3Rates(srIdx)
+      }
+    }
     InternalRow(UTF8String.fromString("mp3"), UTF8String.fromString("audio"),
       ch, Mp3Rates(srIdx), null, null, null, durationMs)
   }

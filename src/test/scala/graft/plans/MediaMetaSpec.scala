@@ -235,6 +235,32 @@ class MediaMetaSpec extends SparkSpec {
     assert(parse(probe).exists(_._3 == Some(1)))
   }
 
+  test("MP3 Xing/Info VBR duration from the first-frame header") {
+    // hand-built: ID3v2.4 zero-size tag, MPEG-1 L3 stereo frame header,
+    // 32-byte side info, Xing header with FRAMES flag
+    def mp3(tag4: String, frames: Int, mono: Boolean, flags: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0))
+      // sync + MPEG-1 L3; bitrate idx 9 (128k), sr idx 0 (44100)
+      bos.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+        if (mono) 0xC0.toByte else 0x00.toByte))
+      bos.write(new Array[Byte](if (mono) 17 else 32))
+      bos.write(tag4.getBytes("US-ASCII"))
+      val bb = java.nio.ByteBuffer.allocate(8).putInt(flags).putInt(frames)
+      bos.write(bb.array())
+      bos.write(new Array[Byte](64))
+      bos.toByteArray
+    }
+    // 4410 frames * 1152 / 44100 Hz = 115200 ms exactly
+    assert(parse(mp3("Xing", 4410, mono = false, flags = 1)) ==
+      Some(("mp3", "audio", Some(2), Some(44100), None, None, None, Some(115200L))))
+    assert(parse(mp3("Info", 4410, mono = true, flags = 1))
+      .exists(r => r._3 == Some(1) && r._8 == Some(115200L)))
+    // FRAMES flag absent -> CBR byte-length fallback, not the Xing count
+    val noFrames = parse(mp3("Xing", 4410, mono = false, flags = 0))
+    assert(noFrames.exists(_._8 != Some(115200L)))
+  }
+
   test("malformed EBML inside the MKV Segment yields null, not partial rows") {
     val full = goldenMkv(video = true, 64, 64, 0, 0f, 100f, 0)
     // corrupt a vint INSIDE the Segment (zero first byte = malformed):
