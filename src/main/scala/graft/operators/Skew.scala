@@ -107,6 +107,22 @@ object Skew {
     * `leftRowId`/`rightRowId` deterministically spread the salted side's
     * hot key ([[saltedJoin]]'s contract); they are only consulted on the
     * salt path.
+    *
+    * Precondition: apart from `key`, the two sides' column names must be
+    * DISTINCT (enforced) — the normalized output selects by bare name,
+    * and the salt path relies on distinct names to restore left/right
+    * column order after swapping sides. Alias before calling if needed.
+    *
+    * Salt-path guard: salting replicates the non-hot side ×salt_buckets;
+    * on a fact×fact join with a very hot key the advised count can cost
+    * more replicated shuffle volume than the skew it spreads. The bucket
+    * count is CAPPED so the replicated side's rows × buckets stays ≤
+    * `maxReplicationFactor` × (n_rows_a + n_rows_b) — replication never
+    * exceeds a bounded multiple of the data the join was shuffling
+    * anyway. If even 2 buckets would blow the bound (the replicated side
+    * is itself huge), the decision degrades to the plain sort-merge
+    * shuffle (AQE's runtime skew split still applies there) — content is
+    * strategy-invariant in every branch, so results are unchanged.
     */
   def executeAdvised(
       left: DataFrame,
@@ -118,7 +134,12 @@ object Skew {
       hotKeyThreshold: Long,
       depth: Int = 4,
       width: Int = 4096,
-      seed: Long = 23L): DataFrame = {
+      seed: Long = 23L,
+      maxReplicationFactor: Long = 4L): DataFrame = {
+    val shared = left.columns.toSet intersect right.columns.toSet
+    require(shared == Set(key),
+      s"executeAdvised needs distinct non-key column names; shared: " +
+        shared.filterNot(_ == key).mkString(", "))
     val aC = Sketch.countMinCounters(left, Nil, col(key), depth, width, seed)
     val bC = Sketch.countMinCounters(right, Nil, col(key), depth, width, seed)
     val advice = adviseJoin(aC, bC, broadcastMaxRows, hotKeyThreshold)
@@ -133,12 +154,22 @@ object Skew {
           else left.join(broadcast(right), Seq(key))
         joined.select(outCols: _*)
       case "salt" =>
-        val buckets = advice.getAs[Long]("salt_buckets").toInt
-        val joined =
-          if (advice.getAs[Long]("hot_a") >= advice.getAs[Long]("hot_b"))
-            saltedJoin(left, right, key, leftRowId, buckets)
-          else saltedJoin(right, left, key, rightRowId, buckets)
-        joined.select(outCols: _*)
+        val advised = advice.getAs[Long]("salt_buckets")
+        val saltLeft =
+          advice.getAs[Long]("hot_a") >= advice.getAs[Long]("hot_b")
+        val replRows = math.max(1L, advice.getAs[Long](
+          if (saltLeft) "n_rows_b" else "n_rows_a"))
+        val bound = maxReplicationFactor *
+          (advice.getAs[Long]("n_rows_a") + advice.getAs[Long]("n_rows_b"))
+        val buckets = math.min(advised, bound / replRows).toInt
+        if (buckets < 2)
+          left.join(right.hint("merge"), Seq(key)).select(outCols: _*)
+        else {
+          val joined =
+            if (saltLeft) saltedJoin(left, right, key, leftRowId, buckets)
+            else saltedJoin(right, left, key, rightRowId, buckets)
+          joined.select(outCols: _*)
+        }
       case _ =>
         left.join(right.hint("merge"), Seq(key)).select(outCols: _*)
     }

@@ -182,10 +182,14 @@ object MediaMeta {
     val ch = if (mode == 3) 1 else 2
     // VBR: a Xing/Info header sits in the FIRST frame right after the
     // side info (MPEG-1: 17 bytes mono, 32 stereo) — still O(header).
-    // FRAMES flag set → duration = frames · 1152 samples / rate, exact
-    // integer ms; otherwise fall back to the CBR byte-length estimate
-    // (wrong for VBR, the common podcast/user-audio case).
-    val xp = pos + 4 + (if (mode == 3) 17 else 32)
+    // A CRC-protected frame (protection_bit = 0, header bit 0 of byte 1
+    // clear) carries a 16-bit CRC between the header and the side info,
+    // shifting the probe by 2. FRAMES flag set → duration = frames ·
+    // 1152 samples / rate, exact integer ms; otherwise fall back to the
+    // CBR byte-length estimate (wrong for VBR, the common
+    // podcast/user-audio case).
+    val xp = pos + 4 + (if ((b1 & 1) == 0) 2 else 0) +
+      (if (mode == 3) 17 else 32)
     var durationMs: Any = (b.length - pos).toLong * 8L / Mp3Bitrates(brIdx)
     if (xp + 8 <= b.length &&
         (cc(b, xp, 'X', 'i', 'n', 'g') || cc(b, xp, 'I', 'n', 'f', 'o'))) {

@@ -123,5 +123,19 @@ class SkewSpec extends SparkSpec {
     assert(rows(run(factA, dim)) == rows(factA.join(dim, Seq("k"))))
     assert(rows(run(factA, factB)) == rows(factA.join(factB, Seq("k"))))
     assert(rows(run(hot, factB)) == rows(hot.join(factB, Seq("k"))))
+    // replication guard: a salt decision whose replicated side ×buckets
+    // exceeds the factor bound degrades to the plain sort-merge shuffle
+    val guarded = Skew.executeAdvised(hot, factB, "k", "a_id", "b_id",
+      broadcastMaxRows = 100L, hotKeyThreshold = 500L,
+      maxReplicationFactor = 1L)
+    val gPlan = guarded.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("_salt") && gPlan.contains("SortMergeJoin"),
+      s"over-replicating salt must degrade to shuffle:\n$gPlan")
+    assert(rows(guarded) == rows(hot.join(factB, Seq("k"))))
+    // shared non-key column names are rejected up front, not at analysis
+    val clash = factB.withColumnRenamed("b_id", "a_id")
+    assertThrows[IllegalArgumentException] {
+      Skew.executeAdvised(factA, clash, "k", "a_id", "a_id", 100L, 500L)
+    }
   }
 }

@@ -238,12 +238,16 @@ class MediaMetaSpec extends SparkSpec {
   test("MP3 Xing/Info VBR duration from the first-frame header") {
     // hand-built: ID3v2.4 zero-size tag, MPEG-1 L3 stereo frame header,
     // 32-byte side info, Xing header with FRAMES flag
-    def mp3(tag4: String, frames: Int, mono: Boolean, flags: Int): Array[Byte] = {
+    def mp3(tag4: String, frames: Int, mono: Boolean, flags: Int,
+            crc: Boolean = false): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0))
-      // sync + MPEG-1 L3; bitrate idx 9 (128k), sr idx 0 (44100)
-      bos.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+      // sync + MPEG-1 L3; bitrate idx 9 (128k), sr idx 0 (44100);
+      // 0xFA = protection_bit 0 (a 16-bit CRC precedes the side info)
+      bos.write(Array[Byte](0xFF.toByte,
+        (if (crc) 0xFA else 0xFB).toByte, 0x90.toByte,
         if (mono) 0xC0.toByte else 0x00.toByte))
+      if (crc) bos.write(new Array[Byte](2))
       bos.write(new Array[Byte](if (mono) 17 else 32))
       bos.write(tag4.getBytes("US-ASCII"))
       val bb = java.nio.ByteBuffer.allocate(8).putInt(flags).putInt(frames)
@@ -259,6 +263,12 @@ class MediaMetaSpec extends SparkSpec {
     // FRAMES flag absent -> CBR byte-length fallback, not the Xing count
     val noFrames = parse(mp3("Xing", 4410, mono = false, flags = 0))
     assert(noFrames.exists(_._8 != Some(115200L)))
+    // CRC-protected frame (0xFFFA): the Xing probe shifts past the 2
+    // CRC bytes — both mono and stereo side-info widths
+    assert(parse(mp3("Xing", 4410, mono = false, flags = 1, crc = true)) ==
+      Some(("mp3", "audio", Some(2), Some(44100), None, None, None, Some(115200L))))
+    assert(parse(mp3("Xing", 4410, mono = true, flags = 1, crc = true))
+      .exists(r => r._3 == Some(1) && r._8 == Some(115200L)))
   }
 
   test("malformed EBML inside the MKV Segment yields null, not partial rows") {
