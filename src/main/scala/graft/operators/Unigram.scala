@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * map-side-combined usage aggregation — the corpus is never rescanned),
   * and the piece table stays a DataFrame throughout (top-K via
   * sort-limit = TakeOrdered, never a driver collect). The Viterbi DP
-  * itself is a PER-ROW higher-order-function fold (positions 1..n, inner
-  * candidates unrolled over the ≤ [[MaxPieceLen]] lookback), so
-  * segmentation is scan-side — no per-word shuffle, no UDF.
+  * itself runs scan-side as the native whole-stage-codegen
+  * [[graft.plans.UnigramSegment]] kernel (positions 1..n, candidates
+  * over the ≤ [[MaxPieceLen]] lookback) — no per-word shuffle, no UDF,
+  * no interpreted fold (the original HOF formulation is kept as the
+  * differential-spec reference).
   *
   * Engine-exactness: piece scores are INTEGER quantized log-likelihoods
   * `ilog2q(cnt) − ilog2q(total)` where [[ilog2q]] is an exact-integer
@@ -103,8 +105,14 @@ object Unigram {
     * Iterating candidates in ASCENDING i with a strict-> replacement
     * keeps the smallest i on ties: equal-score segmentations resolve
     * toward the longest final piece, deterministically in any engine.
+    *
+    * REFERENCE FORMULATION ONLY: `aggregate` HOFs are CodegenFallback
+    * and made q_unigram_doc_ids the board's most expensive batch row;
+    * production segmentation runs the native
+    * [[graft.plans.UnigramSegment]] kernel with identical scores and
+    * tie rules — UnigramSpec pins the two equal on every vocab word.
     */
-  private def viterbiAcc(word: Column, m: Column, maxLen: Int): Column =
+  private[graft] def viterbiAcc(word: Column, m: Column, maxLen: Int): Column =
     aggregate(
       sequence(lit(1), length(word)),
       array(struct(lit(0L).as("s"), lit(0).as("bp"))),
@@ -131,7 +139,7 @@ object Unigram {
     * walk j = n → 0 through the backpointers, prepending each piece. The
     * fold runs n no-op-padded steps (j stops moving at 0), so it stays a
     * bounded per-row expression. */
-  private def backtrace(word: Column, acc: Column): Column =
+  private[graft] def backtrace(word: Column, acc: Column): Column =
     aggregate(
       sequence(lit(1), length(word)),
       struct(length(word).cast("int").as("j"),
@@ -148,25 +156,43 @@ object Unigram {
 
   /** Segment every vocab word under `pieceScores(piece, score)`:
     * candidate pieces arrive per word as a map (one vocab-sized
-    * equi-join + aggregation), the DP and backtrace are scan-side folds.
+    * equi-join + aggregation), the DP and backtrace run as ONE native
+    * whole-stage-codegen kernel pass ([[graft.plans.UnigramSegment]]).
     * Returns (word, cnt, pieces).
     */
   def segmented(
       vocab: DataFrame,
       pieceScores: DataFrame,
-      maxLen: Int = MaxPieceLen): DataFrame = {
-    val wordPieces = vocab
+      maxLen: Int = MaxPieceLen): DataFrame =
+    wordPieceMaps(vocab, pieceScores, maxLen)
+      .select(col("word"), col("cnt"),
+        graft.plans.TextExpressions.unigramSegment(
+          col("word"), col("_m"), maxLen, UnkScore, Neg).as("pieces"))
+
+  /** The per-word candidate score maps — one vocab-sized equi-join +
+    * aggregation, shared by the kernel path and the HOF reference. */
+  private[graft] def wordPieceMaps(
+      vocab: DataFrame,
+      pieceScores: DataFrame,
+      maxLen: Int): DataFrame =
+    vocab
       .select(col("word"), col("cnt"),
         explode(array_distinct(allSubstrings(col("word"), maxLen))).as("piece"))
       .join(pieceScores.select(col("piece"), col("score")), "piece")
       .groupBy(col("word"), col("cnt"))
       .agg(map_from_entries(collect_list(struct(col("piece"), col("score"))))
         .as("_m"))
-    wordPieces
+
+  /** [[segmented]] through the interpreted HOF reference formulation —
+    * differential-spec use only. */
+  private[graft] def segmentedHof(
+      vocab: DataFrame,
+      pieceScores: DataFrame,
+      maxLen: Int = MaxPieceLen): DataFrame =
+    wordPieceMaps(vocab, pieceScores, maxLen)
       .withColumn("_acc", viterbiAcc(col("word"), col("_m"), maxLen))
       .select(col("word"), col("cnt"),
         backtrace(col("word"), col("_acc")).as("pieces"))
-  }
 
   /** Viterbi usage counts: how much corpus mass each piece absorbed. */
   def pieceCounts(segs: DataFrame): DataFrame =
@@ -223,6 +249,16 @@ object Unigram {
     * document becomes its ordered token-id sequence. Returns
     * `(idCol, n_tokens, token_ids)` with the ids comma-joined (a
     * string-typed sequence hashes engine-portably).
+    *
+    * OOV CONTRACT (consumers counting tokens for packing, read this):
+    * unknown ids are shape-dependent BY DESIGN. A word that still has
+    * artifact-known substrings segments through the UNK edge — each
+    * unknown CHAR becomes one id-0 token; a word with NO artifact-known
+    * substring at all collapses to ONE word-grain id-0 token (not one
+    * per char). So `n_tokens` over heavily-OOV text is a lower bound on
+    * char-grain UNK counting, never an overcount. Both shapes are
+    * unreachable on self-trained corpora (single chars are never
+    * pruned); pinned by UnigramSpec.
     *
     * Scale shape: each DISTINCT word segments ONCE (the vocab-table
     * trick); documents join word→ids and re-assemble by (word position,

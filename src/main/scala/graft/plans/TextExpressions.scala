@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, MapData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -195,6 +196,60 @@ case class RegexTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Viterbi subword segmentation — the whole-stage-codegen
+  * replacement for [[graft.operators.Unigram]]'s per-row
+  * `aggregate`-fold DP + backtrace (HOFs are CodegenFallback; they made
+  * q_unigram_doc_ids the board's most expensive batch row — the
+  * [[TrigramClassSums]] / NearestCentroid precedent, third instance).
+  *
+  * Semantically IDENTICAL to the fold formulation, integer scores and
+  * tie rules included: positions j = 1..n over CODE POINTS (matching
+  * `substr`/`length` semantics), candidates k = maxLen..1 with
+  * strict-> replacement — so ties keep the LONGEST final piece, then
+  * resolve transitively toward earlier splits; a single char absent
+  * from the score map takes `unkScore` (the UNK edge), an absent
+  * multi-char candidate takes `neg` (dead). The DuckDB recursive-CTE
+  * replay is unchanged — gate hashes must not move.
+  *
+  * `left` = the word, `right` = its per-word `map<string,bigint>` of
+  * candidate piece scores (built by the vocab-sized equi-join).
+  * Returns the chosen `array<string>` piece sequence.
+  */
+case class UnigramSegment(
+    left: Expression,
+    right: Expression,
+    maxLen: Int,
+    unkScore: Long,
+    neg: Long) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, MapType(StringType, LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"unigram_segment requires (string, map<string,bigint>), got " +
+          s"(${l.simpleString(2)}, ${r.simpleString(2)})")
+    }
+
+  override def prettyName: String = "unigram_segment"
+
+  override def nullSafeEval(word: Any, scores: Any): Any =
+    TextKernels.unigramSegment(word.asInstanceOf[UTF8String],
+      scores.asInstanceOf[MapData], maxLen, unkScore, neg)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, m) =>
+      s"""${ev.value} = graft.plans.TextKernels.unigramSegment(
+         |  $w, $m, $maxLen, ${unkScore}L, ${neg}L);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
 
   @inline private def isSpace(c: Char): Boolean =
@@ -203,6 +258,59 @@ object TextKernels {
   @inline private def isPunct(c: Char): Boolean =
     (c >= '!' && c <= '/') || (c >= ':' && c <= '@') || (c >= '[' && c <= '`') ||
       (c >= '{' && c <= '~')
+
+  /** One-pass Viterbi DP + backtrace over code points — see
+    * [[UnigramSegment]] for the exact tie/score contract it replicates.
+    */
+  def unigramSegment(word: UTF8String, m: MapData, maxLen: Int,
+      unkScore: Long, neg: Long): GenericArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    val nm = m.numElements()
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    val scores = new java.util.HashMap[String, java.lang.Long](nm * 2)
+    var e = 0
+    while (e < nm) {
+      scores.put(keys.getUTF8String(e).toString, vals.getLong(e))
+      e += 1
+    }
+    val s = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bestS = 0L
+      var bestBp = -1
+      var found = false
+      var k = math.min(maxLen, j)
+      while (k >= 1) {
+        val i = j - k
+        val pv = scores.get(new String(cps, i, k))
+        val sv = s(i) +
+          (if (pv != null) pv.longValue
+           else if (k == 1) unkScore
+           else neg)
+        if (!found || sv > bestS) { bestS = sv; bestBp = i; found = true }
+        k -= 1
+      }
+      s(j) = bestS
+      bp(j) = bestBp
+      j += 1
+    }
+    val pieces = new Array[Any](n) // ≥ actual piece count; trimmed below
+    var cnt = 0
+    var jj = n
+    while (jj > 0) {
+      val b = bp(jj)
+      pieces(cnt) = UTF8String.fromString(new String(cps, b, jj - b))
+      cnt += 1
+      jj = b
+    }
+    val out = new Array[Any](cnt)
+    var o = 0
+    while (o < cnt) { out(o) = pieces(cnt - 1 - o); o += 1 }
+    new GenericArrayData(out)
+  }
 
   def tokenStats(input: UTF8String, stopSet: java.util.HashSet[String]): InternalRow = {
     val s = input.toString
@@ -386,4 +494,10 @@ object TextExpressions {
 
   def bpeTokens(text: Column): Column =
     Bridge.column(RegexTokens(Bridge.expression(text)))
+
+  /** Column API for [[UnigramSegment]]. */
+  def unigramSegment(word: Column, scores: Column, maxLen: Int,
+      unkScore: Long, neg: Long): Column =
+    Bridge.column(UnigramSegment(Bridge.expression(word),
+      Bridge.expression(scores), maxLen, unkScore, neg))
 }

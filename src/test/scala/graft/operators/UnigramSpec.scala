@@ -67,6 +67,32 @@ class UnigramSpec extends SparkSpec {
     assert(segs >= 6L)
   }
 
+  test("native kernel segmentation == HOF reference, OOV shapes included") {
+    // train on one corpus, segment ANOTHER containing unknown chars and
+    // partially-known words — the shapes where tie rules and UNK edges
+    // could diverge. The native UnigramSegment kernel must equal the
+    // interpreted fold formulation word for word, piece for piece.
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "a cat ate a rat"),
+      (3L, "thermostat stat chat 2024 404")).toDF("doc_id", "text")
+    val art = Unigram.trainArtifact(train, "text", rounds = 2, keepK = 12)
+    val apply = Seq("the", "cat", "thermostat", "xyzzy", "c4tz", "qqqq",
+      "a", "statistic", "2024", "zz9cat").zipWithIndex
+      .map { case (w, i) => (w, i.toLong + 1L) }
+      .toDF("word", "cnt")
+    def byWord(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"pieces").as[(String, Seq[String])]
+        .collect().toMap
+    val native = byWord(Unigram.segmented(apply, art))
+    val hof = byWord(Unigram.segmentedHof(apply, art))
+    assert(native == hof, s"kernel/HOF divergence:\n$native\nvs\n$hof")
+    // and the kernel plan stays inside whole-stage codegen (the point)
+    val plan = Unigram.segmented(apply, art)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback") ||
+      !plan.contains("unigram_segment"),
+      s"unigram_segment must not fall back to interpretation:\n$plan")
+  }
+
   test("doc token ids decode back to the document's eligible text") {
     val docs = Seq(
       (1L, "the data data engine"),
