@@ -403,6 +403,87 @@ object SparkEntry {
     * (the artifact, q_unigram_train) and `u3cnt(piece, used)` (the
     * application counts, q_unigram_tokenize).
     */
+  /** WordPiece trajectory replay (operators/WordPiece.scala): sentinel
+    * `##`-prefixed symbol encoding, per-round pair + symbol counts, the
+    * quantized-likelihood argmax `ilog2q(pcnt) − ilog2q(ca) − ilog2q(cb)`
+    * (exact integer ops, ties (score desc, a, b)), literal-replace
+    * merges, then GREEDY longest-match-first segmentation of the word
+    * vocab against the final vocabulary as a recursive position walk
+    * (list_max over the per-position match lengths; an unmatchable
+    * position collapses the word to one '[UNK]'). Ends in
+    * `wpm1..wpmM` (the merges), `wpseg(word, cnt, ps)` (greedy
+    * segmentations) and `wpid(sym, tid)` (dense ids).
+    */
+  private def wordPieceOracleCtes(m: Int): String = {
+    def eCase(v: String) = (62 to 1 by -1)
+      .map(k => s"WHEN $v >= ${1L << k} THEN $k").mkString(" ")
+    def lg(v: String, e: String) =
+      s"($e * 65536 + ((($v - (CAST(1 AS BIGINT) << $e)) << 16) >> $e))"
+    val strip = "CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END"
+    def roundCtes(r: Int) =
+      s"""wp${r}sy AS MATERIALIZED (SELECT cnt, string_split(substring(s, 2, length(s) - 2),
+         |    chr(1) || chr(1)) AS sy FROM wpv${r - 1}),
+         |wp${r}pr AS (SELECT sy[i] AS a, sy[i + 1] AS b, sum(cnt) AS pcnt
+         |  FROM wp${r}sy CROSS JOIN unnest(range(1, len(sy))) AS g(i)
+         |  GROUP BY 1, 2),
+         |wp${r}s AS MATERIALIZED (SELECT sym, sum(cnt) AS scnt
+         |  FROM (SELECT unnest(sy) AS sym, cnt FROM wp${r}sy) GROUP BY 1),
+         |wp${r}e AS (SELECT a, b, pcnt, sa.scnt AS ca, sb.scnt AS cb,
+         |    CASE ${eCase("pcnt")} ELSE 0 END AS ep,
+         |    CASE ${eCase("sa.scnt")} ELSE 0 END AS ea,
+         |    CASE ${eCase("sb.scnt")} ELSE 0 END AS eb
+         |  FROM wp${r}pr JOIN wp${r}s sa ON sa.sym = a
+         |  JOIN wp${r}s sb ON sb.sym = b),
+         |wpm$r AS MATERIALIZED (SELECT a, b, pcnt,
+         |    ${lg("pcnt", "ep")} - ${lg("ca", "ea")} - ${lg("cb", "eb")}
+         |      AS score
+         |  FROM wp${r}e ORDER BY score DESC, a, b LIMIT 1),
+         |wpv$r AS MATERIALIZED (SELECT replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |    chr(1) || a || ($strip) || chr(1)) AS s, cnt
+         |  FROM wpv${r - 1} CROSS JOIN wpm$r)""".stripMargin
+    val base =
+      s"""wptoks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |wpwv AS MATERIALIZED (SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(tk) AS word FROM wptoks)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+         |wpv0 AS MATERIALIZED (SELECT chr(1) || array_to_string(
+         |    list_transform(range(1, length(word) + 1),
+         |      i -> CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), 1)
+         |        ELSE '##' || substring(word, CAST(i AS INT), 1) END),
+         |    chr(1) || chr(1)) || chr(1) AS s, cnt, word
+         |  FROM wpwv)""".stripMargin
+    val fv =
+      s"""wpfv AS MATERIALIZED (SELECT DISTINCT sym FROM (
+         |  SELECT unnest(sy) AS sym FROM wp1sy
+         |  ${(1 to m).map(r =>
+              s"UNION ALL SELECT a || ($strip) AS sym FROM wpm$r")
+              .mkString("\n  ")})),
+         |wpfl AS MATERIALIZED (SELECT list(sym) AS vl FROM wpfv),
+         |wpg AS (
+         |  SELECT word, cnt, vl, 1 AS pos, CAST([] AS VARCHAR[]) AS ps
+         |  FROM wpwv CROSS JOIN wpfl
+         |  UNION ALL
+         |  SELECT word, cnt, vl,
+         |    CASE WHEN L = 0 THEN length(word) + 1 ELSE pos + L END AS pos,
+         |    CASE WHEN L = 0 THEN ['[UNK]']
+         |      WHEN pos = 1 THEN list_append(ps, substring(word, CAST(pos AS INT), CAST(L AS INT)))
+         |      ELSE list_append(ps, '##' || substring(word, CAST(pos AS INT), CAST(L AS INT)))
+         |      END AS ps
+         |  FROM (
+         |    SELECT word, cnt, vl, pos, ps,
+         |      CAST(coalesce(list_max(list_filter(range(1, length(word) - pos + 2),
+         |        l -> list_contains(vl, CASE WHEN pos = 1
+         |          THEN substring(word, CAST(pos AS INT), CAST(l AS INT))
+         |          ELSE '##' || substring(word, CAST(pos AS INT), CAST(l AS INT)) END))),
+         |        0) AS BIGINT) AS L
+         |    FROM wpg WHERE pos <= length(word))),
+         |wpseg AS MATERIALIZED (SELECT word, cnt, ps FROM wpg WHERE pos = length(word) + 1),
+         |wpid AS (SELECT sym, row_number() OVER (ORDER BY sym) AS tid
+         |  FROM (SELECT DISTINCT sym FROM
+         |    (SELECT sym FROM wpfv UNION ALL SELECT '[UNK]')))""".stripMargin
+    (Seq(base) ++ (1 to m).map(roundCtes) :+ fv).mkString(",\n")
+  }
+
   private lazy val unigramOracleCtes: String = {
     val neg = -(1L << 40)
     val neg2 = 2L * neg
@@ -3862,6 +3943,41 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48)
       Unigram.docTokenIds(docs, "doc_id", "text", art)
+    }),
+
+    // §2#36n WordPiece TRAINING (the BERT vocabulary, Schuster &
+    // Nakajima 2012 / Devlin et al. 2018) — the third subword family:
+    // merges maximize the quantized-likelihood ratio ilog2q(pcnt) −
+    // ilog2q(cnt_a) − ilog2q(cnt_b) (NOT the raw pair count — BPE's one
+    // differing rule), non-initial symbols carry the ## continuation
+    // prefix. The Bpe vocab-table discipline: corpus scanned once, each
+    // round one vocab-sized pair count + symbol count + 1-row argmax +
+    // literal replace
+    "q_wordpiece_train" -> ((s, dir) =>
+      WordPiece.mergeTable(s,
+        WordPiece.train(Tables.documents(s, dir), "text", m = 8))),
+
+    // §2#36o the WordPiece tokenizer APPLIED — greedy longest-match-first
+    // against the BOUNDED final vocabulary (alphabet + one symbol per
+    // merge; no merge replay): each DISTINCT word encodes once through
+    // the native whole-stage-codegen kernel (plans/TextExpressions.scala:
+    // WordPieceEncode — the vocab rides as a reference object, never a
+    // join), unmatchable words collapse to one [UNK]; top-40 subwords
+    "q_wordpiece_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = WordPiece.train(docs, "text", m = 8)
+      WordPiece.subwordCounts(docs, "text",
+        WordPiece.finalVocab(docs, "text", merges), k = 40)
+    }),
+
+    // §2#36p doc-grain WordPiece tokenization — the packing consumable
+    // at the BERT grain: greedy pieces map to dense ids (rank over the
+    // bounded vocab), documents re-assemble into ordered id sequences
+    "q_wordpiece_doc_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = WordPiece.train(docs, "text", m = 8)
+      WordPiece.docTokenIds(docs, "doc_id", "text",
+        WordPiece.finalVocab(docs, "text", merges))
     }),
 
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
@@ -7873,6 +7989,44 @@ object SparkEntry {
         |    AS token_ids
         |FROM dtw d JOIN wids w USING (word)
         |GROUP BY d.doc_id""".stripMargin),
+
+    // WordPiece trajectory replay: ##-prefixed sentinel symbols, per-round
+    // quantized-likelihood argmax in exact integers, literal-replace
+    // merges — then the merge table re-derived round by round
+    "q_wordpiece_train" -> (
+      s"""WITH RECURSIVE ${wordPieceOracleCtes(8)}
+         |${(1 to 8).map(j =>
+            s"SELECT cast($j AS bigint) AS step, a AS sym_a, b AS sym_b, " +
+              s"cast(pcnt AS bigint) AS pair_cnt, cast(score AS bigint) " +
+              s"AS score_q FROM wpm$j")
+            .mkString("", "\nUNION ALL\n", "")}""".stripMargin),
+
+    // greedy longest-match-first replay: recursive position walk per
+    // vocab word against the final vocabulary (list_max over matching
+    // lengths), [UNK] collapse included
+    "q_wordpiece_tokenize" -> (
+      s"""WITH RECURSIVE ${wordPieceOracleCtes(8)}
+         |SELECT subword, cast(sum(cnt) AS bigint) AS n_occurrences
+         |FROM (SELECT cnt, unnest(ps) AS subword FROM wpseg)
+         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 40""".stripMargin),
+
+    // doc-grain replay: greedy segmentations mapped to dense ids (rank
+    // by symbol over vocab + [UNK]), re-assembled by word then piece pos
+    "q_wordpiece_doc_ids" -> (
+      s"""WITH RECURSIVE ${wordPieceOracleCtes(8)},
+         |wpdw AS (SELECT doc_id, i AS wpos, tk[i] AS word
+         |  FROM wptoks CROSS JOIN unnest(generate_series(1, len(tk))) AS g(i)
+         |  WHERE regexp_full_match(tk[i], '[a-z0-9]+')),
+         |wpwp AS (SELECT word, i AS ppos, ps[i] AS piece
+         |  FROM wpseg CROSS JOIN unnest(generate_series(1, len(ps))) AS g(i)),
+         |wpwi AS (SELECT word, list(tid ORDER BY ppos) AS ids
+         |  FROM wpwp JOIN wpid ON piece = sym GROUP BY word)
+         |SELECT d.doc_id,
+         |  cast(sum(len(w.ids)) AS bigint) AS n_tokens,
+         |  string_agg(array_to_string(w.ids, ','), ',' ORDER BY d.wpos)
+         |    AS token_ids
+         |FROM wpdw d JOIN wpwi w USING (word)
+         |GROUP BY d.doc_id""".stripMargin),
 
     // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
     // (seed 41), then the ratio table is re-derived IN SQL from the bucket

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val D = "\u0001"
+  private[operators] val D = "\u0001"
 
   /** ASCII-lowercase word vocabulary with counts: one corpus scan. */
   def wordVocab(docs: DataFrame, textCol: String): DataFrame =
@@ -51,7 +51,7 @@ object Bpe {
   /** Symbols of a delimited string: strip the outer sentinels, split on the
     * doubled inner sentinel.
     */
-  private def symsOf(s: Column): Column =
+  private[operators] def symsOf(s: Column): Column =
     split(substring(s, lit(2), length(s) - 2), D + D)
 
   /** Adjacent-pair counts over a (s, cnt) vocab frame → (a, b, pcnt). */

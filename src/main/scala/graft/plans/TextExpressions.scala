@@ -250,7 +250,98 @@ case class UnigramSegment(
     copy(left = newLeft, right = newRight)
 }
 
+/** Native greedy longest-match-first WordPiece encoding — application
+  * never replays merges: each position takes the LONGEST prefix of the
+  * remaining word found in the (bounded) final vocabulary, non-initial
+  * matches carrying the `##` continuation prefix; any unmatchable
+  * remainder collapses the WHOLE word to one `unk` token (the BERT
+  * rule). The vocabulary rides in as a reference object (alphabet + one
+  * symbol per merge — never a join), so encoding is a pure scan inside
+  * whole-stage codegen.
+  */
+case class WordPieceEncode(
+    child: Expression,
+    vocab: Array[String],
+    unk: String) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode requires a string input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "wordpiece_encode"
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  @transient private lazy val maxSub: Int = TextKernels.wpMaxSub(vocab)
+
+  @transient private lazy val unkUtf8: UTF8String = UTF8String.fromString(unk)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.wordPieceEncode(input.asInstanceOf[UTF8String],
+      vocabSet, maxSub, unkUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("wpVocab", vocabSet, "java.util.HashSet")
+    val uRef = ctx.addReferenceObj("wpUnk", unkUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.plans.TextKernels.wordPieceEncode(
+         |  $in, $vRef, $maxSub, $uRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextKernels {
+
+  /** Longest vocab-entry CONTENT length in code points (`##` stripped)
+    * — the greedy lookback bound. */
+  def wpMaxSub(vocab: Array[String]): Int = {
+    var m = 1
+    var i = 0
+    while (i < vocab.length) {
+      val v = vocab(i)
+      val content = if (v.startsWith("##")) v.substring(2) else v
+      val n = content.codePointCount(0, content.length)
+      if (n > m) m = n
+      i += 1
+    }
+    m
+  }
+
+  /** Greedy longest-match-first WordPiece loop — see
+    * [[WordPieceEncode]] for the contract. */
+  def wordPieceEncode(word: UTF8String, vocab: java.util.HashSet[String],
+      maxSub: Int, unk: UTF8String): GenericArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](4)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxSub, n - pos)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val sub = new String(cps, pos, l)
+        val cand = if (pos == 0) sub else "##" + sub
+        if (vocab.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit == null)
+        return new GenericArrayData(Array[Any](unk))
+      out.add(UTF8String.fromString(hit))
+      pos += l
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   @inline private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -500,4 +591,8 @@ object TextExpressions {
       unkScore: Long, neg: Long): Column =
     Bridge.column(UnigramSegment(Bridge.expression(word),
       Bridge.expression(scores), maxLen, unkScore, neg))
+
+  /** Column API for [[WordPieceEncode]]. */
+  def wordPieceEncode(word: Column, vocab: Array[String], unk: String): Column =
+    Bridge.column(WordPieceEncode(Bridge.expression(word), vocab, unk))
 }
