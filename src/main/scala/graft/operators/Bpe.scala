@@ -243,12 +243,10 @@ object Bpe {
       .select(col("word"), symsOf(applied).as("toks"))
     words.join(wordToks, "word")
       .groupBy(col(idCol))
-      .agg(
-        sum(size(col("toks"))).cast("long").as("n_tokens"),
-        array_join(
-          flatten(transform(
-            array_sort(collect_list(struct(col("wpos"), col("toks")))),
-            x => x.getField("toks"))),
-          ",").as("token_hex"))
+      .agg(collect_list(struct(col("wpos"), col("toks"))).as("_t"))
+      .select(col(idCol),
+        graft.plans.TextExpressions.tokenSeqJoin(col("_t")).as("_r"))
+      .select(col(idCol), col("_r.n_tokens").as("n_tokens"),
+        col("_r.token_ids").as("token_hex"))
   }
 }

@@ -183,14 +183,10 @@ object WordPiece {
           p => element_at(idOf, p)).as("ids"))
     words.join(wordIds, Seq("word"))
       .groupBy(col(idCol))
-      .agg(
-        sum(size(col("ids"))).cast("long").as("n_tokens"),
-        array_join(
-          transform(
-            flatten(transform(
-              array_sort(collect_list(struct(col("wpos"), col("ids")))),
-              x => x.getField("ids"))),
-            t => t.cast("string")),
-          ",").as("token_ids"))
+      .agg(collect_list(struct(col("wpos"), col("ids"))).as("_t"))
+      .select(col(idCol),
+        graft.plans.TextExpressions.tokenSeqJoin(col("_t")).as("_r"))
+      .select(col(idCol), col("_r.n_tokens").as("n_tokens"),
+        col("_r.token_ids").as("token_ids"))
   }
 }

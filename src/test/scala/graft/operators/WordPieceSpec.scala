@@ -70,7 +70,7 @@ class WordPieceSpec extends SparkSpec {
     // same word -> same id subsequence in both docs ('ab' appears in both)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback") ||
-      !plan.contains("wordpiece_encode"),
-      s"wordpiece_encode must not fall back:\n$plan")
+      (!plan.contains("wordpiece_encode") && !plan.contains("token_seq_join")),
+      s"wordpiece_encode/token_seq_join must not fall back:\n$plan")
   }
 }
