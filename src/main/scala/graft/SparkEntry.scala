@@ -4421,6 +4421,18 @@ object SparkEntry {
           Seq("event_type"), "event_id", k = 20, seed = 5L)
         .select(col("event_type"), col("event_id"), col("sample_u"))),
 
+    // §2#38c weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-ES): exactly k docs with inclusion ∝ length(text), via the
+    // quantized-integer priority key −((40·2^16 − ilog2q(u40+1))·2^20
+    // div w) over the portable FnvMix draw — scan-side arithmetic + one
+    // TakeOrdered, the corpus never shuffled; bit-replayable in SQL
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("weight"))
+      Sampling.weightedFixedK(docs, "doc_id", "weight", k = 100, seed = 29L)
+    }),
+
     // §2#36 regex tokenization + token histogram
     "q_token_hist" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -4451,6 +4463,35 @@ object SparkEntry {
           .cast("long").as("part_day"),
         unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
+    }),
+
+    // §2#20d CDC op-log APPLICATION (operators/Cdc.scala) — the missing
+    // DELETE next to q_upsert_merge: a Debezium-shaped I/U/D change log
+    // (derived from orders: unique o_orderkey as the sequence, status →
+    // op, every 7th key brand-new) folds into the customer snapshot.
+    // Latest op per key wins via one map-side-combinable max_by (no
+    // window over the raw log), then ONE full-outer merge — a final D
+    // drops the key, I/U upserts the payload, untouched keys keep their
+    // snapshot rows
+    "q_cdc_apply" -> ((s, dir) => {
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val log = Tables.orders(s, dir).select(
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("o_custkey").cast("long") + 1000000L)
+          .otherwise(col("o_custkey").cast("long")).as("c_custkey"),
+        col("o_orderkey").cast("long").as("seq"),
+        when(col("o_orderstatus") === "F", lit("D"))
+          .when(col("o_orderstatus") === "O", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        pmod(col("o_orderkey"), lit(25L)).cast("long").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"))
+      Cdc.applyLog(snap, log, Seq("c_custkey"), "seq", "op")
     }),
 
     // §2#47 sharded training-data export through the REAL write path:
@@ -7785,6 +7826,67 @@ object SparkEntry {
         |    AS part_day,
         |  epoch_us(ts) AS ts_us, event_id, value
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // CDC apply: latest-seq winner per key (o_orderkey unique => the
+    // row_number replay equals the operator's max_by), full-outer fold
+    // with D dropping the key and I/U taking the logged payload
+    "q_cdc_apply" ->
+      """WITH cdclog AS (SELECT
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+        |      ELSE o_custkey END AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D'
+        |      WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op,
+        |    'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_orderkey % 25 AS c_nationkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment
+        |  FROM orders),
+        |w AS (SELECT * FROM cdclog QUALIFY
+        |  row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1),
+        |snap AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+        |    c_mktsegment FROM customer)
+        |SELECT coalesce(s.c_custkey, w.c_custkey) AS c_custkey,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_name ELSE s.c_name END AS c_name,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_nationkey ELSE s.c_nationkey END
+        |    AS c_nationkey,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_acctbal ELSE s.c_acctbal END
+        |    AS c_acctbal,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_mktsegment ELSE s.c_mktsegment END
+        |    AS c_mktsegment
+        |FROM snap s FULL JOIN w ON s.c_custkey = w.c_custkey
+        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
+
+    // A-ES weighted sample: full FnvMix replay on the doc id, the exact
+    // ilog2q ladder, the same integer floor-div key, top-100 by
+    // (key desc, doc_id)
+    "q_weighted_sample" -> {
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      val eCase = (62 to 1 by -1)
+        .map(k => s"WHEN v >= ${1L << k} THEN $k").mkString(" ")
+      s"""WITH w0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         |    CAST(doc_id AS VARCHAR) AS shingle
+         |  FROM documents WHERE length(text) >= 1),
+         |f AS (SELECT doc_id, weight, $FnvFoldSql AS h FROM w0),
+         |z0 AS (SELECT doc_id, weight,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden)
+         |      % 18446744073709551616 AS UBIGINT) AS z FROM f),
+         |z1 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 30)", Mix1B)}
+         |    AS z FROM z0),
+         |z2 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 27)", Mix2B)}
+         |    AS z FROM z1),
+         |hv AS (SELECT doc_id, weight,
+         |    CAST(xor(z, z >> 31) >> 24 AS BIGINT) + 1 AS v FROM z2),
+         |e AS (SELECT doc_id, weight, v, CASE $eCase ELSE 0 END AS e FROM hv),
+         |kq AS (SELECT doc_id, weight,
+         |    -(((2621440 - (e * 65536 +
+         |        (((v - (CAST(1 AS BIGINT) << e)) << 16) >> e))) << 20)
+         |      // weight) AS kq
+         |  FROM e)
+         |SELECT doc_id, weight FROM kq
+         |ORDER BY kq DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     // fastText-style classifier inference: full FnvMix replay per feature
     // (unigrams + bigrams), bucket = unsigned z mod 256 (power of two ==

@@ -176,6 +176,47 @@ object Sampling {
     df.withColumn(splitCol, ladder.get.otherwise(lit(splits.last._1)))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006
+    * A-ES priority sampling): keep exactly `k` rows with inclusion
+    * probability ∝ `weightCol`, no row twice — the data-mixing
+    * workhorse (sample documents ∝ quality score / token count). Each
+    * row draws the priority key `u^(1/w)` and the global top-k by key
+    * is exactly an A-ES sample; equivalently top-k by `log2(u)/w`,
+    * which is what runs here.
+    *
+    * Engine-exactness: `u = (u40+1)/2^40` from the top 40 bits of the
+    * portable FnvMix draw, and the key is the QUANTIZED integer
+    * rational `−((40·2^16 − ilog2q(u40+1)) · 2^20 div w)` —
+    * [[Unigram.ilog2q]]'s exact piecewise-linear log2, so the whole
+    * draw replays bit-identically in SQL. Quantization (1/2^16 log2
+    * grid, then the div-w floor) only perturbs near-ties vs the real
+    * ln-based key; ties break on `idCol`. Rows with weight < 1 never
+    * sample (by contract — weights are positive integers).
+    *
+    * Scale shape: the key is scan-side arithmetic on a pruned scan and
+    * the top-k is one TakeOrdered (per-partition heaps + a k-row driver
+    * merge) — the corpus is never shuffled or sorted.
+    */
+  def weightedFixedK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u40 = shiftrightunsigned(
+      graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+    val negL = lit(40L * 65536L) - Unigram.ilog2q(u40 + lit(1L))
+    val x = call_function("shiftleft", negL, lit(20))
+    val w = col(weightCol).cast("long")
+    val key = -(((x - pmod(x, w)) / w).cast("long"))
+    df.filter(col(weightCol).cast("long") >= 1L)
+      .withColumn("_aes_key", key)
+      .orderBy(col("_aes_key").desc, col(idCol))
+      .limit(k)
+      .drop("_aes_key")
+  }
+
   def fixedPerStratum(
       df: DataFrame,
       strataCols: Seq[String],
