@@ -403,6 +403,39 @@ object SparkEntry {
     * (the artifact, q_unigram_train) and `u3cnt(piece, used)` (the
     * application counts, q_unigram_tokenize).
     */
+  /** The CDC fold replay — shared by q_cdc_apply (batch) and
+    * q_stream_cdc (the streamed materialization must land on the
+    * identical state): latest-seq winner per key (o_orderkey unique =>
+    * the row_number replay equals the operator's max_by), full-outer
+    * fold with D dropping the key and I/U taking the logged payload. */
+  private lazy val CdcApplySql: String =
+    """WITH cdclog AS (SELECT
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+        |      ELSE o_custkey END AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D'
+        |      WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op,
+        |    'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_orderkey % 25 AS c_nationkey,
+        |    o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment
+        |  FROM orders),
+        |w AS (SELECT * FROM cdclog QUALIFY
+        |  row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1),
+        |snap AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+        |    c_mktsegment FROM customer)
+        |SELECT coalesce(s.c_custkey, w.c_custkey) AS c_custkey,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_name ELSE s.c_name END AS c_name,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_nationkey ELSE s.c_nationkey END
+        |    AS c_nationkey,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_acctbal ELSE s.c_acctbal END
+        |    AS c_acctbal,
+        |  CASE WHEN w.op IS NOT NULL THEN w.c_mktsegment ELSE s.c_mktsegment END
+        |    AS c_mktsegment
+        |FROM snap s FULL JOIN w ON s.c_custkey = w.c_custkey
+        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin
+
   /** WordPiece trajectory replay (operators/WordPiece.scala): sentinel
     * `##`-prefixed symbol encoding, per-round pair + symbol counts, the
     * quantized-likelihood argmax `ilog2q(pcnt) − ilog2q(ca) − ilog2q(cb)`
@@ -4494,6 +4527,51 @@ object SparkEntry {
       Cdc.applyLog(snap, log, Seq("c_custkey"), "seq", "op")
     }),
 
+    // §2#20e the SAME CDC feed materialized through Structured Streaming
+    // (streaming/StreamCdc.scala): seq-ordered micro-batches fold into a
+    // hash-bucketed persisted snapshot inside foreachBatch — only the
+    // buckets holding touched keys rewrite (dynamic partition overwrite),
+    // per-row _seq makes restart replays idempotent. Final state must
+    // equal the one-shot batch apply — the oracle IS q_cdc_apply's
+    "q_stream_cdc" -> ((s, dir) => withGateShuffle(s) {
+      val snap = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val logDf = Tables.orders(s, dir).select(
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          col("o_custkey").cast("long") + 1000000L)
+          .otherwise(col("o_custkey").cast("long")).as("c_custkey"),
+        col("o_orderkey").cast("long").as("seq"),
+        when(col("o_orderstatus") === "F", lit("D"))
+          .when(col("o_orderstatus") === "O", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        pmod(col("o_orderkey"), lit(25L)).cast("long").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"))
+      val (rdir, stream) = orderedReplay(s, logDf, Seq("seq"), "q_stream_cdc")
+      val base = gateTmpDir("graft-streamcdc-")
+      val target = s"$base/t"
+      graft.streaming.StreamCdc.initTarget(
+        snap, target, Seq("c_custkey"), nBuckets = 16)
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamCdc.foldBatch(
+            s, b, target, Seq("c_custkey"), "seq", "op", nBuckets = 16)
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      graft.streaming.StreamCdc.currentState(s, target)
+    }),
+
     // §2#47 sharded training-data export through the REAL write path:
     // deterministic fnv_mix(id) mod 8 membership (engine-portable — the
     // oracle recomputes every doc's shard), one directory per shard, rows
@@ -7830,33 +7908,11 @@ object SparkEntry {
     // CDC apply: latest-seq winner per key (o_orderkey unique => the
     // row_number replay equals the operator's max_by), full-outer fold
     // with D dropping the key and I/U taking the logged payload
-    "q_cdc_apply" ->
-      """WITH cdclog AS (SELECT
-        |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
-        |      ELSE o_custkey END AS c_custkey,
-        |    o_orderkey AS seq,
-        |    CASE WHEN o_orderstatus = 'F' THEN 'D'
-        |      WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op,
-        |    'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
-        |    o_orderkey % 25 AS c_nationkey,
-        |    o_totalprice AS c_acctbal,
-        |    o_orderpriority AS c_mktsegment
-        |  FROM orders),
-        |w AS (SELECT * FROM cdclog QUALIFY
-        |  row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) = 1),
-        |snap AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-        |    CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
-        |    c_mktsegment FROM customer)
-        |SELECT coalesce(s.c_custkey, w.c_custkey) AS c_custkey,
-        |  CASE WHEN w.op IS NOT NULL THEN w.c_name ELSE s.c_name END AS c_name,
-        |  CASE WHEN w.op IS NOT NULL THEN w.c_nationkey ELSE s.c_nationkey END
-        |    AS c_nationkey,
-        |  CASE WHEN w.op IS NOT NULL THEN w.c_acctbal ELSE s.c_acctbal END
-        |    AS c_acctbal,
-        |  CASE WHEN w.op IS NOT NULL THEN w.c_mktsegment ELSE s.c_mktsegment END
-        |    AS c_mktsegment
-        |FROM snap s FULL JOIN w ON s.c_custkey = w.c_custkey
-        |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin,
+    "q_cdc_apply" -> CdcApplySql,
+
+    // the STREAMED materialization must land on the identical state
+    "q_stream_cdc" -> CdcApplySql,
+
 
     // A-ES weighted sample: full FnvMix replay on the doc id, the exact
     // ilog2q ladder, the same integer floor-div key, top-100 by
