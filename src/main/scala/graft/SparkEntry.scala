@@ -889,6 +889,45 @@ object SparkEntry {
        |      v -> cast(v AS varchar)), ',') AS bucket
        |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) u)""".stripMargin
 
+  /** q_dedup_eval replay: the LSH candidate set (the q_minhash_lsh_zipf
+    * chain at τ = 0.5) full-outer-joined against EXACT Jaccard ≥ 0.5
+    * ground truth computed over the SAME shingle posting (no df filter
+    * — the Zipf corpus's rare shingles keep the self-join linear), then
+    * one counts row: precision = tp/cand, recall = tp/truth.
+    */
+  private def dedupEvalSql: String =
+    s"""WITH ${minhashBandedCtes(
+          s"""${graft.sources.ZipfCorpus.ZdocsSql},
+             |${shinglePostingSql("zdocs")}""".stripMargin)},
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |est AS (SELECT id_a, id_b,
+       |    cast(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) AS double) / 32
+       |      AS est_jaccard
+       |  FROM p),
+       |lsh AS (SELECT id_a, id_b FROM est
+       |  GROUP BY 1, 2 HAVING max(est_jaccard) >= 0.5),
+       |tsz AS (SELECT id, count(*) AS ss FROM posting GROUP BY 1),
+       |tp0 AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM posting a JOIN posting b
+       |    ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM tp0
+       |  JOIN tsz ta ON ta.id = tp0.id_a JOIN tsz tb ON tb.id = tp0.id_b
+       |  WHERE cast(inter AS double) / (ta.ss + tb.ss - inter) >= 0.5),
+       |j AS (SELECT t.id_a IS NOT NULL AS in_t, l.id_a IS NOT NULL AS in_l
+       |  FROM truth t FULL JOIN lsh l
+       |    ON t.id_a = l.id_a AND t.id_b = l.id_b)
+       |SELECT
+       |  cast(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS bigint) AS n_truth,
+       |  cast(sum(CASE WHEN in_l THEN 1 ELSE 0 END) AS bigint) AS n_cand,
+       |  cast(sum(CASE WHEN in_t AND in_l THEN 1 ELSE 0 END) AS bigint) AS n_tp,
+       |  cast(sum(CASE WHEN in_t AND in_l THEN 1 ELSE 0 END) AS double) /
+       |    cast(sum(CASE WHEN in_l THEN 1 ELSE 0 END) AS double) AS precision_,
+       |  cast(sum(CASE WHEN in_t AND in_l THEN 1 ELSE 0 END) AS double) /
+       |    cast(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS double) AS recall_
+       |FROM j""".stripMargin
+
   private def minhashLshReplaySql(lead: String): String =
     s"""WITH ${minhashBandedCtes(lead)},
        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
@@ -1946,6 +1985,35 @@ object SparkEntry {
     "q_minhash_lsh_zipf" -> ((s, dir) =>
       Dedup.minhashLsh(graft.sources.ZipfCorpus.docs(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
+
+    // §2#30e dedup-quality EVALUATION — the measurement loop every
+    // curation stack needs before trusting an approximate dedup pass:
+    // the LSH candidate set (exact q_minhash_lsh_zipf pipeline, τ = 0.5)
+    // scored against EXACT Jaccard ≥ τ ground truth over the SAME
+    // shingle sets (no df suppression — the Zipf corpus's rare shingles
+    // keep the exact self-join linear); one row of counts + precision +
+    // recall. Both legs are bounded pair joins; the full-outer set
+    // compare touches pairs only
+    "q_dedup_eval" -> ((s, dir) => {
+      val docs = graft.sources.ZipfCorpus.docs(s, dir)
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("_c"))
+      val truth = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5,
+          maxShingleDocFreq = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), lit(1).as("_t"))
+      truth.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(col("_t")).as("n_truth"),
+          count(col("_c")).as("n_cand"),
+          count(when(col("_t").isNotNull && col("_c").isNotNull, 1))
+            .as("n_tp"))
+        .select(col("n_truth"), col("n_cand"), col("n_tp"),
+          (col("n_tp").cast("double") / col("n_cand").cast("double"))
+            .as("precision_"),
+          (col("n_tp").cast("double") / col("n_truth").cast("double"))
+            .as("recall_"))
+    }),
 
     // §2#30d INCREMENTAL dedup — the production mode at corpus scale: a new
     // batch (docs with doc_id ≡ 0 mod 5, ~20 %) is deduped AGAINST the
@@ -7516,6 +7584,9 @@ object SparkEntry {
     "q_minhash_lsh_zipf" -> minhashLshReplaySql(
       s"""${graft.sources.ZipfCorpus.ZdocsSql},
          |${shinglePostingSql("zdocs")}""".stripMargin),
+
+    // the dedup-quality evaluation row (see dedupEvalSql)
+    "q_dedup_eval" -> dedupEvalSql,
 
     // FnvMix with seed 0 (the +seed·golden term vanishes), bits extracted
     // from the unsigned value — identical raw bits to Spark's signed long
