@@ -898,7 +898,8 @@ object SparkEntry {
   private def dedupEvalSql: String =
     s"""WITH ${minhashBandedCtes(
           s"""${graft.sources.ZipfCorpus.ZdocsSql},
-             |${shinglePostingSql("zdocs")}""".stripMargin)},
+             |zsam AS (SELECT * FROM zdocs WHERE doc_id < 2000),
+             |${shinglePostingSql("zsam")}""".stripMargin)},
        |p AS (SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
@@ -1990,12 +1991,18 @@ object SparkEntry {
     // curation stack needs before trusting an approximate dedup pass:
     // the LSH candidate set (exact q_minhash_lsh_zipf pipeline, τ = 0.5)
     // scored against EXACT Jaccard ≥ τ ground truth over the SAME
-    // shingle sets (no df suppression — the Zipf corpus's rare shingles
-    // keep the exact self-join linear); one row of counts + precision +
-    // recall. Both legs are bounded pair joins; the full-outer set
-    // compare touches pairs only
+    // shingle sets (no df suppression); one row of counts + precision +
+    // recall. Exact truth is inherently quadratic — that is WHY LSH
+    // exists — so the eval runs on a FIXED-SIZE AUDIT BLOCK (the first
+    // 2000 doc ids): constant cost at every SF (the q_semdedup lesson —
+    // the first cut ran truth corpus-wide and went 18× for 10× at sf1,
+    // timing out at sf10), and a CONTIGUOUS block, because the planted
+    // near-dup pairs live between adjacent ids — an id-modulus sample
+    // keeps a pair only when BOTH endpoints survive and measured zero
+    // candidates. Auditing a block is the standard dedup-QA methodology
     "q_dedup_eval" -> ((s, dir) => {
       val docs = graft.sources.ZipfCorpus.docs(s, dir)
+        .filter(col("doc_id") < 2000L)
       val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
           shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"), lit(1).as("_c"))
