@@ -403,6 +403,37 @@ object SparkEntry {
     * (the artifact, q_unigram_train) and `u3cnt(piece, used)` (the
     * application counts, q_unigram_tokenize).
     */
+  /** The A-ES draw replay — shared by q_weighted_sample (batch) and
+    * q_stream_weighted_sample (the streamed fold must land on the
+    * identical k rows). */
+  private lazy val WeightedSampleSql: String = {
+
+      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
+      val eCase = (62 to 1 by -1)
+        .map(k => s"WHEN v >= ${1L << k} THEN $k").mkString(" ")
+      s"""WITH w0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         |    CAST(doc_id AS VARCHAR) AS shingle
+         |  FROM documents WHERE length(text) >= 1),
+         |f AS (SELECT doc_id, weight, $FnvFoldSql AS h FROM w0),
+         |z0 AS (SELECT doc_id, weight,
+         |    CAST((CAST(h AS HUGEINT) + $seedGolden)
+         |      % 18446744073709551616 AS UBIGINT) AS z FROM f),
+         |z1 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 30)", Mix1B)}
+         |    AS z FROM z0),
+         |z2 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 27)", Mix2B)}
+         |    AS z FROM z1),
+         |hv AS (SELECT doc_id, weight,
+         |    CAST(xor(z, z >> 31) >> 24 AS BIGINT) + 1 AS v FROM z2),
+         |e AS (SELECT doc_id, weight, v, CASE $eCase ELSE 0 END AS e FROM hv),
+         |kq AS (SELECT doc_id, weight,
+         |    -(((2621440 - (e * 65536 +
+         |        (((v - (CAST(1 AS BIGINT) << e)) << 16) >> e))) << 20)
+         |      // weight) AS kq
+         |  FROM e)
+         |SELECT doc_id, weight FROM kq
+         |ORDER BY kq DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   /** The CDC fold replay — shared by q_cdc_apply (batch) and
     * q_stream_cdc (the streamed materialization must land on the
     * identical state): latest-seq winner per key (o_orderkey unique =>
@@ -4573,6 +4604,36 @@ object SparkEntry {
         col("event_id"), col("value"))
     }),
 
+    // §2#38d the SAME A-ES draw maintained over a STREAM — Efraimidis–
+    // Spirakis is a streaming algorithm by construction (deterministic
+    // per-row priority keys), so the running top-k over micro-batches
+    // must equal the batch draw exactly; state = the k-row sample
+    // itself, bounded forever, no watermark. The oracle IS
+    // q_weighted_sample's
+    "q_stream_weighted_sample" -> ((s, dir) => withGateShuffle(s) {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("text")).cast("long").as("weight"))
+      val (rdir, stream) = orderedReplay(s, docs, Seq("doc_id"),
+        "q_stream_weighted_sample")
+      val base = gateTmpDir("graft-streamws-")
+      val target = s"$base/t"
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamSample.foldBatch(
+            s, b, target, "doc_id", "weight", k = 100, seed = 29L)
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); assertMultiBatch(q) }
+      finally {
+        q.stop()
+        graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
+      }
+      graft.streaming.StreamSample.current(s, target)
+    }),
+
     // §2#20d CDC op-log APPLICATION (operators/Cdc.scala) — the missing
     // DELETE next to q_upsert_merge: a Debezium-shaped I/U/D change log
     // (derived from orders: unique o_orderkey as the sequence, status →
@@ -7995,32 +8056,9 @@ object SparkEntry {
     // A-ES weighted sample: full FnvMix replay on the doc id, the exact
     // ilog2q ladder, the same integer floor-div key, top-100 by
     // (key desc, doc_id)
-    "q_weighted_sample" -> {
-      val seedGolden = (BigInt(29) * GoldenB).mod(BigInt(2).pow(64))
-      val eCase = (62 to 1 by -1)
-        .map(k => s"WHEN v >= ${1L << k} THEN $k").mkString(" ")
-      s"""WITH w0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
-         |    CAST(doc_id AS VARCHAR) AS shingle
-         |  FROM documents WHERE length(text) >= 1),
-         |f AS (SELECT doc_id, weight, $FnvFoldSql AS h FROM w0),
-         |z0 AS (SELECT doc_id, weight,
-         |    CAST((CAST(h AS HUGEINT) + $seedGolden)
-         |      % 18446744073709551616 AS UBIGINT) AS z FROM f),
-         |z1 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 30)", Mix1B)}
-         |    AS z FROM z0),
-         |z2 AS (SELECT doc_id, weight, ${mulModSql("xor(z, z >> 27)", Mix2B)}
-         |    AS z FROM z1),
-         |hv AS (SELECT doc_id, weight,
-         |    CAST(xor(z, z >> 31) >> 24 AS BIGINT) + 1 AS v FROM z2),
-         |e AS (SELECT doc_id, weight, v, CASE $eCase ELSE 0 END AS e FROM hv),
-         |kq AS (SELECT doc_id, weight,
-         |    -(((2621440 - (e * 65536 +
-         |        (((v - (CAST(1 AS BIGINT) << e)) << 16) >> e))) << 20)
-         |      // weight) AS kq
-         |  FROM e)
-         |SELECT doc_id, weight FROM kq
-         |ORDER BY kq DESC, doc_id LIMIT 100""".stripMargin
-    },
+    "q_weighted_sample" -> WeightedSampleSql,
+
+    "q_stream_weighted_sample" -> WeightedSampleSql,
 
     // fastText-style classifier inference: full FnvMix replay per feature
     // (unigrams + bigrams), bucket = unsigned z mod 256 (power of two ==

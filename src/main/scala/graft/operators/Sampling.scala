@@ -197,6 +197,17 @@ object Sampling {
     * the top-k is one TakeOrdered (per-partition heaps + a k-row driver
     * merge) — the corpus is never shuffled or sorted.
     */
+  /** The A-ES priority key of ([[weightedFixedK]])'s contract — exposed
+    * so the streaming fold draws the IDENTICAL key per row. */
+  def aesKey(idCol: String, weightCol: String, seed: Long): Column = {
+    val u40 = shiftrightunsigned(
+      graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
+    val negL = lit(40L * 65536L) - Unigram.ilog2q(u40 + lit(1L))
+    val x = call_function("shiftleft", negL, lit(20))
+    val w = col(weightCol).cast("long")
+    -(((x - pmod(x, w)) / w).cast("long"))
+  }
+
   def weightedFixedK(
       df: DataFrame,
       idCol: String,
@@ -204,14 +215,8 @@ object Sampling {
       k: Int,
       seed: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u40 = shiftrightunsigned(
-      graft.plans.HashExpressions.fnvMix(col(idCol).cast("string"), seed), 24)
-    val negL = lit(40L * 65536L) - Unigram.ilog2q(u40 + lit(1L))
-    val x = call_function("shiftleft", negL, lit(20))
-    val w = col(weightCol).cast("long")
-    val key = -(((x - pmod(x, w)) / w).cast("long"))
     df.filter(col(weightCol).cast("long") >= 1L)
-      .withColumn("_aes_key", key)
+      .withColumn("_aes_key", aesKey(idCol, weightCol, seed))
       .orderBy(col("_aes_key").desc, col(idCol))
       .limit(k)
       .drop("_aes_key")
