@@ -4119,6 +4119,33 @@ object SparkEntry {
         WordPiece.finalVocab(docs, "text", merges))
     }),
 
+    // §2#36q the tokenizer-family COMPARISON row — the "which tokenizer"
+    // question a pipeline answers before committing token budgets: all
+    // four families train on the corpus and report exact integer totals
+    // (unit occurrences, count-weighted chars, tokens) over their own
+    // eligible universe (word-grain for char-BPE/unigram/WordPiece;
+    // raw pre-tokens for byte-BPE — its n_chars is its own basis).
+    // Pure integers, no division — consumers compute chars/token
+    "q_tokenizer_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def row(name: String, df: DataFrame) =
+        df.select(lit(name).as("tokenizer"), col("n_units"),
+          col("n_chars"), col("n_tokens"))
+      row("bpe_char",
+          Bpe.charTokenTotals(docs, "text", Bpe.train(docs, "text", m = 6)))
+        .unionByName(row("bpe_bytes",
+          Bpe.byteTokenTotals(docs, "text",
+            Bpe.trainBytes(docs, "text", m = 8))))
+        .unionByName(row("unigram",
+          Unigram.tokenTotals(docs, "text",
+            Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48))))
+        .unionByName(row("wordpiece", {
+          val m = WordPiece.train(docs, "text", m = 8)
+          WordPiece.tokenTotals(docs, "text",
+            WordPiece.finalVocab(docs, "text", m))
+        }))
+    }),
+
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)
     // vs raw models trained IN-PLAN (one map-side-combined bucket count,
     // exchange ≤ B rows/partition), B-entry ratio table compiled into the
@@ -8301,6 +8328,30 @@ object SparkEntry {
          |    AS token_ids
          |FROM wpdw d JOIN wpwi w USING (word)
          |GROUP BY d.doc_id""".stripMargin),
+
+    // tokenizer comparison: all four trajectory replays in one statement,
+    // totals as scalar subqueries over each family's final vocab table
+    "q_tokenizer_eval" -> ("WITH RECURSIVE " +
+      Seq(bpeOracleCtes(6), bpeBytesOracleCtes(8), unigramOracleCtes,
+        wordPieceOracleCtes(8)).mkString(",\n") + """
+      |SELECT 'bpe_char' AS tokenizer,
+      |  (SELECT cast(sum(cnt) AS bigint) FROM wv) AS n_units,
+      |  (SELECT cast(sum(length(word) * cnt) AS bigint) FROM wv) AS n_chars,
+      |  (SELECT cast(sum(len(string_split(substring(s, 2, length(s) - 2),
+      |     chr(1) || chr(1))) * cnt) AS bigint) FROM v6) AS n_tokens
+      |UNION ALL SELECT 'bpe_bytes',
+      |  (SELECT cast(sum(cnt) AS bigint) FROM bbwv),
+      |  (SELECT cast(sum(length(word) * cnt) AS bigint) FROM bbwv),
+      |  (SELECT cast(sum(len(string_split(substring(s, 2, length(s) - 2),
+      |     chr(1) || chr(1))) * cnt) AS bigint) FROM bbv8)
+      |UNION ALL SELECT 'unigram',
+      |  (SELECT cast(sum(cnt) AS bigint) FROM uwv),
+      |  (SELECT cast(sum(length(word) * cnt) AS bigint) FROM uwv),
+      |  (SELECT cast(sum(cnt * len(ps)) AS bigint) FROM u3bt WHERE j = 0)
+      |UNION ALL SELECT 'wordpiece',
+      |  (SELECT cast(sum(cnt) AS bigint) FROM wpwv),
+      |  (SELECT cast(sum(length(word) * cnt) AS bigint) FROM wpwv),
+      |  (SELECT cast(sum(cnt * len(ps)) AS bigint) FROM wpseg)""".stripMargin),
 
     // DSIR replay: the SAME fnv_mix token-bucket chain as the classifier
     // (seed 41), then the ratio table is re-derived IN SQL from the bucket

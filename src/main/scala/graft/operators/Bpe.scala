@@ -148,6 +148,39 @@ object Bpe {
       .limit(k)
   }
 
+  /** Corpus token TOTALS under a trained char-grain merge list — the
+    * tokenizer-comparison row: units = eligible word occurrences,
+    * chars/tokens count-weighted. One vocab-sized pass. */
+  def charTokenTotals(
+      docs: DataFrame,
+      textCol: String,
+      merges: Array[(Int, String, String, Long)]): DataFrame = {
+    val vocab = wordVocab(docs, textCol)
+    val applied = merges.foldLeft(symStr(col("word"))) { case (s, (_, a, b, _)) =>
+      replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    vocab.agg(
+      sum(col("cnt")).cast("long").as("n_units"),
+      sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
+      sum(size(symsOf(applied)) * col("cnt")).cast("long").as("n_tokens"))
+  }
+
+  /** [[charTokenTotals]] at the byte grain (pre-token universe — raw
+    * text incl. case/punctuation, so n_chars is its own basis). */
+  def byteTokenTotals(
+      docs: DataFrame,
+      textCol: String,
+      merges: Array[(Int, String, String, Long)]): DataFrame = {
+    val vocab = byteVocab(docs, textCol)
+    val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
+      replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
+    }
+    vocab.agg(
+      sum(col("cnt")).cast("long").as("n_units"),
+      sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
+      sum(size(symsOf(applied)) * col("cnt")).cast("long").as("n_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // Byte-level BPE (the GPT-2/tiktoken shape, Radford et al. 2019): the
   // alphabet is the 256 UTF-8 BYTES, not characters, so ANY input —

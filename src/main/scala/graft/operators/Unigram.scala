@@ -306,6 +306,18 @@ object Unigram {
         col("_r.token_ids").as("token_ids"))
   }
 
+  /** Corpus token TOTALS under a trained artifact — the
+    * tokenizer-comparison row ([[Bpe.charTokenTotals]] twin). */
+  def tokenTotals(
+      docs: DataFrame,
+      textCol: String,
+      artifact: DataFrame,
+      maxLen: Int = MaxPieceLen): DataFrame =
+    segmented(Bpe.wordVocab(docs, textCol), artifact, maxLen).agg(
+      sum(col("cnt")).cast("long").as("n_units"),
+      sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
+      sum(size(col("pieces")) * col("cnt")).cast("long").as("n_tokens"))
+
   /** Apply a trained artifact: segment the corpus vocab under the final
     * scores and return the top `k` subword corpus frequencies — the
     * [[Bpe.subwordCounts]] twin. */

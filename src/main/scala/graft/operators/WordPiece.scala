@@ -156,6 +156,19 @@ object WordPiece {
       .orderBy(col("n_occurrences").desc, col("subword"))
       .limit(k)
 
+  /** Corpus token TOTALS under a final vocabulary — the
+    * tokenizer-comparison row ([[Bpe.charTokenTotals]] twin; greedy
+    * encode per DISTINCT word, one vocab-sized pass). */
+  def tokenTotals(
+      docs: DataFrame,
+      textCol: String,
+      vocab: Array[String]): DataFrame =
+    Bpe.wordVocab(docs, textCol).agg(
+      sum(col("cnt")).cast("long").as("n_units"),
+      sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
+      sum(size(graft.plans.TextExpressions.wordPieceEncode(
+        col("word"), vocab, Unk)) * col("cnt")).cast("long").as("n_tokens"))
+
   /** Doc-grain WordPiece tokenization — the packing-stage consumable,
     * the [[Bpe.docByteTokens]] / [[Unigram.docTokenIds]] twin: each
     * DISTINCT eligible word greedy-encodes once, pieces map to dense
