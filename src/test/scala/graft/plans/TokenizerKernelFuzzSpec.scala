@@ -1,0 +1,124 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+/** Seeded random differential tests for the r11 native tokenizer
+  * kernels — each kernel against an independent formulation over inputs
+  * the curated gate corpora cannot produce (random OOV shapes, unicode,
+  * adversarial tie patterns).
+  */
+class TokenizerKernelFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260815L)
+
+  test("UnigramSegment == the HOF fold on random words and score tables") {
+    val alphabet = "abc12"
+    def word() = (1 to (1 + rnd.nextInt(12)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val words = Seq.fill(150)(word()).distinct
+    // random piece table: a random subset of all substrings ≤ 4, with
+    // random negative scores — plus deliberately-missing singles so the
+    // UNK edge and the dropped-word (no known substring) shapes occur
+    val pieces = words
+      .flatMap(w => for {
+        i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)
+      } yield w.substring(i, i + l))
+      .distinct
+      .filter(_ => rnd.nextBoolean())
+      .map(p => (p, -(1L + rnd.nextInt(1 << 20)).toLong))
+    val vocab = words.zipWithIndex.map { case (w, i) => (w, i.toLong + 1) }
+      .toDF("word", "cnt")
+    val scores = pieces.toDF("piece", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"pieces").as[(String, Seq[String])]
+        .collect().toMap
+    val native = run(Unigram.segmented(vocab, scores))
+    val hof = run(Unigram.segmentedHof(vocab, scores))
+    assert(native == hof,
+      s"kernel/HOF divergence on ${native.size} random words")
+    // every segmentation concatenates back to its word
+    native.foreach { case (w, ps) => assert(ps.mkString == w, s"$w -> $ps") }
+  }
+
+  test("WordPieceEncode == a clean-room greedy reference, unicode included") {
+    val alphabet = "abαβ😀1"
+    def word() = (1 to (1 + rnd.nextInt(8)))
+      .map(_ => alphabet(rnd.nextInt(4))).mkString +
+      (if (rnd.nextBoolean()) "😀" else "")
+    def refEncode(w: String, vocab: Set[String]): Seq[String] = {
+      val cps = w.codePoints().toArray
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = 0
+      while (pos < cps.length) {
+        val hit = (cps.length - pos to 1 by -1).iterator
+          .map(l => new String(cps, pos, l))
+          .map(sub => if (pos == 0) sub else "##" + sub)
+          .find(vocab.contains)
+        hit match {
+          case None => return Seq("[UNK]")
+          case Some(h) =>
+            out += h
+            pos += (if (h.startsWith("##")) h.substring(2) else h)
+              .codePointCount(0, (if (h.startsWith("##")) h.substring(2) else h).length)
+        }
+      }
+      out.toSeq
+    }
+    val words = Seq.fill(120)(word()).distinct
+    val vocabSet = words.flatMap { w =>
+      val cps = w.codePoints().toArray
+      for {
+        i <- 0 until cps.length; l <- 1 to math.min(3, cps.length - i)
+      } yield {
+        val sub = new String(cps, i, l)
+        if (i == 0) sub else "##" + sub
+      }
+    }.distinct.filter(_ => rnd.nextInt(3) > 0).toSet
+    val vocab = vocabSet.toArray.sorted
+    val out = words.toDF("word")
+      .select($"word",
+        TextExpressions.wordPieceEncode($"word", vocab, "[UNK]").as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(out(w) == refEncode(w, vocabSet), s"greedy mismatch on '$w'")
+    }
+  }
+
+  test("TokenSeqJoin == the HOF chain it replaced, long and string ids") {
+    val rows = (1 to 80).map { i =>
+      val n = rnd.nextInt(6)
+      val toks = (1 to n).map { j =>
+        (rnd.nextInt(1000), // wpos, possibly unsorted and sparse
+          (1 to 1 + rnd.nextInt(4)).map(_ => rnd.nextLong(100)).toSeq)
+      }
+      (i.toLong, toks)
+    }
+    val df = rows.toDF("id", "toks")
+      .select($"id", explode($"toks").as("t"))
+      .select($"id", $"t._1".as("wpos"), $"t._2".as("ids"))
+      .groupBy($"id")
+      .agg(collect_list(struct($"wpos", $"ids")).as("_t"))
+    val native = df
+      .select($"id", TextExpressions.tokenSeqJoin($"_t").as("r"))
+      .select($"id", $"r.n_tokens", $"r.token_ids")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // the HOF formulation, computed over the same grouped frame
+    val hof2 = df
+      .select($"id",
+        array_join(
+          transform(
+            flatten(transform(
+              array_sort($"_t"),
+              x => x.getField("ids"))),
+            t => t.cast("string")), ",").as("joined"),
+        aggregate(transform($"_t", x => size(x.getField("ids"))),
+          lit(0L), (a, b) => a + b).as("n"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._3, r._2)).toMap
+    assert(native == hof2)
+  }
+}
