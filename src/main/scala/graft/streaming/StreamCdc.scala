@@ -94,6 +94,10 @@ object StreamCdc {
         .select(key.map(col) ++ Seq(col(s"_w.$SeqCol").as(SeqCol)) ++
           payload.map(c => col(s"_w.$c").as(c)) :+
           col(s"_w.$BucketCol").as(BucketCol): _*)
+        // EAGER checkpoint: cuts lineage (the write overwrites the very
+        // path `current` reads — legal only because the fold is fully
+        // materialized first) and caches, so the remaining-bucket scan
+        // below reads the checkpoint, never recomputing the fold
         .localCheckpoint(true)
       folded.write
         .mode("overwrite")
