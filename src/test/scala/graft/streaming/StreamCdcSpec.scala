@@ -46,6 +46,39 @@ class StreamCdcSpec extends SparkSpec {
     assert(state(dir) == once, "checkpoint-recovery replay must be a no-op")
   }
 
+  test("soak: 30 batch folds keep files bounded and state == one-shot") {
+    // the foreachBatch analog of the RocksDB soaks: state lives in the
+    // bucketed parquet target, so the bound to prove is FILES (per-fold
+    // dynamic overwrite must replace, never accumulate) and content
+    val dir = freshDir()
+    StreamCdc.initTarget(snap, dir, Seq("k"), nBuckets = 4)
+    val rnd = new scala.util.Random(7L)
+    val log = (1L to 300L).map { seq =>
+      val k = rnd.nextInt(40).toLong
+      val op = rnd.nextInt(5) match {
+        case 0 => "D"; case 1 => "I"; case _ => "U"
+      }
+      (k, seq, op, s"n$seq", seq * 10)
+    }
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val counts = log.grouped(10).map { chunk =>
+      StreamCdc.foldBatch(spark, chunk.toDF("k", "seq", "op", "name", "bal"),
+        dir, Seq("k"), "seq", "op", 4)
+      files()
+    }.toSeq
+    assert(counts.max <= counts.head * 3 + 4,
+      s"file count must stay bounded across folds: $counts")
+    val streamed = state(dir)
+    val oneShot = Cdc.applyLog(snap,
+        log.toDF("k", "seq", "op", "name", "bal"), Seq("k"), "seq", "op")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == oneShot)
+  }
+
   test("untouched buckets are not rewritten") {
     val dir = freshDir()
     // many buckets so the single-key batch leaves most buckets alone
