@@ -2011,6 +2011,14 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
+    // §2#30f the LSH banding PLAN made explicit (the adviseJoin device
+    // for dedup): every divisor split b·r = 32 scored by its S-curve
+    // threshold's quantized-log2 distance to τ = 7/10, minimum chosen
+    // (ties toward more bands = higher recall) — the parameters-sized
+    // planner row that q_dedup_eval's precision/recall then measures
+    "q_lsh_plan" -> ((s, _) =>
+      Dedup.lshPlan(s, numHashes = 32, tauNum = 7L, tauDen = 10L)),
+
     // §2#30c the full minhash fast path on the Zipf corpus: banding must
     // collapse candidates to ≈ the planted pairs when shingles are rare —
     // the linearity the profile measured, now hash-gated
@@ -7682,6 +7690,28 @@ object SparkEntry {
 
     // the dedup-quality evaluation row (see dedupEvalSql)
     "q_dedup_eval" -> dedupEvalSql,
+
+    // LSH banding plan: divisor splits of 32, the same ilog2q ladder on
+    // b, the (ilog2q(7) − ilog2q(10)) constant inlined exactly
+    "q_lsh_plan" -> {
+      def ilog2qConst(v: Long): Long = {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        e.toLong * 65536L + (((v - (1L << e)) << 16) >> e)
+      }
+      val lt = ilog2qConst(7L) - ilog2qConst(10L)
+      val eCase = (62 to 1 by -1)
+        .map(k => s"WHEN b >= ${1L << k} THEN $k").mkString(" ")
+      s"""WITH bp AS (SELECT b, 32 // b AS r
+         |  FROM (SELECT unnest(range(1, 33)) AS b) t WHERE 32 % b = 0),
+         |be AS (SELECT b, r, CASE $eCase ELSE 0 END AS e FROM bp),
+         |sc AS (SELECT b AS bands, r AS rows_per_band,
+         |    abs(r * ($lt) + (e * 65536 +
+         |      (((b - (CAST(1 AS BIGINT) << e)) << 16) >> e))) AS score_q
+         |  FROM be)
+         |SELECT bands, rows_per_band, cast(score_q AS bigint) AS score_q,
+         |  (row_number() OVER (ORDER BY score_q, bands DESC) = 1) AS chosen
+         |FROM sc""".stripMargin
+    },
 
     // FnvMix with seed 0 (the +seed·golden term vanishes), bits extracted
     // from the unsigned value — identical raw bits to Spark's signed long

@@ -402,6 +402,40 @@ object Dedup {
     labels
   }
 
+  /** LSH banding PLAN — the (bands, rows-per-band) choice behind every
+    * [[minhashLsh]] call, made explicit (the adviseJoin device for
+    * dedup): for each divisor split b·r = numHashes, the band S-curve
+    * crosses ~(1/b)^(1/r); the plan row scores each split's distance to
+    * the target threshold τ = tauNum/tauDen in the exact-integer
+    * quantized log2 domain — `score_q = |r·(ilog2q(tauNum) −
+    * ilog2q(tauDen)) + ilog2q(b)|` (the |log2 gap| scaled by r·2^16) —
+    * and marks the minimum (ties toward MORE bands = higher recall).
+    * Output: (bands, rows_per_band, score_q, chosen), one row per
+    * divisor — a parameters-sized table, engine-exact, the knob
+    * q_dedup_eval's precision/recall row then measures.
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int,
+      tauNum: Long,
+      tauDen: Long): DataFrame = {
+    require(numHashes >= 1 && tauNum >= 1 && tauDen > tauNum,
+      "need numHashes >= 1 and 0 < tau < 1 as tauNum/tauDen")
+    import spark.implicits._
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b.toLong, (numHashes / b).toLong))
+      .toDF("bands", "rows_per_band")
+    val lt = Unigram.ilog2q(lit(tauNum)) - Unigram.ilog2q(lit(tauDen))
+    val scored = splits.select(col("bands"), col("rows_per_band"),
+      abs(col("rows_per_band") * lt + Unigram.ilog2q(col("bands")))
+        .as("score_q"))
+    // divisor-count rows: the window is parameters-sized, not data
+    scored.withColumn("chosen",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q"), col("bands").desc)) === 1)
+  }
+
   /** MinHash + LSH banding near-duplicate candidates.
     *
     * Signature of `numHashes` min-hashes split into `bands` bands; docs
