@@ -476,7 +476,12 @@ object SparkEntry {
     * (list_max over the per-position match lengths; an unmatchable
     * position collapses the word to one '[UNK]'). Ends in
     * `wpm1..wpmM` (the merges), `wpseg(word, cnt, ps)` (greedy
-    * segmentations) and `wpid(sym, tid)` (dense ids).
+    * segmentations) and `wpid(sym, tid)` (dense ids). A round whose
+    * corpus has NO mergeable pair left (every word already one symbol)
+    * produces an empty `wpm$$r`; the vocab CTE LEFT-JOINs the merge row
+    * and falls back to the previous round's strings, matching
+    * `WordPiece.train`'s early stop — so the replay is total, not just
+    * valid on corpora with ≥ m merges.
     */
   private def wordPieceOracleCtes(m: Int): String = {
     def eCase(v: String) = (62 to 1 by -1)
@@ -502,9 +507,10 @@ object SparkEntry {
          |    ${lg("pcnt", "ep")} - ${lg("ca", "ea")} - ${lg("cb", "eb")}
          |      AS score
          |  FROM wp${r}e ORDER BY score DESC, a, b LIMIT 1),
-         |wpv$r AS MATERIALIZED (SELECT replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
-         |    chr(1) || a || ($strip) || chr(1)) AS s, cnt
-         |  FROM wpv${r - 1} CROSS JOIN wpm$r)""".stripMargin
+         |wpv$r AS MATERIALIZED (SELECT CASE WHEN a IS NULL THEN s
+         |    ELSE replace(s, chr(1) || a || chr(1) || chr(1) || b || chr(1),
+         |      chr(1) || a || ($strip) || chr(1)) END AS s, cnt
+         |  FROM wpv${r - 1} LEFT JOIN wpm$r ON TRUE)""".stripMargin
     val base =
       s"""wptoks AS (SELECT doc_id, $TokSql AS tk FROM documents),
          |wpwv AS MATERIALIZED (SELECT word, count(*) AS cnt
@@ -7709,7 +7715,7 @@ object SparkEntry {
          |      (((b - (CAST(1 AS BIGINT) << e)) << 16) >> e))) AS score_q
          |  FROM be)
          |SELECT bands, rows_per_band, cast(score_q AS bigint) AS score_q,
-         |  (row_number() OVER (ORDER BY score_q, bands DESC) = 1) AS chosen
+         |  (row_number() OVER (ORDER BY score_q * bands, bands DESC) = 1) AS chosen
          |FROM sc""".stripMargin
     },
 

@@ -408,8 +408,15 @@ object Dedup {
     * crosses ~(1/b)^(1/r); the plan row scores each split's distance to
     * the target threshold τ = tauNum/tauDen in the exact-integer
     * quantized log2 domain — `score_q = |r·(ilog2q(tauNum) −
-    * ilog2q(tauDen)) + ilog2q(b)|` (the |log2 gap| scaled by r·2^16) —
-    * and marks the minimum (ties toward MORE bands = higher recall).
+    * ilog2q(tauDen)) + ilog2q(b)|` (the |log2 gap| scaled by r·2^16).
+    * The CHOICE minimizes the scale-free per-split distance score_q/r
+    * (= |log2 τ + (log2 b)/r|·2^16, the exact S-curve gap): implemented
+    * as the exact-integer key score_q·b, order-equivalent because
+    * b = numHashes/r and numHashes is constant across splits. Scoring
+    * by raw score_q would weight each split by its own r and is NOT
+    * order-equivalent (numHashes=32, τ=9/10 ties (2,16)/(4,8) where the
+    * exact distance uniquely picks 2 bands — LshPlanSpec pins this).
+    * Ties go toward MORE bands = higher recall.
     * Output: (bands, rows_per_band, score_q, chosen), one row per
     * divisor — a parameters-sized table, engine-exact, the knob
     * q_dedup_eval's precision/recall row then measures.
@@ -433,7 +440,7 @@ object Dedup {
     scored.withColumn("chosen",
       org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("score_q"), col("bands").desc)) === 1)
+          .orderBy(col("score_q") * col("bands"), col("bands").desc)) === 1)
   }
 
   /** MinHash + LSH banding near-duplicate candidates.

@@ -309,8 +309,13 @@ case class WordPieceEncode(
   * `array_sort`+`flatten`+`transform`+`array_join` HOF chain
   * (CodegenFallback — the family's dominant cost at the sf10 decade;
   * same precedent as [[UnigramSegment]]). Output equals the HOF chain
-  * byte for byte: positions are distinct, longs print as
-  * `Long.toString` (= the `cast(string)` it replaces).
+  * byte for byte: the sort orders by the FULL struct — position first,
+  * then the ids array in Spark's array ordering (element-wise, shorter
+  * prefix first) — exactly `array_sort`'s struct comparison, so even
+  * duplicate positions (legal but unused by current call sites; their
+  * `posexplode` positions are distinct per doc) reassemble identically
+  * regardless of `collect_list`'s nondeterministic input order. Longs
+  * print as `Long.toString` (= the `cast(string)` it replaces).
   *
   * Input: `array<struct<pos:int|long, ids:array<bigint|string>>>`;
   * output: `struct<n_tokens:bigint, token_ids:string>`.
@@ -364,6 +369,25 @@ case class TokenSeqJoin(child: Expression) extends UnaryExpression {
 
 object TextKernels {
 
+  /** Spark's ArrayType ordering for the tie-break above: element-wise
+    * compare, then length (shorter prefix sorts first). */
+  private def compareIdArrays(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      idString: Boolean): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    val m = math.min(na, nb)
+    var j = 0
+    while (j < m) {
+      val c =
+        if (idString) a.getUTF8String(j).compareTo(b.getUTF8String(j))
+        else java.lang.Long.compare(a.getLong(j), b.getLong(j))
+      if (c != 0) return c
+      j += 1
+    }
+    Integer.compare(na, nb)
+  }
+
   /** One-pass sort + flatten + join — see [[TokenSeqJoin]]. */
   def tokenSeqJoin(
       arr: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -379,7 +403,13 @@ object TextKernels {
       ids(i) = r.getArray(1)
       i += 1
     }
-    val order = Array.range(0, n).sortBy(pos)
+    // full-struct ordering (= array_sort over struct(pos, ids)): pos,
+    // then the ids array element-wise with shorter-prefix-first — so
+    // duplicate positions still reassemble deterministically
+    val order = Array.range(0, n).sortWith { (x, y) =>
+      if (pos(x) != pos(y)) pos(x) < pos(y)
+      else compareIdArrays(ids(x), ids(y), idString) < 0
+    }
     val sb = new java.lang.StringBuilder(n * 8)
     var cnt = 0L
     var o = 0

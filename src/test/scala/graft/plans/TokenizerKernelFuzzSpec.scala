@@ -91,7 +91,12 @@ class TokenizerKernelFuzzSpec extends SparkSpec {
     val rows = (1 to 80).map { i =>
       val n = rnd.nextInt(6)
       val toks = (1 to n).map { j =>
-        (rnd.nextInt(1000), // wpos, possibly unsorted and sparse
+        // even groups draw from a tiny position range to FORCE duplicate
+        // positions: the kernel's full-struct tie-break (pos, then ids
+        // array) must match array_sort's struct ordering there too —
+        // collect_list input order is nondeterministic, so without the
+        // tie-break this is exactly where the two sides could diverge
+        (rnd.nextInt(if (i % 2 == 0) 4 else 1000),
           (1 to 1 + rnd.nextInt(4)).map(_ => rnd.nextLong(100)).toSeq)
       }
       (i.toLong, toks)
