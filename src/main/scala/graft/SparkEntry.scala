@@ -4746,10 +4746,13 @@ object SparkEntry {
     }),
 
     // §2#20e the SAME CDC feed materialized through Structured Streaming
-    // (streaming/StreamCdc.scala): seq-ordered micro-batches fold into a
-    // hash-bucketed persisted snapshot inside foreachBatch — only the
-    // buckets holding touched keys rewrite (dynamic partition overwrite),
-    // per-row _seq makes restart replays idempotent. Final state must
+    // (streaming/StreamCdc.scala), MERGE-ON-READ: each micro-batch
+    // APPENDS its per-key winners as bucket-partitioned delta files
+    // (O(batch) bytes — never a bucket rewrite), reads resolve
+    // base ∪ deltas with the max-by-_seq winner fold, and only buckets
+    // whose deltas outgrow the delta:base ratio compact (the r11
+    // rewrite-on-touch, demoted to the amortized maintenance path).
+    // Per-row _seq makes restart replays idempotent. Final state must
     // equal the one-shot batch apply — the oracle IS q_cdc_apply's
     "q_stream_cdc" -> ((s, dir) => withGateShuffle(s) {
       val snap = Tables.customer(s, dir).select(
@@ -4774,10 +4777,25 @@ object SparkEntry {
       val target = s"$base/t"
       graft.streaming.StreamCdc.initTarget(
         snap, target, Seq("c_custkey"), nBuckets = 16)
+      // the replay harness feeds ONE file per micro-batch
+      // (maxFilesPerTrigger=1); at sf10 that file is ~80 MB and the
+      // default 128 MB split would decode it in a single task — shrink
+      // the split so the batch scan parallelizes across row groups (the
+      // standard ingest knob; 2.7 s → sub-second per batch measured)
+      val prevSplit = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      // compactRatio = 8: this replay is a bounded BULK load (the whole
+      // feed lands before the first read), and the production practice
+      // for bulk ingest is to raise/disable auto-compaction and compact
+      // once at the end — mid-replay folds would be thrown-away work
+      // (each later batch invalidates them; measured 8-11 s per
+      // avoidable fold at sf10). Steady-state feeds keep the default
+      // ratio 2.0, which the spec suite pins.
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           graft.streaming.StreamCdc.foldBatch(
-            s, b, target, Seq("c_custkey"), "seq", "op", nBuckets = 16)
+            s, b, target, Seq("c_custkey"), "seq", "op", nBuckets = 16,
+            compactRatio = 8.0)
         }
         .option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4785,9 +4803,35 @@ object SparkEntry {
       try { q.awaitTermination(); assertMultiBatch(q) }
       finally {
         q.stop()
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
         graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
       }
       graft.streaming.StreamCdc.currentState(s, target)
+    }),
+
+    // §2#61 schema-migration table SPLIT (reference
+    // migrations/001_split_ports.sql:1 — the one reference file with no
+    // graft counterpart until r12): the denormalized finest-grain table
+    // splits into one DISTINCT projection per entity grain, a targeted
+    // value correction lands on its grain (the reference's CHAdeMO
+    // update), and the gate output IS the pre-cutover validation report
+    // — row counts, grain-key uniqueness, source coverage,
+    // child→parent containment, corrected-row counts — plus a
+    // value-sum signature pinning the corrected split's contents
+    "q_split_migration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grains = Seq(
+        Migrate.GrainSpec("users", Seq("user_id")),
+        Migrate.GrainSpec("user_event_types", Seq("user_id", "event_type")),
+        Migrate.GrainSpec("events_split",
+          Seq("user_id", "event_type", "event_id"), Seq("value")))
+      val corr = Seq(Migrate.Correction("events_split",
+        pmod(col("event_id"), lit(997L)) === 13L, "value", lit(0.0)))
+      val splits = Migrate.splitByGrain(ev, grains, corr)
+      val sig = splits("events_split")
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("events_value_sum"))
+      Migrate.validate(ev, grains, splits, corr).crossJoin(sig)
     }),
 
     // §2#47 sharded training-data export through the REAL write path:
@@ -8573,6 +8617,52 @@ object SparkEntry {
         |  FROM events)
         |SELECT f.format, s.n_rows, s.id_sum, s.ts_check, s.value_sum
         |FROM s CROSS JOIN (VALUES ('orc'), ('json'), ('csv')) AS f(format)""".stripMargin,
+
+    // migration split: replay the three distinct projections, the
+    // targeted correction, and every validation check in SQL
+    "q_split_migration" -> (
+      """WITH src AS (SELECT user_id, event_type, event_id, value FROM events),
+        |u AS (SELECT DISTINCT user_id FROM src),
+        |ut AS (SELECT DISTINCT user_id, event_type FROM src),
+        |ev0 AS (SELECT DISTINCT user_id, event_type, event_id, value FROM src),
+        |ev AS (SELECT user_id, event_type, event_id,
+        |    CASE WHEN event_id % 997 = 13 THEN 0.0 ELSE value END AS value
+        |  FROM ev0),
+        |sig AS (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS events_value_sum FROM ev),
+        |rep AS (
+        |  SELECT 'users' AS table_name,
+        |    (SELECT count(*) FROM u) AS n_rows,
+        |    (SELECT count(*) FROM u) = (SELECT count(DISTINCT user_id) FROM u)
+        |      AS grain_unique,
+        |    (SELECT count(DISTINCT user_id) FROM u) =
+        |      (SELECT count(DISTINCT user_id) FROM src) AS covers_source,
+        |    TRUE AS parent_contained,
+        |    CAST(0 AS BIGINT) AS n_corrected
+        |  UNION ALL
+        |  SELECT 'user_event_types',
+        |    (SELECT count(*) FROM ut),
+        |    (SELECT count(*) FROM ut) =
+        |      (SELECT count(DISTINCT (user_id, event_type)) FROM ut),
+        |    (SELECT count(DISTINCT (user_id, event_type)) FROM ut) =
+        |      (SELECT count(DISTINCT (user_id, event_type)) FROM src),
+        |    (SELECT count(*) FROM (SELECT DISTINCT user_id FROM ut) c
+        |      LEFT JOIN u USING (user_id) WHERE u.user_id IS NULL) = 0,
+        |    CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'events_split',
+        |    (SELECT count(*) FROM ev),
+        |    (SELECT count(*) FROM ev) =
+        |      (SELECT count(DISTINCT (user_id, event_type, event_id)) FROM ev),
+        |    (SELECT count(DISTINCT (user_id, event_type, event_id)) FROM ev) =
+        |      (SELECT count(DISTINCT (user_id, event_type, event_id)) FROM src),
+        |    (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM ev) c
+        |      LEFT JOIN ut USING (user_id, event_type)
+        |      WHERE ut.user_id IS NULL) = 0,
+        |    (SELECT count(*) FROM ev0 WHERE event_id % 997 = 13))
+        |SELECT table_name, n_rows, grain_unique, covers_source,
+        |  parent_contained, n_corrected, events_value_sum
+        |FROM rep CROSS JOIN sig""".stripMargin),
 
     "q_shard_export" -> {
       val seedGolden = (BigInt(13) * GoldenB).mod(BigInt(2).pow(64))

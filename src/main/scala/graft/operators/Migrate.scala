@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-migration table split — a denormalized table at the finest
+  * entity grain splits into one table per entity, each the DISTINCT
+  * projection of that entity's key + attribute columns, with targeted
+  * value corrections and a validation report to run BEFORE cutover
+  * (the reference's migration playbook: create new tables without
+  * touching the original, validate, then swap — reference
+  * migrations/001_split_ports.sql:1, the charger → port → connector
+  * split with its post-split connector-type correction).
+  *
+  * Scale shape: each grain is one `distinct` over its projected columns
+  * (map-side partial aggregation, shuffle of the DISTINCT combinations
+  * only — at 100 TB the coarse grains shuffle entity cardinalities, not
+  * table rows); the validation report is one aggregate per grain plus a
+  * left-anti parent check whose sides are already entity-sized. Nothing
+  * collects to the driver.
+  */
+object Migrate {
+
+  /** One target table: `keys` identify the entity, `attrs` ride along.
+    * A key combination appearing with TWO attr combinations is a grain
+    * violation the validation report surfaces (not an error here — the
+    * split must be inspectable before cutover, like the reference's
+    * Phase-1-then-validate flow). */
+  final case class GrainSpec(name: String, keys: Seq[String], attrs: Seq[String] = Seq.empty)
+
+  /** A targeted post-split correction (the reference's `update ...
+    * set CONNECTOR_TYPE = 'CHAdeMO' where ...`): set `column` to
+    * `value` on rows matching `where` in table `table`. */
+  final case class Correction(table: String, where: Column, column: String, value: Column)
+
+  /** Phase 1: the entity-grain tables, one distinct projection each,
+    * with corrections applied to their targets. Returns
+    * (grain name → (table, rows corrected counter column name)) — the
+    * corrected-row count is carried as a constant column `_n_corrected`
+    * for the report and dropped from the table itself by [[validate]].
+    */
+  def splitByGrain(
+      source: DataFrame,
+      grains: Seq[GrainSpec],
+      corrections: Seq[Correction] = Seq.empty): Map[String, DataFrame] =
+    grains.map { g =>
+      val projected = source.select((g.keys ++ g.attrs).map(col): _*).distinct()
+      val corrected = corrections.filter(_.table == g.name).foldLeft(projected) {
+        (df, c) => df.withColumn(c.column, when(c.where, c.value).otherwise(col(c.column)))
+      }
+      g.name -> corrected
+    }.toMap
+
+  /** The pre-cutover validation report, one row per grain:
+    *   - `n_rows`: split-table row count
+    *   - `grain_unique`: no key combination carries two attr sets
+    *   - `covers_source`: the split holds exactly the source's distinct
+    *     key combinations (nothing lost, nothing invented)
+    *   - `parent_contained`: every row's parent-key prefix exists in
+    *     the previous (coarser) grain — referential integrity across
+    *     the new tables
+    *   - `n_corrected`: rows whose value a [[Correction]] changed
+    *     (count of rows matching the correction predicates)
+    */
+  def validate(
+      source: DataFrame,
+      grains: Seq[GrainSpec],
+      splits: Map[String, DataFrame],
+      corrections: Seq[Correction] = Seq.empty): DataFrame = {
+    // every check is a 1-row aggregate; the report row is their lazy
+    // cross-join (all broadcastable singletons — no driver action, the
+    // whole report stays one deferred distributed plan)
+    val reports = grains.zipWithIndex.map { case (g, i) =>
+      val t = splits(g.name)
+      val keyCols = g.keys.map(col)
+      val stats = t.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(g.keys.head, g.keys.tail: _*).as("n_keys"))
+      val srcKeys = source.select(keyCols: _*).distinct()
+        .agg(count(lit(1)).as("n_src_keys"))
+      val parentMissing =
+        if (i == 0) stats.select(lit(0L).as("n_parent_missing"))
+        else {
+          val parent = grains(i - 1)
+          t.select(parent.keys.map(col): _*).distinct()
+            .join(splits(parent.name).select(parent.keys.map(col): _*).distinct(),
+              parent.keys, "left_anti")
+            .agg(count(lit(1)).as("n_parent_missing"))
+        }
+      val nCorrected = corrections.filter(_.table == g.name) match {
+        case Nil => stats.select(lit(0L).as("n_corrected_rows"))
+        case cs =>
+          // count on the PRE-correction projection: rows the predicates hit
+          source.select((g.keys ++ g.attrs).map(col): _*).distinct()
+            .filter(cs.map(_.where).reduce(_ || _))
+            .agg(count(lit(1)).as("n_corrected_rows"))
+      }
+      stats.crossJoin(srcKeys).crossJoin(parentMissing).crossJoin(nCorrected)
+        .select(
+          lit(g.name).as("table_name"),
+          col("n_rows"),
+          (col("n_rows") === col("n_keys")).as("grain_unique"),
+          (col("n_keys") === col("n_src_keys")).as("covers_source"),
+          (col("n_parent_missing") === 0L).as("parent_contained"),
+          col("n_corrected_rows").as("n_corrected"))
+    }
+    reports.reduce(_ unionByName _)
+  }
+}

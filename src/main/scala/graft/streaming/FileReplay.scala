@@ -32,8 +32,13 @@ object FileReplay {
     * too when cross-batch tie order matters, e.g. (ts, event_id)). */
   def writeOrdered(df: DataFrame, orderCols: Seq[String], chunks: Int, dir: String): Unit = {
     require(orderCols.nonEmpty, "orderCols must not be empty")
+    // no sortWithinPartitions: only the CROSS-file range boundaries
+    // carry the ordering contract (batch k+1's event times ≥ batch k's);
+    // a micro-batch engine never guarantees row order WITHIN a batch —
+    // any operator depending on it would already be broken by the first
+    // shuffle — so the per-partition sort was pure harness cost
+    // (~4 s of a 15M-row replay at sf10)
     df.repartitionByRange(chunks, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
     val produced = partFiles(dir)
     // range partitioning writes no part file for an empty range, so ties or

@@ -21,6 +21,13 @@ class StreamCdcSpec extends SparkSpec {
     StreamCdc.currentState(spark, dir)
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
 
+  private def walk(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+
+  private def parquetBytes(dir: java.io.File): Long =
+    if (!dir.exists()) 0L
+    else walk(dir).filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
   test("incremental batch folds == the one-shot batch apply; deletes land") {
     val dir = freshDir()
     StreamCdc.initTarget(snap, dir, Seq("k"), nBuckets = 8)
@@ -47,9 +54,9 @@ class StreamCdcSpec extends SparkSpec {
   }
 
   test("soak: 30 batch folds keep files bounded and state == one-shot") {
-    // the foreachBatch analog of the RocksDB soaks: state lives in the
-    // bucketed parquet target, so the bound to prove is FILES (per-fold
-    // dynamic overwrite must replace, never accumulate) and content
+    // state lives in the base + delta parquet layout, so the bound to
+    // prove is FILES (appends must compact away, never accumulate
+    // without bound) and content
     val dir = freshDir()
     StreamCdc.initTarget(snap, dir, Seq("k"), nBuckets = 4)
     val rnd = new scala.util.Random(7L)
@@ -60,17 +67,14 @@ class StreamCdcSpec extends SparkSpec {
       }
       (k, seq, op, s"n$seq", seq * 10)
     }
-    def files() = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def files() =
       walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
-    }
     val counts = log.grouped(10).map { chunk =>
       StreamCdc.foldBatch(spark, chunk.toDF("k", "seq", "op", "name", "bal"),
         dir, Seq("k"), "seq", "op", 4)
       files()
     }.toSeq
-    assert(counts.max <= counts.head * 3 + 4,
+    assert(counts.max <= counts.head * 3 + 8,
       s"file count must stay bounded across folds: $counts")
     val streamed = state(dir)
     val oneShot = Cdc.applyLog(snap,
@@ -79,23 +83,115 @@ class StreamCdcSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
-  test("untouched buckets are not rewritten") {
+  test("merge-on-read: a non-compacting fold touches NO base file") {
     val dir = freshDir()
-    // many buckets so the single-key batch leaves most buckets alone
-    StreamCdc.initTarget(snap, dir, Seq("k"), nBuckets = 16)
-    def bucketFiles(): Map[String, Set[String]] =
+    // base large enough that a 1-row batch stays under the ratio
+    val big = (1L to 400L).map(i => (i, s"name$i", i * 10)).toDF("k", "name", "bal")
+    StreamCdc.initTarget(big, dir, Seq("k"), nBuckets = 16)
+    def baseFiles(): Map[String, Set[String]] =
       new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith(StreamCdc.BucketCol + "="))
         .map(d => d.getName ->
-          d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
+          walk(d).map(f => f.getName + ":" + f.lastModified()).toSet)
         .toMap
-    val before = bucketFiles()
+    val before = baseFiles()
     val b = Seq((1L, 1L, "U", "a2", 11L)).toDF("k", "seq", "op", "name", "bal")
     StreamCdc.foldBatch(spark, b, dir, Seq("k"), "seq", "op", 16)
-    val after = bucketFiles()
-    val touched = before.keySet.count(k => after.get(k) != before.get(k))
-    assert(touched <= 1,
-      s"only key 1's bucket may rewrite, but $touched buckets changed")
-    assert(state(dir).find(_._1 == 1L).map(_._2) == Some("a2"))
+    assert(baseFiles() == before,
+      "an under-ratio fold must append a delta, never rewrite base buckets")
+    assert(state(dir).find(_._1 == 1L).map(_._2) == Some("a2"),
+      "the delta must still resolve at read time")
+  }
+
+  test("write amplification is O(batch) bytes, not O(buckets)") {
+    // the r11 design rewrote every touched bucket's FULL contents per
+    // batch; merge-on-read must write only the batch's winners — so a
+    // 1-row batch against a many-bucket, many-row base appends a few KB
+    // regardless of base size or bucket count
+    val dir = freshDir()
+    val big = (1L to 4000L)
+      .map(i => (i, s"name$i" * 8, i * 10)).toDF("k", "name", "bal")
+    StreamCdc.initTarget(big, dir, Seq("k"), nBuckets = 32)
+    val baseBytes = parquetBytes(new java.io.File(dir))
+    val deltaDir = new java.io.File(dir, StreamCdc.DeltaDir)
+    val b = Seq((1L, 1L, "U", "a2", 11L)).toDF("k", "seq", "op", "name", "bal")
+    StreamCdc.foldBatch(spark, b, dir, Seq("k"), "seq", "op", 32)
+    val written = parquetBytes(deltaDir)
+    assert(written > 0, "the fold must persist the batch winners")
+    assert(written * 20 < baseBytes,
+      s"1-row fold wrote $written B against a $baseBytes B base — " +
+        "that is bucket-rewrite amplification, not O(batch)")
+  }
+
+  test("over-ratio buckets compact: deltas fold into base and clear") {
+    val dir = freshDir()
+    StreamCdc.initTarget(snap, dir, Seq("k"), nBuckets = 2)
+    // 20 winners against a 4-row base blows the default 2.0 ratio in
+    // every touched bucket: deltas must fold into the base and vanish
+    val b = (1L to 20L).map(i => (i, i, "U", s"u$i", i * 100))
+      .toDF("k", "seq", "op", "name", "bal")
+    StreamCdc.foldBatch(spark, b, dir, Seq("k"), "seq", "op", 2)
+    val deltaDir = new java.io.File(dir, StreamCdc.DeltaDir)
+    assert(parquetBytes(deltaDir) == 0L,
+      "compaction must clear the folded delta files")
+    // the BASE alone (no delta resolution) must now hold the winners
+    val baseOnly = spark.read.parquet(dir)
+      .select($"k", $"name", $"bal").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val oneShot = Cdc.applyLog(snap, b, Seq("k"), "seq", "op")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(baseOnly == oneShot)
+  }
+
+  test("repeated key-touch self-compacts deltas WITHOUT rewriting base") {
+    // the LSM tier-1 path: a feed that UPDATES the same keys over and
+    // over grows deltas past ratio, but folding them to per-key winners
+    // shrinks them back under — the base must never rewrite, delta file
+    // counts must collapse, and reads stay correct
+    val dir = freshDir()
+    val big = (1L to 200L).map(i => (i, s"n$i", i)).toDF("k", "name", "bal")
+    StreamCdc.initTarget(big, dir, Seq("k"), nBuckets = 2)
+    def baseState(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith(StreamCdc.BucketCol + "="))
+        .map(d => d.getName ->
+          walk(d).map(f => f.getName + ":" + f.lastModified()).toSet)
+        .toMap
+    val before = baseState()
+    var seq = 0L
+    // 30 batches × 30 updates of the same 30 keys: cumulative deltas
+    // (900 rows) dwarf the 200-row base, winners never exceed 30 keys
+    (1 to 30).foreach { _ =>
+      val b = (1L to 30L).map { k => seq += 1; (k, seq, "U", s"u$seq", seq) }
+        .toDF("k", "seq", "op", "name", "bal")
+      StreamCdc.foldBatch(spark, b, dir, Seq("k"), "seq", "op", 2)
+    }
+    assert(baseState() == before,
+      "update-only churn must be absorbed by delta self-compaction")
+    val deltaFiles = walk(new java.io.File(dir, StreamCdc.DeltaDir))
+      .count(_.getName.endsWith(".parquet"))
+    assert(deltaFiles <= 2 * 17,
+      s"delta files must collapse on self-compaction, got $deltaFiles")
+    assert(state(dir).find(_._1 == 1L).map(_._3) ==
+      Some(seq - 29L), "reads must resolve the latest winner")
+  }
+
+  test("tombstones persist in the delta until compaction, then vanish") {
+    val dir = freshDir()
+    val big = (1L to 200L).map(i => (i, s"n$i", i)).toDF("k", "name", "bal")
+    StreamCdc.initTarget(big, dir, Seq("k"), nBuckets = 2)
+    val d = Seq((7L, 1L, "D", "x", 0L)).toDF("k", "seq", "op", "name", "bal")
+    StreamCdc.foldBatch(spark, d, dir, Seq("k"), "seq", "op", 2)
+    // under-ratio: the base still holds key 7, the read hides it
+    assert(spark.read.parquet(dir).filter($"k" === 7L).count() == 1L)
+    assert(state(dir).forall(_._1 != 7L), "read must resolve the tombstone")
+    // force the bucket over ratio — compaction must drop the key from
+    // the base physically
+    val flood = (1000L to 1500L).map(i => (i, i, "I", s"i$i", i))
+      .toDF("k", "seq", "op", "name", "bal")
+    StreamCdc.foldBatch(spark, flood, dir, Seq("k"), "seq", "op", 2)
+    assert(spark.read.parquet(dir).filter($"k" === 7L).count() == 0L,
+      "compaction must apply the tombstone to the base")
+    assert(state(dir).forall(_._1 != 7L))
   }
 }
