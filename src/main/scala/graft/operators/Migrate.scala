@@ -69,15 +69,27 @@ object Migrate {
       corrections: Seq[Correction] = Seq.empty): DataFrame = {
     // every check is a 1-row aggregate; the report row is their lazy
     // cross-join (all broadcastable singletons — no driver action, the
-    // whole report stays one deferred distributed plan)
+    // whole report stays one deferred distributed plan).
+    // Distinct key counting goes through a STRUCT of the key columns:
+    // `countDistinct(k1, k2)` drops rows where ANY key is null, while the
+    // oracle's `count(DISTINCT (k1, k2))` counts null-bearing tuples — a
+    // struct is never null itself, so both engines count the same
+    // combinations even on dirty keys.
     val reports = grains.zipWithIndex.map { case (g, i) =>
       val t = splits(g.name)
-      val keyCols = g.keys.map(col)
+      def keyStruct(df: DataFrame) = struct(g.keys.map(df.apply): _*)
       val stats = t.agg(
         count(lit(1)).as("n_rows"),
-        countDistinct(g.keys.head, g.keys.tail: _*).as("n_keys"))
-      val srcKeys = source.select(keyCols: _*).distinct()
-        .agg(count(lit(1)).as("n_src_keys"))
+        countDistinct(keyStruct(t)).as("n_keys"))
+      // ONE source scan per grain: the distinct (keys ++ attrs) projection
+      // yields both the source key cardinality and the corrected-row count
+      // (rows a correction predicate hits, counted PRE-correction)
+      val corrPred = corrections.filter(_.table == g.name)
+        .map(_.where).reduceOption(_ || _).getOrElse(lit(false))
+      val srcProj = source.select((g.keys ++ g.attrs).map(col): _*).distinct()
+      val srcStats = srcProj.agg(
+        countDistinct(keyStruct(srcProj)).as("n_src_keys"),
+        count(when(corrPred, lit(1))).as("n_corrected_rows"))
       val parentMissing =
         if (i == 0) stats.select(lit(0L).as("n_parent_missing"))
         else {
@@ -87,15 +99,7 @@ object Migrate {
               parent.keys, "left_anti")
             .agg(count(lit(1)).as("n_parent_missing"))
         }
-      val nCorrected = corrections.filter(_.table == g.name) match {
-        case Nil => stats.select(lit(0L).as("n_corrected_rows"))
-        case cs =>
-          // count on the PRE-correction projection: rows the predicates hit
-          source.select((g.keys ++ g.attrs).map(col): _*).distinct()
-            .filter(cs.map(_.where).reduce(_ || _))
-            .agg(count(lit(1)).as("n_corrected_rows"))
-      }
-      stats.crossJoin(srcKeys).crossJoin(parentMissing).crossJoin(nCorrected)
+      stats.crossJoin(srcStats).crossJoin(parentMissing)
         .select(
           lit(g.name).as("table_name"),
           col("n_rows"),

@@ -265,7 +265,16 @@ object StreamCdc {
       val dst = new Path(l1Dir(targetDir), d.getPath.getName)
       fsys.mkdirs(dst)
       fsys.listStatus(d.getPath).filter(_.isFile).foreach { f =>
-        fsys.rename(f.getPath, new Path(dst, s"c$stamp-${f.getPath.getName}"))
+        val to = new Path(dst, s"c$stamp-${f.getPath.getName}")
+        // Hadoop FileSystems signal most rename failures by RETURNING
+        // false, not throwing — swallowing it here would delete the old
+        // L0/L1 rows below while the folded winner never landed
+        // (permanent data loss in the crash-safety path). Throw before
+        // any delete: the stale tmp dir is cleaned up on the next attempt.
+        if (!fsys.rename(f.getPath, to))
+          throw new java.io.IOException(
+            s"compactL0: rename ${f.getPath} -> $to returned false; " +
+              "aborting before deleting source L0/L1 files")
       }
     }
     old.foreach(p => fsys.delete(p, false))

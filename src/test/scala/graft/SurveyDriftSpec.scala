@@ -39,8 +39,10 @@ class SurveyDriftSpec extends AnyFunSuite {
   test("every query has an oracle or is a declared rows-only fast path") {
     // rows-only is a weaker gate (rows>0 only) — each such query must be
     // pinned by a hash-exact deterministic twin and declared here, so a
-    // forgotten oracle can't silently downgrade the gate
-    val declaredRowsOnly = Set("q_hll_sketch", "q_knn_ivf", "q_knn_ivf_inc")
+    // forgotten oracle can't silently downgrade the gate. Empty since r12:
+    // the last three rows-only gates (q_hll_sketch, q_knn_ivf,
+    // q_knn_ivf_inc) gained driver-checkable error/recall envelope oracles.
+    val declaredRowsOnly = Set.empty[String]
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declaredRowsOnly,
       s"oracle coverage drifted: missing oracles ${(noOracle -- declaredRowsOnly).toSeq.sorted.mkString(", ")}; " +
