@@ -799,4 +799,69 @@ object Dedup {
         coalesce(col("_n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("_clean"), lit("")).as("clean_text"))
   }
+
+  /** VARIABLE-LENGTH maximal duplicated spans — the length-threshold
+    * ExactSubstr semantics of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"): a token position is DUPLICATED
+    * iff it lies inside some substring of length ≥ `minLen` tokens whose
+    * exact text occupies `minOccurrences`+ (doc, position) slots
+    * corpus-wide; the output is each doc's MAXIMAL runs of duplicated
+    * positions, one row per span with its actual (variable) length —
+    * exactly the byte ranges the suffix-array formulation emits for
+    * cutting, at token grain.
+    *
+    * Why fixed windows compute the variable-length answer (the coverage
+    * theorem this operator rests on, spec-proven against brute force over
+    * ALL substrings in MaximalDuplicateSpansSpec): a duplicated substring
+    * of length m ≥ L at position p covers [p, p+m-1], and every position
+    * in it lies inside one of its length-L subwindows, each of which
+    * occurs everywhere the parent occurs — so it is itself duplicated.
+    * Conversely a duplicated L-window IS a duplicated substring of length
+    * ≥ L. The two covered-position sets are therefore IDENTICAL, and the
+    * maximal runs of L-window coverage (islands: consecutive duplicated
+    * window starts p < q overlap-or-abut iff q − p ≤ L) are the maximal
+    * duplicated spans — no suffix array needed. Note the spans are maximal
+    * duplicated REGIONS: a span may be the union of several distinct
+    * duplicated substrings (each repeated elsewhere) rather than one
+    * substring repeated whole — the same output grain as the reference
+    * implementation's range merge.
+    *
+    * Scale: identical linear skeleton to [[duplicateSpans]] — one posting
+    * row per (doc, window position), a map-side-combined occurrence count
+    * on the window text, a semi join back, then doc-grain islands. No
+    * pair join; a window shared by k docs costs k posting rows, never k²
+    * pairs. Output is one row per span (bounded by covered tokens / L).
+    */
+  def maximalDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    require(minOccurrences > 1, s"minOccurrences must be > 1, got $minOccurrences")
+    val wlen = lit(minLen.toLong)
+    val posting = df.select(
+        col(idCol).as("id"),
+        posexplode(Text.wordShinglesAll(col(textCol), minLen))
+          .as(Seq("pos", "win")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("win"))
+    val dup = posting.groupBy(col("win"))
+      .agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOccurrences)
+      .select(col("win"))
+    val cov = posting.join(dup, Seq("win"), "left_semi")
+      .select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    cov
+      .withColumn("_prev", lag(col("pos"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("pos") - col("_prev") > wlen, 1L).otherwise(0L))
+      .withColumn("_isl",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + wlen - 1L).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
 }
