@@ -190,23 +190,23 @@ object Bpe {
   // production LLM pipelines count and pack tokens at.
   // ---------------------------------------------------------------------
 
-  /** Regex pre-tokenizer: space-prefixed letter runs, space-prefixed
-    * digit runs, space-prefixed punctuation runs, residual space runs —
-    * the GPT-2 pattern's shape restricted to ASCII classes and no
-    * lookahead, so Java regex (Spark) and RE2 (DuckDB) agree match for
-    * match. (GPT-2 proper uses `\p{L}`/`\p{N}` and a `\s+(?!\S)`
-    * lookahead; RE2 has no lookahead, so trailing-space attachment
-    * differs from GPT-2 on multi-space runs — deterministically so.)
+  /** EXACT GPT-2 pre-tokenization (`'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+|`
+    * ` ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`, Unicode classes) via
+    * the native scanner kernel [[graft.plans.Gpt2Pretokens]] — r12 and
+    * earlier shipped an ASCII-class no-lookahead approximation because
+    * RE2 (the oracle engine) has no lookahead; the scanner eliminates
+    * the lookahead with a local whitespace-run rule (kernel scaladoc),
+    * and the DuckDB oracle replays the same per-character rules with
+    * window functions, so the exact rules are now hash-gated end to end.
     */
-  val BytePretokenPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+  def pretokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.TextExpressions.gpt2Pretokens(text)
 
   /** Pre-token vocabulary with counts: ONE corpus scan, the byte-level
     * twin of [[wordVocab]] (no lowercase, no filter — every byte of every
     * token participates). */
   def byteVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(
-        explode(regexp_extract_all(col(textCol),
-          lit(BytePretokenPattern), lit(0))).as("word"))
+    docs.select(explode(pretokens(col(textCol))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -267,8 +267,7 @@ object Bpe {
       textCol: String,
       merges: Array[(Int, String, String, Long)]): DataFrame = {
     val words = docs.select(col(idCol),
-      posexplode(regexp_extract_all(col(textCol),
-        lit(BytePretokenPattern), lit(0))).as(Seq("wpos", "word")))
+      posexplode(pretokens(col(textCol))).as(Seq("wpos", "word")))
     val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }

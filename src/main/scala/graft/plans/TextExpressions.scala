@@ -196,6 +196,39 @@ case class RegexTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** EXACT GPT-2 pre-tokenization (Radford et al. 2019 / the tiktoken
+  * `gpt2` pattern) as a native single-pass scanner:
+  * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+  * with Unicode classes (L = letters, N = Nd/Nl/No, whitespace =
+  * White_Space), scanned by CODE POINT. See
+  * [[TextKernels.gpt2Pretokens]] for the lookahead-elimination argument
+  * that makes the scanner (and its RE2-bound DuckDB oracle replay)
+  * possible without backtracking. Differentially fuzzed against
+  * `java.util.regex` with UNICODE_CHARACTER_CLASS in
+  * TokenizerKernelFuzzSpec.
+  */
+case class Gpt2Pretokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gpt2_pretokens requires a string input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "gpt2_pretokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gpt2Pretokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.gpt2Pretokens($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native Viterbi subword segmentation — the whole-stage-codegen
   * replacement for [[graft.operators.Unigram]]'s per-row
   * `aggregate`-fold DP + backtrace (HOFs are CodegenFallback; they made
@@ -583,6 +616,95 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** The GPT-2 class of a code point: 0 = letter (`\p{L}`), 1 = numeric
+    * (`\p{N}` — Nd/Nl/No, wider than isDigit), 2 = whitespace (Unicode
+    * White_Space: 09–0D, 85, and category Z — NOT Java isWhitespace,
+    * which adds 1C–1F and drops the no-break spaces), 3 = other. */
+  private def gpt2Cls(cp: Int): Int =
+    if (Character.isLetter(cp)) 0
+    else {
+      val t = Character.getType(cp)
+      if (t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER) 1
+      else if (isGpt2Ws(cp)) 2
+      else 3
+    }
+
+  @inline private def isGpt2Ws(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0D) || cp == 0x85 || {
+      val t = Character.getType(cp)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR
+    }
+
+  /** End (char offset) of the maximal same-class run starting at `start`
+    * (class per [[gpt2Cls]]; never called on whitespace). */
+  private def gpt2RunEnd(s: String, start: Int, len: Int): Int = {
+    val cls = gpt2Cls(s.codePointAt(start))
+    var i = start + Character.charCount(s.codePointAt(start))
+    while (i < len && gpt2Cls(s.codePointAt(i)) == cls)
+      i += Character.charCount(s.codePointAt(i))
+    i
+  }
+
+  /** Contraction length at an apostrophe: 2 for 's|'t|'m|'d, 3 for
+    * 're|'ve|'ll, 0 otherwise — lowercase only, first letters disjoint
+    * between the two groups so alternation order is irrelevant. Caller
+    * guarantees i+1 < len. */
+  private def gpt2ContractionLen(s: String, i: Int): Int = {
+    val n1 = s.charAt(i + 1)
+    if (n1 == 's' || n1 == 't' || n1 == 'm' || n1 == 'd') 2
+    else if (i + 2 < s.length) {
+      val n2 = s.charAt(i + 2)
+      if ((n1 == 'r' && n2 == 'e') || (n1 == 'v' && n2 == 'e') ||
+          (n1 == 'l' && n2 == 'l')) 3
+      else 0
+    } else 0
+  }
+
+  /** Exact GPT-2 pre-tokenization — a partition of the input into the
+    * regex scan's tokens, WITHOUT regex machinery. The one construct RE2
+    * and a naive scanner can't express, `\s+(?!\S)`, resolves to a local
+    * rule: a maximal whitespace run followed by a non-space keeps its
+    * last code point OUT of the run (`\s+(?!\S)` greedily matches
+    * run-minus-last, whose lookahead sees whitespace); that last char
+    * then attaches to the following class run when it is a literal
+    * space (the ` ?` prefixes), or stands alone otherwise (bare `\s+`);
+    * a run at end-of-string is one whole token. Contractions match only
+    * at a scan position — never mid letter/punct run ("!!!'s" → !!!' | s)
+    * — lowercase only, no trailing boundary ("don'thing" → don | 't |
+    * hing), all faithful GPT-2 quirks.
+    */
+  def gpt2Pretokens(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val len = s.length
+    val out = new java.util.ArrayList[Any](32)
+    @inline def emit(a: Int, b: Int): Unit =
+      out.add(UTF8String.fromString(s.substring(a, b)))
+    var i = 0
+    while (i < len) {
+      val c = s.codePointAt(i)
+      val clen = if (c == '\'' && i + 1 < len) gpt2ContractionLen(s, i) else 0
+      if (clen > 0) { emit(i, i + clen); i += clen }
+      else if (isGpt2Ws(c)) {
+        var j = i; var last = i
+        while (j < len && isGpt2Ws(s.codePointAt(j))) {
+          last = j; j += Character.charCount(s.codePointAt(j))
+        }
+        if (j == len) { emit(i, j); i = j }
+        else {
+          if (last > i) emit(i, last)
+          if (s.charAt(last) == ' ') { i = gpt2RunEnd(s, j, len); emit(last, i) }
+          else { emit(last, j); i = j }
+        }
+      } else {
+        val e = gpt2RunEnd(s, i, len)
+        emit(i, e); i = e
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def wordShingles(input: UTF8String, n: Int, distinct: Boolean)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     // Unicode lowercase on the UTF8String — bit-identical to Spark's lower()
@@ -711,6 +833,10 @@ object TextExpressions {
 
   def bpeTokens(text: Column): Column =
     Bridge.column(RegexTokens(Bridge.expression(text)))
+
+  /** Column API for [[Gpt2Pretokens]] — the exact GPT-2 pre-tokenizer. */
+  def gpt2Pretokens(text: Column): Column =
+    Bridge.column(Gpt2Pretokens(Bridge.expression(text)))
 
   /** Column API for [[UnigramSegment]]. */
   def unigramSegment(word: Column, scores: Column, maxLen: Int,

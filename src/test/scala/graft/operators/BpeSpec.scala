@@ -56,8 +56,10 @@ class BpeSpec extends SparkSpec {
     assert(toks.contains("The") && toks.contains(" the") && toks.contains(" Cat"))
     assert(toks.contains(",") && toks.contains("! ") == false)
     assert(toks.contains("-42") == false && toks.contains("42"))
-    // non-ASCII survives (as its own punctuation-class run with the space)
-    assert(toks.keys.exists(_.contains("Ü")))
+    // non-ASCII letters are LETTERS under the exact rules (r12's ASCII
+    // approximation made Ü a punct run; the scanner kernel joins it to
+    // its word, space attached)
+    assert(toks.contains(" Über"))
     // full coverage: pre-token lengths sum to the input length
     assert(toks.map { case (w, c) => w.length * c }.sum == "The cat, the Cat! Über-42".length)
   }

@@ -87,6 +87,44 @@ class TokenizerKernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("Gpt2Pretokens == the java.util.regex GPT-2 pattern (lookahead included) on adversarial fuzz") {
+    // the reference IS the published pattern, lookahead and all —
+    // UNICODE_CHARACTER_CLASS makes java \s = White_Space, matching the
+    // kernel's class definitions; the kernel must reproduce every match
+    val P = java.util.regex.Pattern.compile(
+      raw"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    def ref(s: String): Seq[String] = {
+      val m = P.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    // pool covers every scanner rule: real/fake/uppercase contractions,
+    // unicode letters (incl. supplementary-plane 𐐷 — code-point
+    // iteration), Nd/Nl/No numerics, curly vs straight apostrophes,
+    // emoji (So → punct class), and the whitespace zoo (\x0B, NEL \x85,
+    // NBSP, LINE SEPARATOR, ideographic space) in runs of every length
+    val pool = Seq("'s", "'t", "'re", "'ve", "'m", "'ll", "'d", "'S", "'x",
+      "'l", "'v", "''", "don't", "CAN'T", "naïve", "στο", "𐐷𐐷", "ab", "Z",
+      "3", "٣٤", "Ⅻ", "²", "!", "?!.", "'", "’", "😀", "🇺🇸", " ", "  ",
+      "   ", "\t", "\n", "\r\n", "\u00A0", "\u2028", "\u000B", "\u0085",
+      "\u3000", "\f", " \t ", "word", "ltd.", "e.g", "+7")
+    def mk() = (0 to rnd.nextInt(20)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val cases = (Seq("", " ", "x", "'", "don't", "a  b", "a \t b", "trailing  ",
+      "  don'tx 'll''d", " naïve ", "𐐷 123Ⅻ² ٣", "!!!'s don'thing",
+      "a \tb", "x'll  y", "'re'm", "can''t") ++ Seq.fill(500)(mk())).distinct
+    val got = cases.toDF("t")
+      .select($"t", TextExpressions.gpt2Pretokens($"t").as("ks"))
+      .as[(String, Seq[String])].collect().toMap
+    cases.foreach { s =>
+      assert(got(s) == ref(s),
+        s"kernel/regex divergence on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"${got(s)} vs ${ref(s)}")
+      assert(got(s).mkString == s, "pre-tokenization must PARTITION the input")
+    }
+  }
+
   test("TokenSeqJoin == the HOF chain it replaced, long and string ids") {
     val rows = (1 to 80).map { i =>
       val n = rnd.nextInt(6)
