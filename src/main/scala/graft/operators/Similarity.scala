@@ -329,6 +329,228 @@ object Similarity {
     b
   }
 
+  // ------------------------------------------------------------------
+  // Graph ANN — the HNSW family, rebuilt data-parallel
+  // ------------------------------------------------------------------
+
+  /** A built graph-ANN index: `near` = the degree-bounded refined kNN
+    * adjacency (src, dst, cosine); `longEdges` = node → its coarse-bucket
+    * hubs (the flattened HNSW upper layer); `hubs` = (cbk, hub) for
+    * query-local entry points; `coarse` = the coarse plane family that
+    * maps a query vector to its cbk. */
+  final case class NswIndex(
+      near: DataFrame,
+      longEdges: DataFrame,
+      hubs: DataFrame,
+      coarse: Array[Array[Double]])
+
+  /** Deterministic navigable-small-world index — the graph layer of graph
+    * ANN (NSW/HNSW family), built in bounded bulk passes instead of
+    * HNSW's insertion loop.
+    *
+    * WHY NOT literal HNSW (the written decision carried from r11): HNSW
+    * (Malkov & Yashunin 2018) constructs by SEQUENTIAL greedy insertion —
+    * every insert beam-searches the graph built so far, a serial chain
+    * over mutable global state. On a 1000-executor cluster that either
+    * serializes onto one machine or degrades to per-partition graphs that
+    * answer nothing globally. What makes HNSW SEARCH work is not the
+    * insertion order but the graph's properties, each of which builds
+    * data-parallel:
+    *   - SEED short-range edges: all pairs within deterministic sign-LSH
+    *     buckets (portable quadratic-mod hyperplanes), bucket width
+    *     derived from corpus size via [[bandBitsFor]] so Σ|bucket|² — the
+    *     only quadratic term — stays LINEAR in N;
+    *   - GRAPH QUALITY via NN-DESCENT (Dong et al., WWW 2011 — the
+    *     published bulk-parallel kNN-graph algorithm): `refineRounds`
+    *     rounds of "my neighbors' neighbors are my neighbor candidates" —
+    *     candidates = current edges ∪ reversed edges ∪ 2-hop closure,
+    *     re-ranked to the top-`degree` by exact cosine. Each round is
+    *     N·degree² candidate rows — linear. This recovers what HNSW gets
+    *     from insertion-time search (measured: beam recall at sf1
+    *     saturated at 0.20 on the raw LSH seed graph; NN-descent lifts
+    *     the ceiling — SURVEY §6);
+    *   - LONG-range edges + ENTRY points: every node → its COARSE
+    *     bucket's `degree` smallest-id hubs (half the fine bits). This
+    *     flattens HNSW's level hierarchy: hubs are the sparse upper-layer
+    *     nodes (the deterministic smallest-id draw replacing the random
+    *     level draw), queries ENTER at their own coarse bucket's hubs
+    *     (HNSW's descend-from-top, query-local), and from a hub the
+    *     search descends via the hub's refined near edges. Hub
+    *     out-degree stays bounded — hub→node back-edges are NOT
+    *     materialized, exactly like HNSW's layer separation.
+    * Every step — buckets, hubs, cosines, descent rounds, ranking — is
+    * integer/IEEE-deterministic, so the DuckDB oracle replays the whole
+    * index hash-exact, which no RNG insertion order could.
+    */
+  def nswIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      degree: Int,
+      fineBits: Int,
+      refineRounds: Int = 2,
+      dim: Int = 64,
+      seed: Long = 42L): NswIndex = {
+    require(degree > 0 && fineBits > 0 && refineRounds >= 0)
+    val coarseBits = math.max(1, fineBits / 2)
+    val fine = hyperplanes(fineBits, dim, seed)
+    val coarse = hyperplanes(coarseBits, dim, seed + 1)
+    val base = corpus.select(col(idCol).as("id"),
+        checkedDim(col(vecCol), dim).as("_vec"),
+        Vectors.norm(col(vecCol)).as("_n"))
+      .withColumn("fb", bucketCode(col("_vec"), fine))
+      .withColumn("cb", bucketCode(col("_vec"), coarse))
+      .localCheckpoint()
+    val vecs = base.select(col("id").as("dst"), col("_vec").as("_p"), col("_n").as("_np"))
+    def rescore(pairs: DataFrame): DataFrame =
+      pairs
+        .join(base.select(col("id").as("src"), col("_vec").as("_v"), col("_n").as("_nv")),
+          Seq("src"))
+        .join(vecs, Seq("dst"))
+        .withColumn("cosine", pairCosine)
+        .select(col("src"), col("dst"), col("cosine"))
+    def topDegree(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      scored.groupBy(col("src"), col("dst"))
+        .agg(max(col("cosine")).as("cosine")) // dup pairs carry equal cosines
+        .withColumn("_nr", row_number().over(w))
+        .filter(col("_nr") <= degree)
+        .select(col("src"), col("dst"), col("cosine"))
+    }
+    val hw = Window.partitionBy(col("cb")).orderBy(col("id"))
+    val hubs = base.withColumn("_hr", row_number().over(hw))
+      .filter(col("_hr") <= degree)
+      .select(col("cb").as("cbk"), col("id").as("hub"))
+      .localCheckpoint()
+    val finePairs = base.select(col("fb"), col("id").as("src"))
+      .join(base.select(col("fb"), col("id").as("dst")), Seq("fb"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val hubPairs = base.select(col("cb").as("cbk"), col("id"))
+      .join(hubs, Seq("cbk"))
+      .filter(col("id") =!= col("hub"))
+    val seedPairs = finePairs
+      .unionByName(hubPairs.select(col("id").as("src"), col("hub").as("dst")))
+      .unionByName(hubPairs.select(col("hub").as("src"), col("id").as("dst")))
+    var near = topDegree(rescore(seedPairs)).localCheckpoint()
+    for (_ <- 1 to refineRounds) {
+      val edges = near.select(col("src"), col("dst"))
+      val cands = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(edges.join(
+            edges.select(col("src").as("dst"), col("dst").as("d2")), Seq("dst"))
+          .select(col("src"), col("d2").as("dst"))
+          .filter(col("src") =!= col("dst")))
+        .unionByName(near.select(col("src"), col("dst"))) // keep current
+        .distinct()
+      near = topDegree(rescore(cands)).localCheckpoint()
+    }
+    val longEdges = hubPairs.select(col("id").as("src"), col("hub").as("dst"))
+    NswIndex(near, longEdges, hubs, coarse)
+  }
+
+  /** Beam search over an [[nswIndex]]: each probe ENTERS at its own
+    * coarse bucket's hubs plus the `entries` smallest corpus ids (the
+    * global fallback for out-of-distribution queries), then for `hops`
+    * rounds expands its current top-`beam` frontier through near + long
+    * edges, scoring only NEW nodes (anti-join against everything already
+    * scored). Output is the exact-cosine top-k of every node visited.
+    *
+    * Scale shape: per hop the frontier is probes × beam rows; expansion
+    * touches ≤ probes × beam × 2·degree candidate ids, joined against the
+    * id-keyed vector table (an equi-join — at cluster scale an
+    * id-bucketed layout co-locates it). Candidates SCORED per probe ≤
+    * entries + degree + hops × beam × 2·degree — O(1) in corpus size, vs
+    * IVF's nprobe/nlist corpus FRACTION: the reason graph ANN wins at
+    * disk scale, and the SURVEY §6 budget comparison.
+    */
+  def knnGraphSearch(
+      index: NswIndex,
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      entries: Int,
+      dim: Int = 64): DataFrame = {
+    require(k > 0 && beam >= k && hops >= 0 && entries > 0)
+    val adjacency = index.near.select(col("src"), col("dst"))
+      .unionByName(index.longEdges).distinct()
+    val vecs = corpus.select(col(idCol).as("nid"),
+      checkedDim(col(vecCol), dim).as("_v"), Vectors.norm(col(vecCol)).as("_nv"))
+    val p = broadcast(probes.select(col(probeIdCol).as("probe_id"),
+      checkedDim(col(probeVecCol), dim).as("_p"),
+      Vectors.norm(col(probeVecCol)).as("_np")))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(vecs, Seq("nid")).join(p, Seq("probe_id"))
+        .withColumn("cosine", pairCosine)
+        .select(col("probe_id"), col("nid"), col("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("nid"))
+    val globalEntry = vecs.orderBy(col("nid")).limit(entries).select(col("nid"))
+    val localEntry = p.select(col("probe_id"),
+        bucketCode(col("_p"), index.coarse).as("cbk"))
+      .join(index.hubs, Seq("cbk"))
+      .select(col("probe_id"), col("hub").as("nid"))
+    val entry = p.select(col("probe_id")).crossJoin(globalEntry)
+      .unionByName(localEntry).distinct()
+    // each hop references the accumulated `best` THREE times (frontier,
+    // visited anti-join, union) — left lazy, the plan re-derives hop h-1
+    // 2^h times (measured 19 s for 8 probes at sf0.001). localCheckpoint
+    // materializes the tiny probes×visited frame once per hop; contents
+    // are deterministic, so gate hashes are unaffected (the Ranking
+    // posting-fold precedent).
+    var best = score(entry).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = best.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= beam)
+        .select(col("probe_id"), col("nid").as("src"))
+      val expand = frontier
+        .join(adjacency, Seq("src"))
+        .select(col("probe_id"), col("dst").as("nid"))
+        .distinct()
+        .join(best.select(col("probe_id"), col("nid")),
+          Seq("probe_id", "nid"), "left_anti")
+      best = best.unionByName(score(expand)).localCheckpoint()
+    }
+    best.filter(col("probe_id") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("nid").as("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Graph ANN end to end: derive the fine bucket width from the corpus
+    * size (ONE scalar count — the same bounded-collect class as the IVF
+    * centroid trainer), build the NSW index, beam-search the probes. At
+    * cluster scale the index persists once and serves every query batch;
+    * localCheckpoint inside the build is the single-session equivalent.
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int,
+      degree: Int = 16, // HNSW's production M; measured best recall/candidate
+      beam: Int = 8,
+      hops: Int = 4,
+      entries: Int = 4,
+      refineRounds: Int = 2,
+      targetBucket: Long = 96L,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val fineBits = bandBitsFor(math.max(corpus.count(), 1L), targetBucket)
+    val index = nswIndex(corpus, idCol, vecCol, degree, fineBits, refineRounds, dim, seed)
+    knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
+      k, beam, hops, entries, dim)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`.
     *
     * Candidate generation is BANDED sign-LSH — `bands` independent hash

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the data-parallel graph-ANN operator (Similarity.nswIndex /
+  * knnGraphSearch — the HNSW-family answer, see the nswIndex scaladoc for
+  * the decision against literal HNSW's serial insertion).
+  */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: `clusters` well-separated centers,
+    * members jittered around them; ids striped across clusters so id
+    * ranges carry no cluster structure. */
+  private def corpus(n: Int, clusters: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(clusters, 64)(rnd.nextGaussian().toFloat * 5f)
+    (0 until n).map { i =>
+      val c = centers(i % clusters)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def asPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("tiny corpus (graph ~complete at degree): beam search IS exact brute-force top-k") {
+    val emb = corpus(60, 3, seed = 7L)
+    val probes = emb.filter(col("vec_id") < 6)
+    val got = Similarity.knnGraph(emb, probes,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val brute = Similarity.knnBruteForce(emb, probes,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    assert(asPairs(got) == asPairs(brute),
+      "with buckets ≥ corpus and degree-16 edges the walk must find the exact answer")
+  }
+
+  test("near adjacency respects the degree bound and carries exact cosines") {
+    val emb = corpus(300, 4, seed = 11L)
+    val idx = Similarity.nswIndex(emb, "vec_id", "embedding",
+      degree = 8, fineBits = Similarity.bandBitsFor(300, 96))
+    val perSrc = idx.near.groupBy(col("src")).agg(count(lit(1)).as("d")).collect()
+    assert(perSrc.forall(_.getLong(1) <= 8), "out-degree bound")
+    // every edge's stored cosine equals the exact recomputed cosine
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val recheck = idx.near
+      .join(v.toDF("src", "_a"), "src")
+      .join(v.toDF("dst", "_b"), "dst")
+      .where(abs(col("cosine") -
+        graft.functions.Vectors.cosine(col("_a"), col("_b"))) > 1e-12)
+      .count()
+    assert(recheck == 0, "adjacency cosines are the exact pair cosines")
+  }
+
+  test("deterministic: two independent builds+searches agree row for row") {
+    val emb = corpus(400, 5, seed = 13L)
+    val probes = emb.filter(col("vec_id") < 8)
+    def run() = Similarity.knnGraph(emb, probes,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() == run())
+  }
+
+  test("query-local hub entry: a probe far from the global entries still finds its cluster") {
+    // global entries are the smallest ids; ids stripe across clusters, so a
+    // probe's true neighbors live in its own cluster and the walk must get
+    // there — plant an exact near-duplicate and demand it at rank 1
+    val rnd = new scala.util.Random(17L)
+    val base = corpus(500, 8, seed = 17L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeVec = base.find(_._1 == 377L).get._2
+    val planted = (9001L, probeVec.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    val emb = (base :+ planted).toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.knnGraph(emb, emb.filter(col("vec_id") === 377L),
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    val top = got.orderBy(col("rank")).collect()
+    assert(top.head.getLong(1) == 9001L,
+      s"planted near-duplicate must be rank 1, got ${top.map(_.getLong(1)).mkString(",")}")
+  }
+
+  test("NN-descent rounds do not lose recall vs the raw LSH seed graph") {
+    val emb = corpus(800, 6, seed = 23L)
+    val probes = emb.filter(col("vec_id") < 8)
+    val brute = asPairs(Similarity.knnBruteForce(emb, probes,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5))
+    val bits = Similarity.bandBitsFor(800, 96)
+    def recall(rounds: Int): Double = {
+      val idx = Similarity.nswIndex(emb, "vec_id", "embedding",
+        degree = 8, fineBits = bits, refineRounds = rounds)
+      val got = asPairs(Similarity.knnGraphSearch(idx, emb, probes,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 8, hops = 4, entries = 4))
+      got.count(brute.contains).toDouble / brute.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    assert(r2 >= r0, s"NN-descent must not hurt: rounds0=$r0 rounds2=$r2")
+    assert(r2 >= 0.5, s"clustered corpus should search well, got $r2")
+  }
+}
