@@ -354,21 +354,97 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB CTE chain replaying the EXACT GPT-2 pre-tokenizer
+    * ([[graft.plans.Gpt2Pretokens]]) over `rel(doc_id, text)` — RE2 has
+    * no lookahead, so the oracle replays the scanner's LOCAL rules per
+    * character with window functions instead of a regex: classify every
+    * code point (S = space, T = other White_Space, L = `\pL`, N = `\pN`,
+    * P = rest), detect contraction starts (apostrophe at a scan
+    * position — previous char L/N/T/BOS — with the lowercase pair
+    * tables), then mark token starts: contraction interiors never start,
+    * the char after a contraction always starts, a whitespace char
+    * starts at its run start OR as the run's last char before a
+    * non-space (the `\s+(?!\S)` split), and a letter/number/punct char
+    * starts on class change except after an attaching space. Running-sum
+    * the starts into token ids and reassemble. Pre-flighted against
+    * `java.util.regex` (lookahead included) on 396 adversarial cases —
+    * contraction quirks, the whitespace zoo, supplementary-plane
+    * letters. Ends in `gtok(doc_id, wpos, word)`, 1-based wpos in token
+    * order. */
+  /** Adversarial text appended to every q_gpt2_pretok doc — one instance
+    * of every scanner rule: real/fake/uppercase contractions, a tab and
+    * an NBSP adjacent to words, double spaces before a word (the
+    * `\s+(?!\S)` split), ideographic space, Nd/Nl/No numerics, a
+    * supplementary-plane letter, contraction-with-no-boundary, and
+    * trailing whitespace. Shared verbatim by the gate and its oracle. */
+  private val Gpt2AdversarialSuffix =
+    " don't CAN'T  x\ty z ٣Ⅻ² 𐐷 !!!'s" +
+      " don'thing 'll''d e.g　+7  "
+
+  private def gpt2PretokCtes(rel: String): String =
+    s"""gchars AS (SELECT doc_id, u.i AS i, u.ch FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+       |      i -> struct_pack(i := i, ch := text[i]))) AS u
+       |    FROM $rel)),
+       |gcls AS (SELECT doc_id, i, ch,
+       |    CASE WHEN ch = ' ' THEN 'S'
+       |         WHEN regexp_matches(ch, '^[\\x{09}-\\x{0D}\\x{85}\\p{Z}]$$') THEN 'T'
+       |         WHEN regexp_matches(ch, '^\\pL$$') THEN 'L'
+       |         WHEN regexp_matches(ch, '^\\pN$$') THEN 'N'
+       |         ELSE 'P' END AS cls
+       |  FROM gchars),
+       |gctx AS (SELECT doc_id, i, ch, cls,
+       |    lag(cls) OVER gw1 AS pc,
+       |    lead(cls) OVER gw1 AS nc,
+       |    lead(ch, 1) OVER gw1 AS n1,
+       |    lead(ch, 2) OVER gw1 AS n2
+       |  FROM gcls WINDOW gw1 AS (PARTITION BY doc_id ORDER BY i)),
+       |gact AS (SELECT doc_id, i, ch, cls, pc, nc,
+       |    CASE WHEN ch = chr(39) AND (pc IS NULL OR pc IN ('L','N','T'))
+       |         THEN CASE WHEN n1 IN ('s','t','m','d') THEN 2
+       |                   WHEN (n1='r' AND n2='e') OR (n1='v' AND n2='e')
+       |                     OR (n1='l' AND n2='l') THEN 3
+       |                   ELSE 0 END
+       |         ELSE 0 END AS clen
+       |  FROM gctx),
+       |gb AS (SELECT doc_id, i, ch, cls, pc, nc, clen,
+       |    lag(clen, 1) OVER gw2 AS c1,
+       |    lag(clen, 2) OVER gw2 AS c2,
+       |    lag(clen, 3) OVER gw2 AS c3
+       |  FROM gact WINDOW gw2 AS (PARTITION BY doc_id ORDER BY i)),
+       |gstart AS (SELECT doc_id, i, ch,
+       |    CASE
+       |      WHEN coalesce(c1, 0) >= 2 OR coalesce(c2, 0) = 3 THEN 0
+       |      WHEN coalesce(c2, 0) = 2 OR coalesce(c3, 0) = 3 THEN 1
+       |      WHEN clen > 0 THEN 1
+       |      WHEN cls IN ('S','T') THEN
+       |        CASE WHEN pc IS NULL OR pc NOT IN ('S','T') THEN 1
+       |             WHEN nc IS NOT NULL AND nc NOT IN ('S','T') THEN 1
+       |             ELSE 0 END
+       |      ELSE CASE WHEN pc IS NULL OR pc = 'T' THEN 1
+       |                WHEN pc = 'S' THEN 0
+       |                WHEN pc <> cls THEN 1 ELSE 0 END
+       |    END AS b
+       |  FROM gb),
+       |gtid AS (SELECT doc_id, i, ch, sum(b) OVER (
+       |    PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS tid
+       |  FROM gstart),
+       |gtok AS (SELECT doc_id, cast(tid AS bigint) AS wpos,
+       |    string_agg(ch, '' ORDER BY i) AS word
+       |  FROM gtid GROUP BY doc_id, tid)""".stripMargin
+
   /** DuckDB CTE chain replaying `Bpe.trainBytes(documents, "text", m)`:
-    * the byte-level (GPT-2-shape) variant of [[bpeOracleCtes]] — the
-    * regex pre-tokenizer chunks raw text (no lowercase, no filter), each
-    * pre-token encodes to sentinel-delimited 2-digit-hex BYTE symbols
-    * (`hex(encode(word))`), then the identical merge-round replay. RE2
-    * (DuckDB) and Java regex (Spark) agree on the ASCII-class,
-    * no-lookahead pattern match for match.
+    * the byte-level (GPT-2) variant of [[bpeOracleCtes]] — the EXACT
+    * GPT-2 pre-tokenizer ([[gpt2PretokCtes]]) chunks raw text (no
+    * lowercase, no filter), each pre-token encodes to
+    * sentinel-delimited 2-digit-hex BYTE symbols (`hex(encode(word))`),
+    * then the identical merge-round replay.
     */
   private def bpeBytesOracleCtes(m: Int): String = {
-    val pat = graft.operators.Bpe.BytePretokenPattern
     val sb = new StringBuilder
     sb.append(
-      s"""bbtoks AS (SELECT unnest(regexp_extract_all(text, '$pat')) AS word
-         |  FROM documents),
-         |bbwv AS (SELECT word, count(*) AS cnt FROM bbtoks GROUP BY 1),
+      s"""${gpt2PretokCtes("documents")},
+         |bbwv AS (SELECT word, count(*) AS cnt FROM gtok GROUP BY 1),
          |bbv0 AS (SELECT word, chr(1) || array_to_string(
          |    list_transform(range(1, length(hx) // 2 + 1),
          |      i -> substring(hx, i * 2 - 1, 2)),
@@ -389,6 +465,134 @@ object SparkEntry {
            |    chr(1) || bbb$j.a || bbb$j.b || chr(1)) AS s, bbv${j - 1}.cnt
            |  FROM bbv${j - 1}, bbb$j)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** Full graph-ANN replay (q_knn_graph): corpus-derived fine bits (the
+    * integer bandBitsFor ladder — no float log2), BOTH portable plane
+    * families (seeds 42/43), fine-bucket pair edges + coarse-bucket hub
+    * edges, per-src top-degree adjacency, then the beam hops UNROLLED as
+    * CTE rounds (top-beam frontier → expand via adjacency → anti-join
+    * already-scored → exact-cosine score → union). Round CTEs are
+    * MATERIALIZED: best_h is referenced three times per hop and DuckDB
+    * inlines CTEs exponentially otherwise (the r11 tokenizer-chain
+    * lesson). */
+  private lazy val knnGraphOracleSql: String = {
+    val (degree, beam, hops, entries, k, rounds) = (16, 8, 4, 4, 5, 2)
+    def cos(va: String, na: String, vb: String, nb: String) =
+      s"""CASE WHEN $na * $nb > 0 THEN
+         |      list_reduce(list_prepend(cast(0.0 AS double),
+         |        list_transform(range(1, len($va) + 1),
+         |          i -> cast($va[i] AS double) * cast($vb[i] AS double))),
+         |        (acc, x) -> acc + x) / ($na * $nb)
+         |    ELSE 0.0 END""".stripMargin
+    def planes(name: String, seedTimes: Long, bitsExpr: String) =
+      s"""$name AS (SELECT p, list_transform(
+         |    list_transform(range(0, 64), d -> (p * 64 + d + $seedTimes) % 1000003),
+         |    k -> cast((k * k % 1000003 * 73856093 + k * 19349663) % 1000003 AS double)
+         |      / 1000003.0 - 0.5) AS w
+         |  FROM (SELECT unnest(range(0, $bitsExpr)) AS p))""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |fbits AS (SELECT coalesce((SELECT min(b)
+         |    FROM (SELECT unnest(range(1, 20)) AS b) t, nn
+         |    WHERE 96 * (1 << b) >= nn.n), 20) AS fb),
+         |${planes("pl", 42L * 83492791L, "(SELECT fb FROM fbits)")},
+         |${planes("cpl", 43L * 83492791L, "(SELECT greatest(1, fb // 2) FROM fbits)")},
+         |emb AS MATERIALIZED (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(embedding) + 1),
+         |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+         |      (acc, x) -> acc + x)) AS nv
+         |  FROM embeddings),
+         |fd AS (SELECT e.vec_id, pl.p,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.embedding) + 1),
+         |        i -> cast(e.embedding[i] AS double) * pl.w[i])), (acc, x) -> acc + x) AS dp
+         |  FROM emb e, pl),
+         |fc AS (SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END)
+         |    AS bigint) AS fbk FROM fd GROUP BY 1),
+         |cd AS (SELECT e.vec_id, cpl.p,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.embedding) + 1),
+         |        i -> cast(e.embedding[i] AS double) * cpl.w[i])), (acc, x) -> acc + x) AS dp
+         |  FROM emb e, cpl),
+         |cc AS (SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END)
+         |    AS bigint) AS cbk FROM cd GROUP BY 1),
+         |base AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nv, fc.fbk, cc.cbk
+         |  FROM emb e JOIN fc USING (vec_id) JOIN cc USING (vec_id)),
+         |hub AS MATERIALIZED (SELECT cbk, hub FROM (
+         |    SELECT cbk, vec_id AS hub,
+         |      row_number() OVER (PARTITION BY cbk ORDER BY vec_id) AS hr FROM base)
+         |  WHERE hr <= $degree),
+         |hp AS MATERIALIZED (SELECT b.vec_id AS id, h.hub
+         |  FROM base b JOIN hub h USING (cbk) WHERE b.vec_id <> h.hub),
+         |seedp AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |    FROM base a JOIN base b ON a.fbk = b.fbk AND a.vec_id <> b.vec_id
+         |  UNION ALL SELECT id, hub FROM hp
+         |  UNION ALL SELECT hub, id FROM hp),
+         |sc0 AS (SELECT p.src, p.dst,
+         |    ${cos("a.embedding", "a.nv", "b.embedding", "b.nv")} AS cosine
+         |  FROM seedp p JOIN base a ON a.vec_id = p.src JOIN base b ON b.vec_id = p.dst),
+         |near0 AS MATERIALIZED (SELECT src, dst, cosine FROM (SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS nr
+         |  FROM (SELECT src, dst, max(cosine) AS cosine FROM sc0 GROUP BY 1, 2))
+         |  WHERE nr <= $degree)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"near${r - 1}"
+      sb.append(
+        s""",
+           |cnd$r AS (SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM $prev
+           |  UNION ALL SELECT dst AS src, src AS dst FROM $prev
+           |  UNION ALL SELECT a.src, b.dst
+           |    FROM $prev a JOIN $prev b ON a.dst = b.src WHERE a.src <> b.dst)),
+           |sc$r AS (SELECT p.src, p.dst,
+           |    ${cos("a.embedding", "a.nv", "b.embedding", "b.nv")} AS cosine
+           |  FROM cnd$r p JOIN base a ON a.vec_id = p.src JOIN base b ON b.vec_id = p.dst),
+           |near$r AS MATERIALIZED (SELECT src, dst, cosine FROM (SELECT src, dst, cosine,
+           |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS nr
+           |  FROM sc$r) WHERE nr <= $degree)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |adjs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM near$rounds
+         |  UNION ALL SELECT id AS src, hub AS dst FROM hp)),
+         |pr AS MATERIALIZED (SELECT vec_id AS probe_id, embedding AS pv, nv AS pn, cbk
+         |  FROM base WHERE vec_id < 8),
+         |ent AS (SELECT DISTINCT probe_id, nid FROM (
+         |    SELECT p.probe_id, g.nid FROM pr p CROSS JOIN
+         |      (SELECT vec_id AS nid FROM emb ORDER BY vec_id LIMIT $entries) g
+         |  UNION ALL SELECT p.probe_id, h.hub AS nid FROM pr p JOIN hub h USING (cbk))),
+         |best0 AS MATERIALIZED (SELECT e.probe_id, e.nid,
+         |    ${cos("c.embedding", "c.nv", "p.pv", "p.pn")} AS cosine
+         |  FROM ent e JOIN emb c ON c.vec_id = e.nid JOIN pr p USING (probe_id))""".stripMargin)
+    for (h <- 1 to hops) {
+      val prev = s"best${h - 1}"
+      sb.append(
+        s""",
+           |f$h AS (SELECT probe_id, nid FROM (SELECT probe_id, nid,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nid) AS r
+           |  FROM $prev) WHERE r <= $beam),
+           |e$h AS (SELECT DISTINCT f.probe_id, a.dst AS nid
+           |  FROM f$h f JOIN adjs a ON a.src = f.nid
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev b
+           |    WHERE b.probe_id = f.probe_id AND b.nid = a.dst)),
+           |s$h AS (SELECT x.probe_id, x.nid,
+           |    ${cos("c.embedding", "c.nv", "p.pv", "p.pn")} AS cosine
+           |  FROM e$h x JOIN emb c ON c.vec_id = x.nid
+           |  JOIN pr p ON p.probe_id = x.probe_id),
+           |best$h AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$h)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT probe_id, nid AS neighbor_id, cosine, cast(r AS bigint) AS rank
+         |FROM (SELECT probe_id, nid, cosine,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nid) AS r
+         |  FROM best$hops WHERE probe_id <> nid)
+         |WHERE r <= $k""".stripMargin)
     sb.toString
   }
 
@@ -2256,6 +2460,12 @@ object SparkEntry {
     // sf0.001→sf10 — so the row now driver-verifies that cell routing
     // beats chance, with n_probes/n_ret pinning non-empty cell search.
     // Exact neighbor lists stay pinned by the det twin q_knn_ivf_det.
+    // SCALE RESTRICTION (here and in q_knn_ivf_inc + their oracles): the
+    // envelope's n_ret oracle pins exactly k rows per probe, which holds
+    // only while every probe's nprobe=2 cells together hold ≥ k non-self
+    // candidates — validated at the driver scales sf0.001–sf10. A corpus
+    // where a probed cell can run dry needs the n_ret pin relaxed to a
+    // ≤ k·n_probes bound.
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 8)
@@ -2357,6 +2567,26 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 6,
           multiProbe = false, hyperplanesOverride = Some(planes))
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // §2#33m GRAPH ANN (the HNSW family, rebuilt data-parallel — see
+    // Similarity.nswIndex for the written decision against literal
+    // HNSW's serial insertion): LSH-seeded kNN graph refined by 2
+    // NN-DESCENT rounds (Dong et al. 2011, the published bulk-parallel
+    // construction), degree 16 (HNSW's production M), coarse-bucket
+    // smallest-id hubs as the flattened level hierarchy, query-LOCAL
+    // entry at the probe's own coarse bucket's hubs; 4-hop beam-8
+    // search. Per-probe candidates scored ≤ entries + degree + hops·
+    // beam·2·degree = 1044 — O(1) in corpus size vs IVF's corpus
+    // fraction, at HIGHER measured recall (sf1: 0.50 vs IVF 0.35 on
+    // 2.4× more candidates — SURVEY §6). The ENTIRE pipeline — buckets,
+    // hubs, descent rounds, every beam hop — is integer/IEEE
+    // deterministic and replays hash-exact in the oracle
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraph(
+        emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
     // §2#33g distributed Lloyd k-means over the WHOLE corpus (vs the
@@ -3947,6 +4177,18 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", windowTokens = 5)),
 
+    // §2#29j VARIABLE-LENGTH maximal duplicated spans (Lee et al. 2022
+    // ExactSubstr semantics): every maximal run of token positions covered
+    // by a corpus-duplicated substring of length ≥ 5, one row per span
+    // with its actual length — the L-window coverage theorem (scaladoc on
+    // Dedup.maximalDuplicateSpans, brute-force-proven in
+    // MaximalDuplicateSpansSpec) makes this computable without a suffix
+    // array, at the linear posting cost of the fixed-window family
+    "q_dup_spans_var" -> ((s, dir) =>
+      Dedup.maximalDuplicateSpans(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", minLen = 5)),
+
     // §2#29g segment dedup on the Zipf corpus: the planted 8-word
     // boilerplate header (25 % of docs, aligned to two 4-word segments)
     // is exactly the C4-style hot-segment target; zipf body segments stay
@@ -4083,11 +4325,31 @@ object SparkEntry {
       Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
     }),
 
-    // §2#36k BYTE-level BPE training (the GPT-2/tiktoken shape): regex
-    // pre-tokenizer chunks raw text, the alphabet is UTF-8 BYTES as hex
-    // symbols (any input tokenizes, no unknown symbol), then the same
-    // vocab-table merge discipline — corpus scanned once, each round one
-    // vocab-sized pair count + a 1-row argmax + one literal replace
+    // §2#36n the EXACT GPT-2 pre-tokenizer pinned directly at token
+    // grain: every (doc, position, pre-token) for a deterministic doc
+    // slice whose text is augmented with an adversarial suffix covering
+    // every scanner rule — contractions (real/fake/uppercase), tabs and
+    // NBSP inside words, multi-space runs, trailing whitespace, Nd/Nl/No
+    // numerics, a supplementary-plane letter. The corpus-wide pin is the
+    // byte-BPE family downstream (any pre-token drift moves those
+    // hashes); this row pins exact token CONTENT against the
+    // window-function oracle replay of the scanner rules
+    "q_gpt2_pretok" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .where(pmod(col("doc_id"), lit(53L)) === 0L)
+        .select(col("doc_id"),
+          concat(col("text"), lit(Gpt2AdversarialSuffix)).as("text"))
+        .select(col("doc_id"),
+          posexplode(Bpe.pretokens(col("text"))).as(Seq("wpos", "word")))
+        .select(col("doc_id"), (col("wpos") + 1).cast("long").as("wpos"),
+          col("word"))),
+
+    // §2#36k BYTE-level BPE training (the GPT-2/tiktoken shape): the
+    // EXACT GPT-2 pre-tokenizer (native scanner kernel) chunks raw text,
+    // the alphabet is UTF-8 BYTES as hex symbols (any input tokenizes,
+    // no unknown symbol), then the same vocab-table merge discipline —
+    // corpus scanned once, each round one vocab-sized pair count + a
+    // 1-row argmax + one literal replace
     "q_bpe_bytes_train" -> ((s, dir) =>
       Bpe.mergeTable(s, Bpe.trainBytes(Tables.documents(s, dir), "text", m = 8))),
 
@@ -4791,18 +5053,22 @@ object SparkEntry {
       // (each later batch invalidates them; measured 8-11 s per
       // avoidable fold at sf10). Steady-state feeds keep the default
       // ratio 2.0, which the spec suite pins.
-      val q = stream.writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.streaming.StreamCdc.foldBatch(
-            s, b, target, Seq("c_custkey"), "seq", "op", nBuckets = 16,
-            compactRatio = 8.0)
-        }
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination(); assertMultiBatch(q) }
-      finally {
-        q.stop()
+      // The try/finally covers stream CONSTRUCTION and start() too: a
+      // setup failure must not leak the shrunken split size into every
+      // subsequent gate in the session.
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.streaming.StreamCdc.foldBatch(
+              s, b, target, Seq("c_custkey"), "seq", "op", nBuckets = 16,
+              compactRatio = 8.0)
+          }
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); assertMultiBatch(q) }
+        finally q.stop()
+      } finally {
         s.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
         graft.streaming.FileReplay.deleteRecursively(new java.io.File(rdir))
       }
@@ -5607,6 +5873,35 @@ object SparkEntry {
          |FROM toks k
          |LEFT JOIN stats st USING (doc_id)
          |LEFT JOIN clean c ON k.doc_id = c.doc_id""".stripMargin,
+
+    // variable-length maximal duplicated spans: ALL occurrences of
+    // duplicated 5-windows (no keep-first), islands on window position,
+    // span rows with 0-based token offsets (posting positions are 1-based
+    // in the list replay, shifted on output)
+    "q_dup_spans_var" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         |wins AS (SELECT doc_id,
+         |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |    ELSE [] END AS w
+         |  FROM toks),
+         |posting AS (SELECT doc_id, u.j AS pos, u.win FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |    j -> struct_pack(j := j, win := w[j]))) AS u FROM wins)),
+         |occ AS (SELECT win FROM (SELECT win, count(*) AS c FROM posting GROUP BY 1)
+         |  WHERE c >= 2),
+         |cut AS (SELECT doc_id, pos FROM posting JOIN occ USING (win)),
+         |isl AS (SELECT doc_id, pos, sum(brk) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+         |      THEN 1 ELSE 0 END AS brk FROM cut))
+         |SELECT doc_id,
+         |  cast(min(pos) - 1 AS bigint) AS span_start,
+         |  cast(max(pos) + 3 AS bigint) AS span_end,
+         |  cast(max(pos) + 3 - (min(pos) - 1) + 1 AS bigint) AS span_len
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // segment dedup over the generated open-vocabulary corpus: the planted
     // 8-word boilerplate header (25 % of docs) is the hot-segment target,
@@ -7915,6 +8210,10 @@ object SparkEntry {
         |)
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // graph-ANN replay: NSW build + unrolled beam search (see
+    // knnGraphOracleSql)
+    "q_knn_graph" -> knnGraphOracleSql,
+
     // fast-path banded near-dup replay: 4 bands × bandBits planes, portable
     // QUADRATIC-mod hyperplanes (k = p·64 + d + 7·83492791 = p·64 + d +
     // 584449537 — see q_knn_lsh / Similarity.hyperplanes)
@@ -8397,16 +8696,22 @@ object SparkEntry {
       s"""WITH ${bpeBytesOracleCtes(8)},
          |bwt AS (SELECT word, string_split(substring(s, 2, length(s) - 2),
          |    chr(1) || chr(1)) AS toks FROM bbv8),
-         |bdw AS (SELECT doc_id, u.i AS wpos, u.w AS word FROM (
-         |    SELECT doc_id, regexp_extract_all(text,
-         |      '${graft.operators.Bpe.BytePretokenPattern}') AS tks FROM documents),
-         |  unnest(list_transform(range(1, len(tks) + 1),
-         |    i -> struct_pack(i := i, w := tks[i]))) AS t(u))
+         |bdw AS (SELECT doc_id, wpos, word FROM gtok)
          |SELECT doc_id,
          |  cast(sum(len(toks)) AS bigint) AS n_tokens,
          |  array_to_string(flatten(list(toks ORDER BY wpos)), ',') AS token_hex
          |FROM bdw JOIN bwt USING (word)
          |GROUP BY doc_id""".stripMargin),
+
+    // the exact GPT-2 pre-tokenizer pinned at token grain: the scanner
+    // rules replayed per character with window functions (gpt2PretokCtes
+    // scaladoc) over the suffix-augmented doc slice
+    "q_gpt2_pretok" -> (
+      s"""WITH gdocs AS (SELECT doc_id,
+         |    text || '${Gpt2AdversarialSuffix.replace("'", "''")}' AS text
+         |  FROM documents WHERE doc_id % 53 = 0),
+         |${gpt2PretokCtes("gdocs")}
+         |SELECT doc_id, wpos, word FROM gtok""".stripMargin),
 
     // unigram-LM trajectory replay: seed counts, integer ilog2q scores,
     // recursive Viterbi DP + backtrace, two pruning rounds, final artifact
