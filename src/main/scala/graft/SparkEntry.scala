@@ -2466,6 +2466,11 @@ object SparkEntry {
     // candidates — validated at the driver scales sf0.001–sf10. A corpus
     // where a probed cell can run dry needs the n_ret pin relaxed to a
     // ≤ k·n_probes bound.
+    // DECISION (r14, closing the r12 advice carry): keep the exact pin.
+    // The strict n_ret = k·n_probes check is the stronger gate — it fails
+    // loudly on a dry cell instead of silently tolerating one — and every
+    // measured scale (sf0.001–sf10) satisfies it; relaxing to ≤ would
+    // trade detection for generality the driver corpora never exercise.
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 8)
@@ -4325,7 +4330,7 @@ object SparkEntry {
       Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
     }),
 
-    // §2#36n the EXACT GPT-2 pre-tokenizer pinned directly at token
+    // §2#36r the EXACT GPT-2 pre-tokenizer pinned directly at token
     // grain: every (doc, position, pre-token) for a deterministic doc
     // slice whose text is augmented with an adversarial suffix covering
     // every scanner rule — contractions (real/fake/uppercase), tabs and

@@ -94,9 +94,18 @@ object Migrate {
         if (i == 0) stats.select(lit(0L).as("n_parent_missing"))
         else {
           val parent = grains(i - 1)
-          t.select(parent.keys.map(col): _*).distinct()
-            .join(splits(parent.name).select(parent.keys.map(col): _*).distinct(),
-              parent.keys, "left_anti")
+          // null-SAFE anti join (<=> per key): the parent split is a
+          // distinct projection of the same source, so a child row whose
+          // parent key is null necessarily has its (null) key present in
+          // the parent — a null-dropping equi-join would report it as a
+          // phantom containment violation
+          val childKeys = t.select(parent.keys.map(col): _*).distinct().alias("_c")
+          val parentKeys = splits(parent.name)
+            .select(parent.keys.map(col): _*).distinct().alias("_p")
+          val cond = parent.keys
+            .map(k => col(s"_c.$k") <=> col(s"_p.$k"))
+            .reduce(_ && _)
+          childKeys.join(parentKeys, cond, "left_anti")
             .agg(count(lit(1)).as("n_parent_missing"))
         }
       stats.crossJoin(srcStats).crossJoin(parentMissing)

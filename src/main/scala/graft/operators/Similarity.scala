@@ -381,6 +381,16 @@ object Similarity {
     * Every step — buckets, hubs, cosines, descent rounds, ranking — is
     * integer/IEEE-deterministic, so the DuckDB oracle replays the whole
     * index hash-exact, which no RNG insertion order could.
+    *
+    * Fault-tolerance boundary: the build pins its intermediates with
+    * `localCheckpoint`, which truncates lineage and stores blocks only on
+    * executors — an executor lost MID-BUILD fails the build job instead of
+    * recomputing (single-session gate scale; the repo-wide localCheckpoint
+    * trade). The cluster path is the one the index's own contract already
+    * implies: the build is the offline persist-ONCE leg — write `near`/
+    * `longEdges`/`hubs` to reliable storage (or use `checkpoint()` on a
+    * reliable dir) and serve searches from the persisted graph, which also
+    * makes build-time executor loss a retry of an idempotent batch job.
     */
   def nswIndex(
       corpus: DataFrame,

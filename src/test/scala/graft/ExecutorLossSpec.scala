@@ -78,7 +78,13 @@ class ExecutorLossSpec extends AnyFunSuite {
       assert(!preKill.contains("HARNESS_QUERY_END"),
         s"$mode query finished before the kill could land — enlarge the workload")
       awaitTrue(30000, "victim executor death")(!victim.isAlive)
-      assert(child.waitFor() == 0,
+      // bounded wait (the awaitTrue deadline discipline): a wedged harness
+      // JVM — e.g. a hung standalone master after the kill — must fail the
+      // test, not block the whole suite on an untimed waitFor
+      assert(child.waitFor(5, java.util.concurrent.TimeUnit.MINUTES),
+        s"harness still running 5 min after executor loss; log tail:\n" +
+          readLog(log).linesIterator.toSeq.takeRight(40).mkString("\n"))
+      assert(child.exitValue() == 0,
         s"harness exited nonzero after executor loss; log tail:\n" +
           readLog(log).linesIterator.toSeq.takeRight(40).mkString("\n"))
       val res = readLog(log)

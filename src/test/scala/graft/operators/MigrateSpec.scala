@@ -99,5 +99,9 @@ class MigrateSpec extends SparkSpec {
     assert(rep("children").getLong(1) == 3)
     assert(rep("children").getBoolean(2), "3 rows, 3 distinct null-bearing key tuples")
     assert(rep("children").getBoolean(3))
+    assert(rep("children").getBoolean(4),
+      "null parent key is contained null-safely (<=>): the parent split is " +
+        "a distinct projection of the same source, so (null) is present " +
+        "there — not a phantom containment violation")
   }
 }
