@@ -141,7 +141,7 @@ object Profile {
       val docs = Tables.documents(spark, sfDir)
       docs.count()
       time("ngram_jaccard full") {
-        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L))
+        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8))
       }
       time("simhash full") {
         noop(graft.operators.Dedup.simhashNearDup(docs, "doc_id", "text", 3, 3))
@@ -205,11 +205,11 @@ object Profile {
           zipfDocs, "doc_id", "text", 3, 0.8, 1000L, containment = true).count()
       }
       time("zipf jaccard full") {
-        graft.operators.Dedup.ngramJaccard(zipfDocs, "doc_id", "text", 3, 0.8, 1000L)
+        graft.operators.Dedup.ngramJaccard(zipfDocs, "doc_id", "text", 3, 0.8)
           .count()
       }
       time("zipf containment full") {
-        graft.operators.Dedup.overlapPairs(zipfDocs, "doc_id", "text", 3, 0.8, 1000L)
+        graft.operators.Dedup.overlapPairs(zipfDocs, "doc_id", "text", 3, 0.8)
           .count()
       }
       spark.stop()
@@ -312,13 +312,13 @@ object Profile {
       val docs = Tables.documents(spark, sfDir)
       docs.count()
       time("default jaccard") {
-        graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L).count()
+        graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8).count()
       }
       time("default containment") {
-        graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8, 1000L).count()
+        graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8).count()
       }
       time("reuse BOTH (incl. checkpoint)") {
-        val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3, 1000L)
+        val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3)
         graft.operators.Dedup.ngramJaccardOn(sets, 0.8).count() +
           graft.operators.Dedup.overlapPairsOn(sets, 0.8).count()
       }
@@ -335,10 +335,10 @@ object Profile {
         df.write.format("noop").mode("overwrite").save(); 0L
       }
       time("jaccard full") {
-        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L))
+        noop(graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8))
       }
       time("containment full") {
-        noop(graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8, 1000L))
+        noop(graft.operators.Dedup.overlapPairs(docs, "doc_id", "text", 3, 0.8))
       }
       time("containment candidate count") {
         graft.operators.Dedup.pairStatsForProfile(
@@ -350,7 +350,7 @@ object Profile {
       }
       // runtime plan shape: is the docsets subtree recomputed per consumer,
       // or does AQE's exchange reuse collapse it?
-      val jac = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      val jac = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
       jac.write.format("noop").mode("overwrite").save()
       val p = jac.queryExecution.executedPlan.toString
       def n(pat: String) = pat.r.findAllIn(p).length
@@ -370,7 +370,7 @@ object Profile {
       }
       val docs = Tables.documents(spark, sfDir)
       docs.count()
-      val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
       time("pairs: ngramJaccard") { noop(pairs) }
       val cached = pairs.localCheckpoint(true)
       time("cc rounds (pairs pre-materialized)") {

@@ -865,9 +865,11 @@ object SparkEntry {
   private val ShinglePostingSql = shinglePostingSql("documents")
 
   /** DuckDB fragment: the exact-pair core shared by the jaccard/containment
-    * oracles — distinct shingles, hot-shingle suppression (df ≤ 1000), per-
-    * doc sizes over the FILTERED space, pair intersection counts. Ends in
-    * CTE `pairs(id_a, id_b, sa, sb, inter)`; scorers select from it.
+    * oracles — distinct shingles, hot-shingle suppression under the
+    * CORPUS-DERIVED cap (max(128, 16384·n_docs ÷ postings), integer
+    * division — replaying Dedup.derivedDocFreqCap exactly), per-doc sizes
+    * over the FILTERED space, pair intersection counts. Ends in CTE
+    * `pairs(id_a, id_b, sa, sb, inter)`; scorers select from it.
     */
   private def ngramPairCoreSql(from: String): String =
     s"""toks AS (SELECT doc_id, $TokSql AS tk FROM $from),
@@ -875,7 +877,10 @@ object SparkEntry {
        |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
        |  FROM toks WHERE len(tk) >= 3),
        |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+       |capn AS (SELECT greatest(128, (16384 * count(DISTINCT doc_id)) // count(*)) AS cap
+       |  FROM posting),
+       |rare AS (SELECT shingle FROM posting GROUP BY 1
+       |  HAVING count(*) <= (SELECT cap FROM capn)),
        |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
        |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
        |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),
@@ -2160,9 +2165,15 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
 
-    // §2#29 n-gram Jaccard near-dup pairs
+    // §2#29 n-gram Jaccard near-dup pairs. The hot-shingle cap is CORPUS-
+    // DERIVED (r14, closing the r13 sf100-decade finding): max(128,
+    // 16384·n_docs ÷ postings) bounds candidates at ≤ 16k pairs/doc —
+    // linear in N — where the old fixed 1000 measured 18.9e9 candidates
+    // (70 GB spill) at sf10. Value ≈ 309–314 on every driver corpus/SF:
+    // identical suppression to the old cap at sf0.001–sf1 (max df there
+    // ≤ 138 on the dense corpus), and the oracle re-derives it in-query.
     "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)),
 
     // §2#29e the SAME operator gated on the OTHER corpus shape: the
     // deterministic open-vocabulary Zipf corpus (graft.sources.ZipfCorpus —
@@ -2179,13 +2190,13 @@ object SparkEntry {
     "q_ngram_jaccard_zipf" -> ((s, dir) =>
       Dedup.ngramJaccardOn(
         Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
-          "doc_id", "text", 3, 1000L), 0.8)),
+          "doc_id", "text", 3), 0.8)),
 
     // §2#29d containment/overlap-coefficient pairs |∩|/min(|A|,|B|):
     // catches quote/partial-copy inclusions whose jaccard is diluted by the
     // larger doc; same bounded inverted-index core as q_ngram_jaccard
     "q_containment" -> ((s, dir) =>
-      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8, 1000L)),
+      Dedup.overlapPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)),
 
     // §2#29f containment on the Zipf corpus — the planted 12-word quote
     // docs are the exact quote-inclusion case (containment 1.0, jaccard
@@ -2195,7 +2206,7 @@ object SparkEntry {
     "q_containment_zipf" -> ((s, dir) =>
       Dedup.overlapPairsOn(
         Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
-          "doc_id", "text", 3, 1000L), 0.8)),
+          "doc_id", "text", 3), 0.8)),
 
     // §2#29b dedup DECISION: near-dup pairs → connected components →
     // canonical survivor per duplicate cluster (min doc_id reachable).
@@ -2203,7 +2214,7 @@ object SparkEntry {
     // marks the row a training pipeline would retain.
     "q_dedup_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 1000L)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       docs.select(col("doc_id"))
         .join(comp, docs("doc_id") === comp("id"), "left")
@@ -8357,7 +8368,10 @@ object SparkEntry {
          |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shingles
          |  FROM toks WHERE len(tk) >= 3),
          |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |rare AS (SELECT shingle FROM posting GROUP BY 1 HAVING count(*) <= 1000),
+         |capn AS (SELECT greatest(128, (16384 * count(DISTINCT doc_id)) // count(*)) AS cap
+         |  FROM posting),
+         |rare AS (SELECT shingle FROM posting GROUP BY 1
+         |  HAVING count(*) <= (SELECT cap FROM capn)),
          |f0 AS (SELECT posting.* FROM posting JOIN rare USING (shingle)),
          |sizes AS (SELECT doc_id, count(*) AS set_size FROM f0 GROUP BY 1),
          |f AS (SELECT f0.doc_id, f0.shingle, sizes.set_size FROM f0 JOIN sizes USING (doc_id)),

@@ -228,6 +228,38 @@ class DedupSpec extends SparkSpec {
     assert(out2.agg(sum($"n_removed")).head().getLong(0) == 5L)
   }
 
+  test("derivedDocFreqCap: max(floor, budget*docs/postings), integer-exact") {
+    // 4 docs, 12 distinct 3-shingles each (13-14 words) -> postings ~ 48:
+    // 16384*4/48 = 1365 (floor division), above the 128 floor
+    val posting = docs
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Text.wordShingles(
+            org.apache.spark.sql.functions.col("text"), 3)).as("shingle"))
+    val nDocs = 4L
+    val nPostings = posting.count()
+    assert(Dedup.derivedDocFreqCap(posting) ==
+      math.max(128L, 16384L * nDocs / nPostings))
+    // the floor binds when docs are shingle-dense: budget/perDoc < 128
+    val dense = (1L to 3L).map(i =>
+      (i, (1 to 300).map(w => s"w${(w + i) % 310}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val densePosting = dense
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Text.wordShingles(
+            org.apache.spark.sql.functions.col("text"), 3)).as("shingle"))
+    assert(16384L * 3L / densePosting.count() < 128L, "fixture not dense enough")
+    assert(Dedup.derivedDocFreqCap(densePosting) == 128L)
+    // the sentinel default routes through the derivation and equals the
+    // explicitly-passed derived value, row for row
+    val viaSentinel = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .collect().toSet
+    val viaExplicit = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5,
+      maxShingleDocFreq = Dedup.derivedDocFreqCap(posting)).collect().toSet
+    assert(viaSentinel == viaExplicit)
+  }
+
   test("segmentDedup marks hot segments via a broadcast join, no seg shuffle join") {
     val ds = (1L to 20L).map(i => (i, s"h1 h2 h3 w${i}a w${i}b w${i}c"))
       .toDF("doc_id", "text")
