@@ -262,6 +262,72 @@ object SparkEntry {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  /** DuckDB CTE chain replaying the TWO-LEVEL quantizer trajectory of
+    * `KMeans.twoLevelModel(k, iters=2)` + `assignTwoLevel` — digit-for-
+    * digit the Spark plan: k1 = ⌈√k⌉ coarse cells via the [[kMeansCtes]]
+    * trajectory (ends in `af` = the coarse assignment; `w2` = the coarse
+    * model), then per-coarse-cell sub-Lloyd with k2 = ⌈k/k1⌉: seeds = each
+    * cell's k2 smallest-id member vectors (sub-cell id = member vec_id),
+    * two (grouped-assign, quantized-mean-update) rounds — every distance a
+    * sequential double fold, every argmin tie to the smaller cell — ending
+    * in `saf(vec_id, ccell, cell, d2)` (the fine assignment) and
+    * `sw2(ccell, cell, w)` (the trained sub model, for incremental batch
+    * assignment). The sub-level joins are `ccell` EQUI-joins, mirroring
+    * the n·2√k scan-side cost shape (vs the flat n·k the r13 sf100 decade
+    * measured at 41×/decade).
+    */
+  private def kMeans2Ctes(kSql: String, srcWhere: String = "TRUE"): String = {
+    def fold(v: String, w: String): String =
+      s"""list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len($v) + 1),
+         |        i -> ($v[i] - $w[i]) * ($v[i] - $w[i]))), (acc, x) -> acc + x)""".stripMargin
+    def subRound(prev: String, dName: String, aName: String, xName: String,
+        cName: String, wName: String): String =
+      s"""$dName AS (
+         |  SELECT e.vec_id, e.ccell, s.cell, ${fold("e.v", "s.w")} AS d2
+         |  FROM ce e JOIN $prev s ON e.ccell = s.ccell
+         |), $aName AS (
+         |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM $dName)
+         |  WHERE rn = 1
+         |), $xName AS (
+         |  SELECT $aName.cell, unnest(list_transform(range(1, len(e.v) + 1),
+         |    i -> struct_pack(p := i - 1,
+         |      q := floor(e.v[i] * 1099511627776) / 1099511627776))) AS u
+         |  FROM $aName JOIN emb e USING (vec_id)
+         |), $cName AS (
+         |  SELECT cell, u.p AS pos, sum(u.q) / count(*) AS m FROM $xName GROUP BY 1, 2
+         |), $wName AS (
+         |  SELECT smap.ccell, t.cell, t.w
+         |  FROM (SELECT cell, list(m ORDER BY pos) AS w FROM $cName GROUP BY cell) t
+         |  JOIN smap USING (cell)
+         |)""".stripMargin
+    s"""kk2 AS (SELECT ($kSql) AS k),
+       |kp2 AS (SELECT k, CAST(ceil(sqrt(CAST(k AS double))) AS BIGINT) AS k1,
+       |  (k + CAST(ceil(sqrt(CAST(k AS double))) AS BIGINT) - 1)
+       |    // CAST(ceil(sqrt(CAST(k AS double))) AS BIGINT) AS k2 FROM kk2),
+       |${kMeansCtes("SELECT k1 FROM kp2", srcWhere)},
+       |ce AS (
+       |  SELECT e.vec_id, e.v, af.cell AS ccell FROM emb e JOIN af USING (vec_id)
+       |), sw0 AS (
+       |  SELECT ccell, vec_id AS cell, v AS w FROM (
+       |    SELECT ccell, vec_id, v,
+       |      row_number() OVER (PARTITION BY ccell ORDER BY vec_id) AS rn FROM ce)
+       |  WHERE rn <= (SELECT k2 FROM kp2)
+       |), smap AS (
+       |  SELECT ccell, cell FROM sw0
+       |), ${subRound("sw0", "sd0", "sa0", "sx1", "sc1", "sw1")},
+       |${subRound("sw1", "sd1", "sa1", "sx2", "sc2", "sw2")},
+       |sdf AS (
+       |  SELECT e.vec_id, e.ccell, s.cell, ${fold("e.v", "s.w")} AS d2
+       |  FROM ce e JOIN sw2 s ON e.ccell = s.ccell
+       |), saf AS (
+       |  SELECT vec_id, ccell, cell, d2 FROM (SELECT vec_id, ccell, cell, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM sdf)
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
   /** Exact sequential (e.v − s.v)² fold — the KMeans distance discipline,
     * as one expression over correlated tables `e` and `s` (both with a
     * double-list column `v`).
@@ -2699,15 +2765,21 @@ object SparkEntry {
 
     // §2#33h SemDeDup — the full cluster→in-cell-pairs→components→keep
     // DECISION (arXiv:2303.09540), composing three gated operators: the
-    // k-means assignment above, bit-exact FloatDot cosines on an equi-join
-    // bounded per cell (never a corpus self-join — k grows with the corpus
-    // so Σ n_c² stays linear), and pointer-jumping components. Keep rule =
-    // farthest-from-centroid member (the paper's), ties to smallest id.
-    // k scales with the corpus (max(8, ⌈n/1024⌉) — identical to the
-    // pinned k=8 at every driver SF, k=196 at the sf10 decade): SemDeDup's
-    // only quadratic term is per-cell, so the CELL SIZE must be held
-    // roughly constant as the corpus grows — the paper's own contract; a
-    // fixed k would go quadratic at scale (caught by the r8 sf10 decade)
+    // TWO-LEVEL quantizer assignment (⌈√k⌉ coarse Lloyd cells, ⌈k/k1⌉
+    // sub-cells trained inside each — r14, closing the r13 sf100 finding
+    // that FLAT assignment at k ∝ n is n²/1024 distance folds, measured
+    // 622 s / 41× per decade; two-level is n·2√k for the same ~k bounded
+    // fine cells), bit-exact FloatDot cosines on an equi-join bounded per
+    // fine cell (never a corpus self-join — k grows with the corpus so
+    // Σ n_c² stays linear), and pointer-jumping components. Keep rule =
+    // farthest-from-(sub)centroid member (the paper's), ties to smallest
+    // id. k scales with the corpus (max(8, ⌈n/1024⌉): k=8 → 3×3 at every
+    // driver SF, k=196 → 14×14 at the sf10 decade): SemDeDup's per-cell
+    // quadratic term requires CELL SIZE held roughly constant as the
+    // corpus grows — the paper's own contract; a fixed k would go
+    // quadratic in the pair join (caught by the r8 sf10 decade) just as a
+    // flat assignment goes quadratic in the scan (caught by r13 sf100).
+    // The oracle replays BOTH Lloyd trajectories (coarse + per-cell sub).
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val k = math.max(8L, (emb.count() + 1023L) / 1024L).toInt
@@ -2717,18 +2789,20 @@ object SparkEntry {
     // §2#32c INCREMENTAL SemDeDup — the production mode of arXiv:2303.09540
     // and the vector-curation sibling of q_dedup_incremental /
     // q_embed_incremental: the k-means model trains on the CORPUS once
-    // (k = max(8, ⌈n_corpus/1024⌉), the q_semdedup scaling), the corpus
-    // assignment persists as a (id, cell, vec, norm) INDEX, and the new
-    // batch (vec_id ≡ 0 mod 5) pays only its own scan-side assignment +
-    // a cell equi-join against the stored index — the corpus is never
-    // re-clustered or self-joined. Hash-exact: the oracle replays the
-    // 2-iter Lloyd trajectory on the corpus and splits at the pair join.
+    // (k = max(8, ⌈n_corpus/1024⌉), the q_semdedup scaling; the model is
+    // the TWO-LEVEL quantizer — batch assignment costs n_batch·2√k folds,
+    // not n_batch·k), the corpus assignment persists as a (id, cell, vec,
+    // norm) INDEX, and the new batch (vec_id ≡ 0 mod 5) pays only its own
+    // scan-side assignment + a cell equi-join against the stored index —
+    // the corpus is never re-clustered or self-joined. Hash-exact: the
+    // oracle replays both 2-iter Lloyd trajectories on the corpus and
+    // splits at the pair join.
     "q_semdedup_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
       val corpus = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
       val k = math.max(8L, (corpus.count() + 1023L) / 1024L).toInt
-      val model = KMeans.lloydModel(corpus, "vec_id", "embedding", k = k, iters = 2)
+      val model = KMeans.twoLevelModel(corpus, "vec_id", "embedding", k = k, iters = 2)
       SemDeDup.semDedupAgainst(batch,
         SemDeDup.semDedupIndex(corpus, "vec_id", "embedding", model),
         "vec_id", "embedding", model, tau = 0.3)
@@ -7166,7 +7240,7 @@ object SparkEntry {
     // (the q_dedup_canonical shape), keep rule = max distance-to-centroid
     // (exact doubles from af), ties to the smallest id
     "q_semdedup" ->
-      (s"""WITH RECURSIVE ${kMeansCtes(
+      (s"""WITH RECURSIVE ${kMeans2Ctes(
              "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings")},
          |nrm AS (
          |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
@@ -7175,7 +7249,7 @@ object SparkEntry {
          |  FROM emb
          |), prs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  FROM saf a JOIN saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  JOIN emb ea ON ea.vec_id = a.vec_id
          |  JOIN emb eb ON eb.vec_id = b.vec_id
          |  JOIN nrm na ON na.vec_id = a.vec_id
@@ -7194,9 +7268,9 @@ object SparkEntry {
          |), comp AS (
          |  SELECT id, min(r) AS component FROM reach GROUP BY 1
          |), allv AS (
-         |  SELECT af.vec_id, af.cell,
-         |    coalesce(c.component, af.vec_id) AS component, af.d2
-         |  FROM af LEFT JOIN comp c ON af.vec_id = c.id
+         |  SELECT saf.vec_id, saf.cell,
+         |    coalesce(c.component, saf.vec_id) AS component, saf.d2
+         |  FROM saf LEFT JOIN comp c ON saf.vec_id = c.id
          |)
          |SELECT vec_id, cell, component,
          |  (row_number() OVER (PARTITION BY component ORDER BY d2 DESC, vec_id)) = 1
@@ -7204,7 +7278,7 @@ object SparkEntry {
          |FROM allv""".stripMargin),
 
     "q_semdedup_incremental" ->
-      (s"""WITH ${kMeansCtes(
+      (s"""WITH ${kMeans2Ctes(
              "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings" +
                " WHERE vec_id % 5 <> 0",
              "vec_id % 5 <> 0")},
@@ -7218,8 +7292,19 @@ object SparkEntry {
          |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
          |  FROM bemb e, w2 s
          |), ba AS (
-         |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |  SELECT vec_id, cell AS ccell FROM (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM bd)
+         |  WHERE rn = 1
+         |), bsd AS (
+         |  SELECT e.vec_id, s.cell,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+         |  FROM bemb e JOIN ba ON e.vec_id = ba.vec_id
+         |  JOIN sw2 s ON s.ccell = ba.ccell
+         |), bsa AS (
+         |  SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM bsd)
          |  WHERE rn = 1
          |), nc AS (
          |  SELECT vec_id, sqrt(list_reduce(list_prepend(cast(0.0 AS double),
@@ -7239,7 +7324,7 @@ object SparkEntry {
          |        list_transform(range(1, len(ec.v) + 1), i -> ec.v[i] * eb.v[i])),
          |        (acc, x) -> acc + x) / (na.nv * nb2.nv)
          |    ELSE 0.0 END AS cosine
-         |  FROM ba b JOIN af c ON b.cell = c.cell
+         |  FROM bsa b JOIN saf c ON b.cell = c.cell
          |  JOIN bemb eb ON eb.vec_id = b.vec_id
          |  JOIN emb ec ON ec.vec_id = c.vec_id
          |  JOIN nc na ON na.vec_id = c.vec_id

@@ -266,6 +266,102 @@ object KMeans {
     centroids
   }
 
+  /** Two-level (IVF-hierarchy) quantizer model: `coarse` is a k1-cell
+    * Lloyd model over the corpus; `sub` maps each coarse cell to its own
+    * ≤k2 sub-centroids (sub-cell id = the seeding member's vector id —
+    * globally unique across coarse cells, so a fine `cell` is one long).
+    */
+  final case class TwoLevelModel(
+      coarse: Array[(Long, Array[Double])],
+      sub: Map[Long, Array[(Long, Array[Double])]]) {
+    def fineCells: Int = sub.valuesIterator.map(_.length).sum
+  }
+
+  /** Train the two-level quantizer: k1 = ⌈√k⌉ coarse cells via the exact
+    * [[lloydModel]] trajectory, then `iters` Lloyd rounds of k2 = ⌈k/k1⌉
+    * sub-cells INSIDE each coarse cell (coarse membership fixed after the
+    * coarse assignment; sub-seeds = each cell's k2 smallest-id member
+    * vectors; updates are the same quantized-exact component means, so the
+    * whole trajectory — both levels — replays in an external SQL engine).
+    *
+    * WHY two levels (the r13 sf100 decade): with the corpus-scaled
+    * k = n/1024 that keeps SemDeDup's per-cell pair join bounded, FLAT
+    * assignment is n·k = n²/1024 distance folds — measured 622 s at sf100
+    * (41× per decade). Two-level assignment costs n·(k1 + k2) ≈ n·2√k
+    * folds for the same ~k bounded-size fine cells: at sf100's k = 1954
+    * that is 89 folds per row instead of 1954 (22×), and the gap widens
+    * with every decade — the standard IVF-hierarchy answer, restated as
+    * two exact replayable Lloyd trajectories.
+    *
+    * Model size: coarse k1·D + sub ≈ k·D parameter doubles on the driver —
+    * the same bounded-collect discipline as [[lloydModel]].
+    */
+  def twoLevelModel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): TwoLevelModel = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k, iters=$iters)")
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val coarse = lloydModel(df, idCol, vecCol, k1, iters)
+    val withC = assign(df, idCol, vecCol, coarse)
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"),
+        col("cell").as("_ccell"))
+    // sub-seeds: each coarse cell's k2 smallest-id member vectors — a
+    // bounded ≤ k1·k2 ≈ k parameter collect, never data-sized
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_ccell")).orderBy(col("_id"))
+    val seeds = withC
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(sw))
+      .filter(col("_rn") <= k2)
+      .select(col("_ccell"), col("_id"), col("_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), rowVec(r, 2)))
+    val cellToCoarse: Map[Long, Long] =
+      seeds.map { case (cc, id, _) => id -> cc }.toMap
+    var sub: Map[Long, Array[(Long, Array[Double])]] = seeds
+      .groupBy(_._1)
+      .map { case (cc, rows) => cc -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    var it = 0
+    while (it < iters) {
+      val assigned = withC.withColumn("_best",
+          graft.plans.VectorExpressions.nearestCentroidIn(
+            col("_ccell"), col("_v"), sub))
+        .select(col("_best.cell").as("cell"), col("_v").as(vecCol))
+      // quantized-exact component means per sub-cell (the [[updateCentroids]]
+      // discipline); a sub-cell no member chose drops out, its coarse cell
+      // keeps the rest (every member's argmin lands on a sibling)
+      val updated = updateCentroids(assigned, vecCol)
+      sub = updated
+        .groupBy { case (cell, _) => cellToCoarse(cell) }
+        .map { case (cc, rows) => cc -> rows.sortBy(_._1) }
+      it += 1
+    }
+    TwoLevelModel(coarse, sub)
+  }
+
+  /** Assignment frame (`idCol`, `ccell`, `cell`, `dist2`) under a trained
+    * [[TwoLevelModel]]: scan-side coarse argmin (n·k1 folds), then
+    * scan-side grouped argmin over the row's OWN coarse cell's sub-
+    * centroids (n·k2 folds) — zero shuffle, n·2√k total.
+    */
+  def assignTwoLevel(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: TwoLevelModel): DataFrame =
+    df.withColumn("_cb",
+        graft.plans.VectorExpressions.nearestCentroid(col(vecCol), model.coarse))
+      .withColumn("ccell", col("_cb.cell"))
+      .withColumn("_best",
+        graft.plans.VectorExpressions.nearestCentroidIn(
+          col("ccell"), col(vecCol), model.sub))
+      .withColumn("cell", col("_best.cell"))
+      .withColumn("dist2", col("_best.d2"))
+      .drop("_cb", "_best")
+
   /** Lloyd with k-means|| seeding — the quality path when smallest-id
     * seeds would land in one region (adversarially ordered ids); same
     * engine-exact discipline end to end.

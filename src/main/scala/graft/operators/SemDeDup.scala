@@ -16,17 +16,23 @@ import org.apache.spark.sql.functions._
   * ties to the smallest id.
   *
   * This composes three already-gated operators end-to-end:
-  * [[KMeans.lloyd]] (scan-side assignment, exact centroids),
-  * the in-cell cosine pair join (native [[graft.plans.VectorExpressions
-  * FloatDot]] sequential folds — bit-exact), and
-  * [[Dedup.connectedComponents]] (pointer-jumping, O(log diameter) rounds).
+  * [[KMeans.twoLevelModel]] (the two-level IVF-hierarchy quantizer:
+  * ⌈√k⌉ coarse Lloyd cells, then ⌈k/⌈√k⌉⌉ sub-cells trained INSIDE each
+  * coarse cell; fine `cell` = sub-cell), the in-cell cosine pair join
+  * (native [[graft.plans.VectorExpressions FloatDot]] sequential folds —
+  * bit-exact), and [[Dedup.connectedComponents]] (pointer-jumping,
+  * O(log diameter) rounds).
   *
   * Scale shape: the ONLY quadratic term is per-cell (Σ n_c² candidate
   * pairs) — that is the SemDeDup contract: k grows with the corpus
   * (the paper uses k ≈ N/10k) so cells stay bounded and the pair join is
-  * an equi-join on `cell`, never a corpus self-join. Everything else is a
-  * scan or a parameter-sized exchange; norms are computed once per row
-  * BELOW the join, not per pair.
+  * an equi-join on `cell`, never a corpus self-join. With k ∝ N, FLAT
+  * assignment is itself n·k = O(n²) distance folds — the r13 sf100
+  * decade measured 622 s (41×/decade) on exactly that — so assignment is
+  * two-level: n·(k1+k2) ≈ n·2√k folds for the same ~k bounded fine
+  * cells (see [[KMeans.twoLevelModel]]). Everything else is a scan or a
+  * parameter-sized exchange; norms are computed once per row BELOW the
+  * join, not per pair.
   */
 object SemDeDup {
 
@@ -42,7 +48,9 @@ object SemDeDup {
       k: Int,
       iters: Int,
       tau: Double): DataFrame = {
-    val assigned = KMeans.lloyd(df, idCol, vecCol, k, iters)
+    val model = KMeans.twoLevelModel(df, idCol, vecCol, k, iters)
+    val assigned = KMeans.assignTwoLevel(df, idCol, vecCol, model)
+      .drop("ccell")
     val a = assigned.select(col("cell"), col(idCol).as("id_a"),
       col(vecCol).as("_va"), Vectors.norm(col(vecCol)).as("_na"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"),
@@ -64,7 +72,7 @@ object SemDeDup {
   }
 
   /** The persistable SemDeDup corpus INDEX: `(id, cell, vec, norm)` under
-    * a trained k-means model — what production mode WRITES (partitioned by
+    * a trained two-level quantizer — what production mode WRITES (partitioned by
     * `cell`). Re-clustering a 100 TB corpus for every daily increment is
     * the anti-pattern; the model is trained once, the corpus assigned
     * once, and each new batch pays only its own assignment + its cells'
@@ -76,8 +84,8 @@ object SemDeDup {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[(Long, Array[Double])]): DataFrame =
-    KMeans.assign(corpus, idCol, vecCol, centroids)
+      model: KMeans.TwoLevelModel): DataFrame =
+    KMeans.assignTwoLevel(corpus, idCol, vecCol, model)
       .select(col(idCol).cast("long").as("id"), col("cell"),
         col(vecCol).as("vec"), Vectors.norm(col(vecCol)).as("norm"))
 
@@ -94,16 +102,17 @@ object SemDeDup {
     * index (partition-pruned to the batch's cells when the index is
     * written partitioned by `cell`), cosines as bit-exact sequential
     * folds. Candidate volume is Σ_c n_batch(c)·n_corpus(c) — linear while
-    * the model's k grows with the corpus, the SemDeDup contract.
+    * the model's k grows with the corpus, the SemDeDup contract; the
+    * batch assignment is two-level (n_batch·2√k folds, not n_batch·k).
     */
   def semDedupAgainst(
       batch: DataFrame,
       index: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[(Long, Array[Double])],
+      model: KMeans.TwoLevelModel,
       tau: Double): DataFrame = {
-    val b = KMeans.assign(batch, idCol, vecCol, centroids)
+    val b = KMeans.assignTwoLevel(batch, idCol, vecCol, model)
       .select(col("cell"), col(idCol).cast("long").as("id_new"),
         col(vecCol).as("_vb"), Vectors.norm(col(vecCol)).as("_nb"))
     val c = index.select(col("cell"), col("id").as("id_corpus"),

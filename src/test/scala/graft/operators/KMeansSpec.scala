@@ -104,4 +104,43 @@ class KMeansSpec extends SparkSpec {
     assert(got.head._1 == 0L)
     assert(got.head._2.toSeq == Seq(2.0, 4.0)) // small ints: quantization exact
   }
+
+  test("two-level assignment: fine cell is inside the coarse cell, d2 exact") {
+    val k = 6 // k1 = ceil(sqrt 6) = 3, k2 = 2
+    val model = KMeans.twoLevelModel(clustered, "vec_id", "embedding", k, iters = 2)
+    assert(model.coarse.length <= 3 && model.fineCells <= k + 2)
+    val out = KMeans.assignTwoLevel(clustered, "vec_id", "embedding", model)
+      .select(col("vec_id"), col("ccell"), col("cell"), col("dist2"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 40)
+    val vecsById = clustered.as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (id, ccell, cell, d2) =>
+      val group = model.sub(ccell) // throws if ccell is not a coarse cell
+      // fine cell must be one of the row's OWN coarse cell's sub-cells …
+      assert(group.exists(_._1 == cell), s"row $id: $cell not in coarse $ccell")
+      // … and (d2, cell) must be the exact argmin over that group only,
+      // with the sequential-fold order and the (d2, cell-asc) tie rule
+      val v = vecsById(id).map(_.toDouble)
+      val best = group.sortBy(_._1).map { case (c, w) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - w(i); s += d * d; i += 1 }
+        (s, c)
+      }.minBy(identity)
+      assert(best == ((d2, cell)), s"row $id: got ($d2,$cell), want $best")
+    }
+  }
+
+  test("two-level assignment is bit-identical under any partitioning") {
+    val m7 = KMeans.twoLevelModel(clustered.repartition(7), "vec_id", "embedding", 6, 2)
+    val m1 = KMeans.twoLevelModel(clustered.coalesce(1), "vec_id", "embedding", 6, 2)
+    assert(m7.coarse.map(c => (c._1, c._2.toSeq)).toSeq ==
+      m1.coarse.map(c => (c._1, c._2.toSeq)).toSeq)
+    assert(m7.sub.view.mapValues(_.map(c => (c._1, c._2.toSeq)).toSeq).toMap ==
+      m1.sub.view.mapValues(_.map(c => (c._1, c._2.toSeq)).toSeq).toMap)
+    val a = KMeans.assignTwoLevel(clustered.repartition(7), "vec_id", "embedding", m7)
+      .select("vec_id", "cell", "dist2").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b = KMeans.assignTwoLevel(clustered.coalesce(1), "vec_id", "embedding", m1)
+      .select("vec_id", "cell", "dist2").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }

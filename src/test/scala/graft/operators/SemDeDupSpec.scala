@@ -45,18 +45,21 @@ class SemDeDupSpec extends SparkSpec {
   test("incremental mode reads the corpus from the STORED index, never re-assigns it") {
     val corpus = vecs.filter($"vec_id" =!= 10L)
     val batch = vecs.filter($"vec_id" === 10L)
-    val model = KMeans.lloydModel(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    val model = KMeans.twoLevelModel(corpus, "vec_id", "embedding", k = 2, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("semdedup_idx").toString
     SemDeDup.semDedupIndex(corpus, "vec_id", "embedding", model)
       .write.mode("overwrite").parquet(dir)
     val out = SemDeDup.semDedupAgainst(
       batch, spark.read.parquet(dir), "vec_id", "embedding", model, tau = 0.95)
     val phys = out.queryExecution.executedPlan.toString
-    // at most ONE nearest-centroid assignment in the plan: the batch's
-    // (a local batch may constant-fold it away entirely). The corpus side
-    // must come from the parquet index scan untouched.
-    assert("nearest_centroid|NearestCentroid".r.findAllIn(phys).size <= 1,
-      s"corpus must not be re-assigned:\n$phys")
+    // at most ONE two-level assignment in the plan — the batch's coarse +
+    // grouped-sub argmin pair (a local batch may constant-fold them away
+    // entirely). The corpus side must come from the parquet index scan
+    // untouched: a corpus re-assignment would add a second pair.
+    assert("nearest_centroid_in|NearestCentroidIn".r.findAllIn(phys).size <= 1,
+      s"corpus must not be re-assigned (sub level):\n$phys")
+    assert("nearest_centroid(?!_in)|NearestCentroid(?!In)".r.findAllIn(phys).size <= 1,
+      s"corpus must not be re-assigned (coarse level):\n$phys")
     assert(phys.contains("semdedup_idx"), "corpus side must scan the stored index")
     // content identity vs a from-scratch comparison of the same split
     val direct = SemDeDup.semDedupAgainst(
