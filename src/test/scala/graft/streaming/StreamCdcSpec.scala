@@ -176,6 +176,43 @@ class StreamCdcSpec extends SparkSpec {
       Some(seq - 29L), "reads must resolve the latest winner")
   }
 
+  test("read amplification: currentState reads <= (1+2*ratio)*base + batch rows") {
+    // the r13 probe, folded into the suite as a regression gate: append
+    // 10%-of-base update batches so the live delta rides the worst read
+    // point (just under the ratio-2 trigger) and assert the merge-on-read
+    // fold's input rows stay inside the scaladoc's documented bound at
+    // EVERY fold, not just on average
+    val dir = freshDir()
+    val n = 400L
+    val base = (1L to n).map(i => (i, s"name$i", i * 10)).toDF("k", "name", "bal")
+    StreamCdc.initTarget(base, dir, Seq("k"), nBuckets = 8)
+    def rows(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists() || walk(f).forall(!_.getName.endsWith(".parquet"))) 0L
+      else spark.read.parquet(d).count()
+    }
+    val ratio = 2.0
+    var worst = 0.0
+    (0 until 30).foreach { b =>
+      val batch = (1L to n / 10L).map { j =>
+        val k = (b * 37L + j * 11L) % n + 1L
+        (k, b * 100L + j, "U", s"u$b-$j", k)
+      }.toDF("k", "seq", "op", "name", "bal")
+      StreamCdc.foldBatch(spark, batch, dir, Seq("k"), "seq", "op", 8,
+        compactRatio = ratio)
+      // the three inputs currentState unions (the base read skips _delta —
+      // underscore-prefixed dirs are invisible to Spark's file index)
+      val b0 = spark.read.parquet(dir).count()
+      val l0 = rows(s"$dir/${StreamCdc.DeltaDir}/l0")
+      val l1 = rows(s"$dir/${StreamCdc.DeltaDir}/l1")
+      val bound = (1.0 + 2.0 * ratio) * b0 + n / 10.0
+      worst = math.max(worst, (b0 + l0 + l1).toDouble / bound)
+      assert(b0 + l0 + l1 <= bound,
+        s"fold $b reads ${b0 + l0 + l1} rows > bound $bound (base=$b0 l0=$l0 l1=$l1)")
+    }
+    assert(worst > 0.0) // the probe actually measured something
+  }
+
   test("tombstones persist in the delta until compaction, then vanish") {
     val dir = freshDir()
     val big = (1L to 200L).map(i => (i, s"n$i", i)).toDF("k", "name", "bal")
