@@ -4065,6 +4065,34 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#42c In-Context Pretraining layout (Shi et al. 2023,
+    // arXiv:2310.10638): lay the corpus out so each training context
+    // window holds RELATED documents instead of random ones — the paper's
+    // reported gain over standard packing. The paper's kNN-graph greedy
+    // path is a serial chain; the data-parallel restatement composes three
+    // gated layers: the TWO-LEVEL quantizer (q_semdedup's replayable
+    // trajectory, k = max(8, ⌈n/1024⌉) bounded fine cells) groups
+    // mutually-similar docs, docs are ordered within their cell by
+    // centroid proximity (prototypes first, ties to id), and the packer
+    // cuts each cell's stream every 512 tokens — one window per BOUNDED
+    // cell, a single shuffle on the cell key, no global ordering. The
+    // oracle replays both Lloyd trajectories plus the windowed running sum.
+    "q_context_order" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val k = math.max(8L, (emb.count() + 1023L) / 1024L).toInt
+      val model = KMeans.twoLevelModel(emb, "vec_id", "embedding", k, iters = 2)
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id").as("vec_id"),
+        graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+          .getField("n_tokens").as("n_tokens"))
+      val assigned = KMeans.assignTwoLevel(emb, "vec_id", "embedding", model)
+        .join(toks, Seq("vec_id"))
+      Packing.packChunksBy(assigned, "n_tokens", budgetTokens = 512L,
+          shardCol = col("cell"), orderCols = Seq(col("dist2"), col("vec_id")))
+        .select(col("vec_id"), col("ccell"), col("cell"), col("n_tokens"),
+          col("chunk_offset"), col("chunk_seq"))
+    }),
+
     // §2#36b inverted index with capped postings: exact df per token, the
     // 50 smallest doc ids kept through bounded heaps (hot tokens never
     // sort their corpus-sized postings), truncation flagged
@@ -4739,6 +4767,19 @@ object SparkEntry {
 
     // §2#54b z-order (Morton) layout: bit-interleaved cell keys + the
     // range-bucket assignment a layout write would partition by — the
+    // §2#47d deterministic multi-epoch training-order shuffle — the
+    // data-loader layout contract (WebDataset/tf.data shard-shuffle
+    // discipline as a query): every (doc, epoch) gets a (shard, pos)
+    // placement, each epoch an independent pseudorandom permutation, the
+    // whole assignment a pure function of (id, epoch, seed) — resumable
+    // from any step and regenerable on any cluster size with zero
+    // coordination. Portable md5 draws; one window per (epoch, shard),
+    // no global ordering (operators/Layout.scala; permutation and
+    // epoch-independence properties spec-pinned)
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Layout.epochShuffle(Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", epochs = 3, shards = 8)),
+
     // file-skipping device (Delta/Iceberg ZORDER BY) as pure int64
     // arithmetic, zero shuffle (operators/Layout.scala; the bbox-tightness
     // claim vs a single-column layout is spec-proven)
@@ -5776,6 +5817,23 @@ object SparkEntry {
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
 
+    // ICP layout: the q_semdedup two-level trajectory replay, joined with
+    // token counts, then the packChunksBy running sum per fine cell in
+    // (d2, vec_id) order — d2 doubles are the replayed exact folds
+    "q_context_order" -> (
+      s"""WITH ${kMeans2Ctes(
+             "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings")},
+         |toks AS (SELECT doc_id AS vec_id,
+         |    cast(len($TokSql) AS bigint) AS n_tokens FROM documents),
+         |j AS (SELECT saf.vec_id, saf.ccell, saf.cell, saf.d2, toks.n_tokens
+         |  FROM saf JOIN toks USING (vec_id)),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY cell
+         |    ORDER BY d2, vec_id ROWS UNBOUNDED PRECEDING) AS cum FROM j)
+         |SELECT vec_id, ccell, cell, n_tokens,
+         |  cast(cum - n_tokens AS bigint) AS chunk_offset,
+         |  cast((cum - n_tokens) // 512 AS bigint) AS chunk_seq
+         |FROM c""".stripMargin),
+
     "q_inverted_index" -> (
       s"""WITH p AS (SELECT DISTINCT doc_id, token FROM
          |    (SELECT doc_id, unnest($TokSql) AS token FROM documents)),
@@ -6337,6 +6395,18 @@ object SparkEntry {
          |  (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
          |  <= ${250000L * 250000L}""".stripMargin
     },
+
+    // epoch shuffle: the same md5 20-bit draw chain as the Spark side,
+    // positions from the identical (key, id)-ordered window
+    "q_epoch_shuffle" -> (
+      s"""WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS ep FROM documents),
+         |k AS (SELECT doc_id, ep, ${graft.sources.ZipfCorpus.u20Sql(
+             "CAST(doc_id AS varchar) || ':ep:' || CAST(ep AS varchar)")} AS key
+         |  FROM e)
+         |SELECT doc_id, CAST(ep AS bigint) AS epoch, key % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ep, key % 8
+         |    ORDER BY key, doc_id) AS bigint) AS pos
+         |FROM k""".stripMargin),
 
     // z-order: the same mask-doubling Morton spread as int64 literals
     "q_zorder" -> {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) data layout: multi-dimensional clustering for file
@@ -66,4 +67,42 @@ object Layout {
     df.withColumn("_z", zValue(x, y))
       .repartitionByRange(numFiles, col("_z"))
       .drop("_z")
+
+  /** Deterministic multi-epoch training-order shuffle — the data-loader
+    * layout contract: every (document, epoch) pair gets a (shard, pos)
+    * placement such that reading each shard in pos order replays the
+    * epoch's training order EXACTLY, every epoch is an independent
+    * pseudorandom permutation, and the whole assignment is a pure
+    * function of (id, epoch, seed) — resumable from any point, and
+    * regenerable on any cluster size with zero coordination (the
+    * WebDataset/tf.data shard-shuffle discipline, stated as a query).
+    *
+    * The permutation key is the engine-portable md5 20-bit draw
+    * ([[graft.sources.ZipfCorpus.u20]]'s construction), so an external
+    * SQL engine replays placements digit-for-digit. Scale shape: one
+    * projection (key, shard) + one window per (epoch, shard) — shard
+    * count scales with the corpus, so each window sorts a bounded
+    * ~n/shards slice; no global ordering, no driver state.
+    *
+    * Key-collision note: `pos` tie-breaks equal keys by id, so the order
+    * stays total and deterministic even where the 20-bit draws collide.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epochs: Int,
+      shards: Int,
+      seed: String = "ep"): DataFrame = {
+    require(epochs > 0 && shards > 0, "need epochs > 0 and shards > 0")
+    val key = graft.sources.ZipfCorpus.u20(
+      concat(col(idCol).cast("string"), lit(s":$seed:"), col("epoch").cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("_key"), col(idCol))
+    df.select(col(idCol),
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))).as("epoch"))
+      .withColumn("_key", key)
+      .withColumn("shard", pmod(col("_key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"))
+  }
 }

@@ -45,6 +45,34 @@ object Packing {
       .drop("_cum")
   }
 
+  /** [[packChunks]] with an explicit layout order: documents are laid out
+    * within their shard by `orderCols` (ties MUST be broken by a unique
+    * trailing key — pass the id last), then cut every `budgetTokens`
+    * tokens. This is the semantic-packing primitive behind In-Context
+    * Pretraining (Shi et al. 2023, arXiv:2310.10638): with shard = a
+    * bounded-size similarity cell and order = centroid proximity, each
+    * training context window holds RELATED documents instead of random
+    * ones — the paper's gain — while the computation stays one window per
+    * bounded cell: a single shuffle on the shard key, no global ordering,
+    * no driver state (the same scale shape as [[packChunks]]).
+    */
+  def packChunksBy(
+      df: DataFrame,
+      tokenCol: String,
+      budgetTokens: Long,
+      shardCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(orderCols.nonEmpty, "orderCols must include a unique tiebreaker")
+    val w = Window.partitionBy(col("shard")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("chunk_offset", col("_cum") - col(tokenCol))
+      .withColumn("chunk_seq", expr(s"chunk_offset div $budgetTokens"))
+      .drop("_cum")
+  }
+
   /** Overlapping sliding-window chunking (the RAG/embedding layout, vs
     * [[packChunks]]' concat-then-chunk pretraining layout): each document is
     * cut into chunks of up to `window` tokens starting every `stride` tokens,

@@ -72,6 +72,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: each epoch is a complete permutation, shard positions contiguous") {
+    val docs = (0L until 300L).toDF("doc_id")
+    val sh = Layout.epochShuffle(docs, "doc_id", epochs = 3, shards = 4)
+      .select($"doc_id", $"epoch", $"shard", $"pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sh.length == 900, "every doc placed once per epoch")
+    for (e <- 0L to 2L) {
+      val ep = sh.filter(_._2 == e)
+      assert(ep.map(_._1).toSet == (0L until 300L).toSet)
+      for ((_, rows) <- ep.groupBy(_._3))
+        assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+          "positions within a shard must be 1..count with no gaps")
+    }
+  }
+
+  test("epochShuffle: epochs are independent orders; the assignment is deterministic") {
+    val docs = (0L until 300L).toDF("doc_id")
+    def order(e: Long) = Layout.epochShuffle(docs, "doc_id", 2, 4)
+      .filter($"epoch" === e).orderBy($"shard", $"pos")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(order(0L) != order(1L), "two epochs must not replay the same order")
+    assert(order(0L) == order(0L), "the same epoch always replays identically")
+    intercept[IllegalArgumentException] {
+      Layout.epochShuffle(docs, "doc_id", 0, 4)
+    }
+  }
+
   test("zOrderBy only repartitions — content is untouched") {
     val df = (1L to 100L).map(i => (i, i % 7, i % 11)).toDF("id", "a", "b")
     val out = Layout.zOrderBy(df, $"a", $"b", 4)

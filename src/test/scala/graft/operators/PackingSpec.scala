@@ -33,6 +33,65 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packChunksBy lays docs out in the explicit order, not id order") {
+    // order by (score DESC, doc_id): 3(9),1(4),4(5),2(4) → offsets 0,9,13,18
+    // → budget 10 cuts chunks {3,1}, {4,2}
+    val docs = Seq((1L, 4L, 5.0), (2L, 4L, 1.0), (3L, 9L, 9.0), (4L, 5L, 5.0))
+      .toDF("doc_id", "n_tokens", "score")
+    val packed = Packing.packChunksBy(docs, "n_tokens", 10L, lit(0L),
+        Seq(col("score").desc, col("doc_id")))
+      .select($"doc_id", $"chunk_seq", $"chunk_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(packed == Seq(
+      (1L, 0L, 9L), (2L, 1L, 18L), (3L, 0L, 0L), (4L, 1L, 13L)))
+    intercept[IllegalArgumentException] {
+      Packing.packChunksBy(docs, "n_tokens", 10L, lit(0L), Seq.empty)
+    }
+  }
+
+  test("packChunksBy ordered by the id alone IS packChunks") {
+    val docs = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 6L), (5L, 2L))
+      .toDF("doc_id", "n_tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"shard", $"chunk_seq", $"chunk_offset")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(
+      rows(Packing.packChunksBy(docs, "n_tokens", 10L,
+        pmod(col("doc_id"), lit(2L)), Seq(col("doc_id")))) ==
+      rows(Packing.packChunks(docs, "doc_id", "n_tokens", 10L,
+        pmod(col("doc_id"), lit(2L)))))
+  }
+
+  test("ICP layout: same-chunk documents are more similar than the corpus average") {
+    // the q_context_order composition on a clustered corpus: two-level
+    // cells + proximity order + per-cell packing must put mutually-similar
+    // docs in the same context window (the arXiv:2310.10638 property)
+    val rnd = new scala.util.Random(31L)
+    val centers = Array.fill(4, 64)(rnd.nextGaussian() * 5.0)
+    val emb = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = KMeans.twoLevelModel(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = KMeans.assignTwoLevel(emb, "vec_id", "embedding", model)
+      .withColumn("n_tokens", lit(7L))
+    val packed = Packing.packChunksBy(assigned, "n_tokens", 21L,
+      col("cell"), Seq(col("dist2"), col("vec_id")))
+    def meanCos(pairs: org.apache.spark.sql.DataFrame): Double =
+      pairs.agg(avg(graft.functions.Vectors.cosine(col("_va"), col("_vb"))))
+        .head().getDouble(0)
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val withVec = packed
+      .select(col("cell"), col("chunk_seq"), col("vec_id"), col("embedding"))
+    val inChunk = withVec.toDF("cell", "chunk_seq", "ida", "_va")
+      .join(withVec.toDF("cell", "chunk_seq", "idb", "_vb"), Seq("cell", "chunk_seq"))
+      .filter(col("ida") < col("idb"))
+    val anyPair = v.toDF("ida", "_va").join(v.toDF("idb", "_vb"))
+      .filter(col("ida") < col("idb"))
+    assert(meanCos(inChunk) > meanCos(anyPair) + 0.3,
+      "same-context docs must be far more similar than random pairs")
+  }
+
   test("chunkSliding covers every token once per stride with overlap") {
     // 10 tokens, window 8, stride 4 → starts 0, 4 (start 8's chunk would end
     // at the same token as start 4's, so it is subsumed and dropped)
