@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Text
 import graft.sources.Tables
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler: time labeled sub-plans of the hot queries.
@@ -379,6 +379,167 @@ object Profile {
       time("full q_dedup_canonical") {
         noop(SparkEntry.queries("q_dedup_canonical")(spark, sfDir))
       }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "capstats") {
+      // Candidate-pair volume audit for the shingle-pair family: the
+      // derived hot-shingle cap (Dedup.derivedDocFreqCap) vs the retired
+      // fixed cap=1000, measured as Σ min(df, cap)² over the posting df
+      // distribution — the r13 decade metric that exposed the fixed cap's
+      // 18.9e9-pair blowup at sf10. Run on both corpus shapes.
+      import graft.operators.Dedup
+      def stats(label: String, docsDf: org.apache.spark.sql.DataFrame,
+          idc: String, txc: String): Unit = {
+        val posting = docsDf
+          .select(col(idc).as("id"),
+            explode(Text.wordShingles(col(txc), 3)).as("_sh"))
+          .select(col("id"), xxhash64(col("_sh")).as("shingle"))
+        val derived = Dedup.derivedDocFreqCap(posting)
+        val df_ = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+        // the implementation DROPS df>cap shingles (suppression), so the
+        // true candidate volume is Σ_{df≤cap} df²; Σ min(df,cap)² is the
+        // upper bound a CLAMPING cap would give — report both
+        def sumSq(cap: Long): (Long, Long) = {
+          val r = df_.agg(
+            sum(when(col("df") <= cap, col("df") * col("df")).otherwise(0L)),
+            sum(least(col("df"), lit(cap)) * least(col("df"), lit(cap)))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val row = posting.agg(countDistinct(col("id")), count(lit(1))).head()
+        val (dDrop, dMin) = sumSq(derived)
+        val (fDrop, fMin) = sumSq(1000L)
+        println(s"[capstats] $label n_docs=${row.getLong(0)} " +
+          s"postings=${row.getLong(1)} derivedCap=$derived " +
+          s"drop: derived=$dDrop fixed1000=$fDrop | min: derived=$dMin fixed1000=$fMin")
+      }
+      stats("dense", Tables.documents(spark, sfDir), "doc_id", "text")
+      stats("zipf", graft.sources.ZipfCorpus.docs(spark, sfDir), "doc_id", "text")
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "fuzzy") {
+      // q_fuzzy_match2 on a REALISTIC name distribution (the r13 triage
+      // ask): the gate's synthetic `NATION-custkey` names give every name
+      // ~81 edit-distance-1 digit-neighbors (true-match density ~90×N —
+      // that's the data, not the plan), so measure the production case:
+      // three-token Zipf names ("surname given discriminator", each token
+      // cube-Zipf over its own vocab via the ZipfCorpus portable-draw
+      // primitive), where full-name collisions within edit distance 2 are
+      // O(1) per name like real name feeds. Dirty side = 50 % of names
+      // with 1–2 planted character deletions (the gate's construction).
+      import graft.sources.ZipfCorpus.u20
+      import graft.operators.EntityResolution
+      val ck = col("c_custkey").cast("string")
+      def ztok(salt: String, vocab: Long): Column = {
+        val u = u20(concat(lit(s"$salt:"), ck))
+        concat(lit(salt), shiftright(shiftright(u * u * u, 40) * lit(vocab), 20)
+          .cast("string"))
+      }
+      val canon = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"),
+          concat_ws(" ", ztok("s", 20000L), ztok("g", 2000L), ztok("d", 20000L))
+            .as("canon_name"))
+        .localCheckpoint(true)
+      val nCanon = canon.count()
+      def del(nameCol: Column, p: Column): Column =
+        concat(nameCol.substr(lit(1), (p - 1L).cast("int")),
+          nameCol.substr((p + 1L).cast("int"), lit(200)))
+      val p1 = lit(1L) + shiftright(
+        u20(concat(lit("f2a:"), ck)) * length(col("canon_name")), 20)
+      val n1 = del(col("canon_name"), p1)
+      val p2 = lit(1L) + shiftright(u20(concat(lit("f2b:"), ck)) * length(n1), 20)
+      val n2 = del(n1, p2)
+      val dirty = canon
+        .where(u20(concat(lit("fz2:"), ck)) < lit(524288L))
+        .select(col("c_custkey").as("dirty_id"),
+          when(pmod(u20(concat(lit("fn:"), ck)), lit(3L)) === 0L, n1)
+            .otherwise(n2).as("dirty_name"))
+      val t0 = System.nanoTime()
+      val matches = EntityResolution.matchByEditDistance(
+        dirty, "dirty_id", "dirty_name",
+        canon, "c_custkey", "canon_name", maxDist = 2)
+      val m = matches.groupBy().agg(
+        count(lit(1)), countDistinct(col("dirty_id"))).head()
+      println(f"[fuzzy] zipf-names canon=$nCanon matches=${m.getLong(0)} " +
+        f"dirty_matched=${m.getLong(1)} " +
+        f"density=${m.getLong(0).toDouble / math.max(1L, m.getLong(1))}%.2f " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "graphrecall") {
+      // Graph-ANN recall vs the exact brute-force top-k on the same two
+      // corpora as the `recall` mode (uniform = the adversarial floor,
+      // clustered = the production case), with a (beam, hops) sweep over
+      // ONE built index per corpus — the r13 decade question: recall@5
+      // fell 1.00 → 0.80 → 0.50 across sf0.01→sf1 at fixed (deg 16,
+      // beam 8, 4 hops), so measure sf10 and derive the parameter rule
+      // (candidates scored per probe ≈ entries + degree + hops·beam·
+      // 2·degree stays O(1) in N either way).
+      import graft.operators.Similarity
+      // optional args: (2) degree override, (3) corpus filter
+      val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+      val corpusFilter = args.drop(3).headOption
+      def runGraphRecall(corpus: String, emb: org.apache.spark.sql.DataFrame): Unit = {
+        if (corpusFilter.exists(_ != corpus)) return
+        val n = emb.count()
+        val probes = emb.filter(col("vec_id") < 8).localCheckpoint(true)
+        val k = 5
+        def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val t0 = System.nanoTime()
+        val exact = pairs(Similarity.knnBruteForce(
+          emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
+        println(f"[graphrecall] $corpus n=$n brute ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        val degree = degreeArg
+        val bits = Similarity.bandBitsFor(n, 96)
+        val t1 = System.nanoTime()
+        val index = Similarity.nswIndex(emb, "vec_id", "embedding",
+          degree = degree, fineBits = bits)
+        index.near.count() // force the build before timing searches
+        println(f"[graphrecall] $corpus index build ${(System.nanoTime() - t1) / 1e9}%.1fs " +
+          s"(degree=$degree fineBits=$bits)")
+        for ((beam, hops) <- Seq((8, 4), (16, 4), (8, 6), (16, 6), (32, 6), (32, 8))) {
+          val t2 = System.nanoTime()
+          val got = pairs(Similarity.knnGraphSearch(index, emb, probes,
+            "vec_id", "embedding", "vec_id", "embedding",
+            k, beam = beam, hops = hops, entries = 4))
+          val recall = (exact & got).size.toDouble / exact.size
+          val budget = 4 + degree + hops * beam * 2 * degree
+          println(f"[graphrecall] $corpus%-10s beam=$beam%-3d hops=$hops%-2d " +
+            f"recall@$k = $recall%.3f (scored/probe ≤ $budget; " +
+            f"${(System.nanoTime() - t2) / 1e9}%.1fs)")
+        }
+      }
+      def u01g(salt: Int, cols: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(cols :+ lit(salt): _*), lit(1L << 40)).cast("double")
+          / lit((1L << 40).toDouble))
+      def gaussg(salt: Int, keyCol: org.apache.spark.sql.Column) =
+        transform(sequence(lit(1), lit(64)), i =>
+          sqrt(-lit(2.0) * log(lit(1.0) - u01g(salt, keyCol, i)))
+            * cos(lit(2.0 * math.Pi) * u01g(salt + 1, keyCol, i)))
+      val uniformG = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nG = uniformG.count()
+      val clusteredG = spark.range(nG)
+        .select(col("id"), (col("id") % 20).as("_c"))
+        .select(col("id"),
+          zip_with(gaussg(50, col("_c")), gaussg(60, col("id")),
+            (c, g) => c + lit(0.35) * g).as("_v"))
+        .select(col("id"),
+          aggregate(col("_v"), lit(0.0), (acc, x) => acc + x * x).as("_n2"),
+          col("_v"))
+        .select(col("id").as("vec_id"),
+          transform(col("_v"), x => (x / sqrt(col("_n2"))).cast("float"))
+            .as("embedding"))
+        .localCheckpoint(true)
+      runGraphRecall("uniform", uniformG)
+      runGraphRecall("clustered", clusteredG)
       spark.stop()
       return
     }

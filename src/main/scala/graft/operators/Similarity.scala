@@ -382,6 +382,25 @@ object Similarity {
     * integer/IEEE-deterministic, so the DuckDB oracle replays the whole
     * index hash-exact, which no RNG insertion order could.
     *
+    * PARAMETER-SCALING RULE (measured, SURVEY §6 r14 — the full (beam,
+    * hops, degree) sweep across sf0.01→sf10 on both recall corpora):
+    * recall is FLAT in the WALK parameters — beam 8→32 × hops 4→8 (an 8×
+    * scored-candidate budget) moved recall@5 at most 0.1 at every corpus
+    * size measured, on both corpus shapes. The binding constraint is
+    * GRAPH quality: `degree` (sf10 uniform: degree 16 → 32 lifted recall
+    * 0.100 → 0.225–0.300 where no walk budget moved it at all; r13
+    * measured the same 2× from degree 8 → 16 at sf1) and `refineRounds`
+    * (the raw LSH seed graph saturates at 0.20 regardless of the walk).
+    * So: scale DEGREE with log N — HNSW's M guidance — and keep the walk
+    * budget fixed; build cost grows as N·degree² per NN-descent round
+    * (the offline persist-once leg), search stays O(1) per probe. Corpus
+    * shape bounds what any parameter buys: on clustered (production)
+    * corpora recall holds ~0.83–0.98 across decades at fixed degree 16;
+    * on STRUCTURELESS uniform random vectors recall decays ~0.5 → 0.1
+    * per decade at any fixed degree (concentration of measure — no
+    * navigable neighborhood structure exists), and the honest retrieval
+    * paths there are brute force or IVF's bounded scan fraction.
+    *
     * Fault-tolerance boundary: the build pins its intermediates with
     * `localCheckpoint`, which truncates lineage and stores blocks only on
     * executors — an executor lost MID-BUILD fails the build job instead of
