@@ -458,13 +458,21 @@ object Profile {
         .select(col("c_custkey").as("dirty_id"),
           when(pmod(u20(concat(lit("fn:"), ck)), lit(3L)) === 0L, n1)
             .otherwise(n2).as("dirty_name"))
+      // optional args(2) = "lean": id-only blocking join (the disk-scale
+      // path — see EntityResolution.matchByEditDistanceLean)
+      val lean = args.drop(2).headOption.contains("lean")
       val t0 = System.nanoTime()
-      val matches = EntityResolution.matchByEditDistance(
-        dirty, "dirty_id", "dirty_name",
-        canon, "c_custkey", "canon_name", maxDist = 2)
+      val matches =
+        if (lean) EntityResolution.matchByEditDistanceLean(
+          dirty, "dirty_id", "dirty_name",
+          canon, "c_custkey", "canon_name", maxDist = 2)
+        else EntityResolution.matchByEditDistance(
+          dirty, "dirty_id", "dirty_name",
+          canon, "c_custkey", "canon_name", maxDist = 2)
       val m = matches.groupBy().agg(
         count(lit(1)), countDistinct(col("dirty_id"))).head()
-      println(f"[fuzzy] zipf-names canon=$nCanon matches=${m.getLong(0)} " +
+      println(f"[fuzzy] zipf-names variant=${if (lean) "lean" else "eager"} " +
+        f"canon=$nCanon matches=${m.getLong(0)} " +
         f"dirty_matched=${m.getLong(1)} " +
         f"density=${m.getLong(0).toDouble / math.max(1L, m.getLong(1))}%.2f " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.1fs")

@@ -102,4 +102,55 @@ object EntityResolution {
       .where(col("edit_dist") >= 0) // thresholded form returns -1 past maxDist
       .select(col(idCol), col(canonIdCol), col("edit_dist"))
   }
+
+  /** [[matchByEditDistance]] at DISTINCT-NAME grain with id-only block
+    * keys — the disk-scale path for real name feeds (SURVEY §6 r14).
+    *
+    * Two scale problems of the eager form, both measured at 15M Zipf
+    * names on one box:
+    *   1. the block join carries the NAME STRINGS (≈40 bytes/key row ×
+    *      len²/2 keys per row at depth 2 — ~200 GB of shuffle);
+    *   2. IDENTICAL names (real feeds have thousands of each common
+    *      full name; Zipf gives ~1.6k copies of the head name at 15M
+    *      rows) share their entire deletion neighborhood, so each
+    *      duplicate GROUP contributes |group|²·keys candidate rows —
+    *      quadratic in N within every group.
+    * Fix: the FastSS dictionary is DISTINCT STRINGS. Block keys join at
+    * distinct-name grain as (xxhash64(name), xxhash64(key)) — 16-byte
+    * rows, map-side-combinable distinct — the levenshtein verify runs
+    * ONCE per distinct name pair, and ids expand only on the verified
+    * matches (the output's own size, irreducible). Identical-name
+    * multiplicity never enters the join. Same key-cover completeness
+    * proof; the spec pins row-identical output vs [[matchByEditDistance]].
+    * (Name-hash collisions: a 2⁻⁶⁴ collision merely adds one candidate
+    * name pair that the exact verify discards.)
+    */
+  def matchByEditDistanceLean(dirty: DataFrame, idCol: String, nameCol: String,
+      canon: DataFrame, canonIdCol: String, canonNameCol: String,
+      maxDist: Int = 1): DataFrame = {
+    def names(df: DataFrame, name: String, h: String): DataFrame =
+      df.select(col(name)).distinct()
+        .select(col(name), xxhash64(col(name)).as(h))
+    val dn = names(dirty, nameCol, "_ha")
+    val cn = names(canon, canonNameCol, "_hb")
+    def keyed(df: DataFrame, name: String, h: String): DataFrame =
+      df.select(col(h),
+        explode(transform(deletionNeighborhood(col(name), maxDist),
+          s => xxhash64(s))).as("_bk"))
+    val candidates = keyed(dn, nameCol, "_ha")
+      .join(keyed(cn, canonNameCol, "_hb"), "_bk")
+      .select(col("_ha"), col("_hb"))
+      .distinct()
+    val verified = candidates
+      .join(dn, Seq("_ha"))
+      .join(cn, Seq("_hb"))
+      .withColumn("edit_dist",
+        levenshtein(col(nameCol), col(canonNameCol), maxDist))
+      .where(col("edit_dist") >= 0)
+      .select(col(nameCol), col(canonNameCol), col("edit_dist"))
+    verified
+      .join(dirty.select(col(idCol), col(nameCol)), Seq(nameCol))
+      .join(canon.select(col(canonIdCol), col(canonNameCol)), Seq(canonNameCol))
+      .select(col(idCol), col(canonIdCol), col("edit_dist"))
+  }
 }

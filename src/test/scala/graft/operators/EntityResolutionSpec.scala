@@ -156,6 +156,25 @@ class EntityResolutionSpec extends SparkSpec {
     assert(want.nonEmpty, "small alphabet should produce close pairs")
   }
 
+  test("lean (id-only blocking) variant is row-identical to the eager form") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdef"
+    def word(): String =
+      (0 until (4 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val canon = (1 to 80).map(i => (i.toLong, word())).distinct.toDF("cid", "cname")
+    val dirty = (1 to 80).map(i => (1000L + i, word())).distinct.toDF("did", "dname")
+    for (d <- Seq(1, 2)) {
+      val eager = EntityResolution.matchByEditDistance(
+          dirty, "did", "dname", canon, "cid", "cname", maxDist = d)
+        .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)].collect().sorted.toSeq
+      val lean = EntityResolution.matchByEditDistanceLean(
+          dirty, "did", "dname", canon, "cid", "cname", maxDist = d)
+        .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(lean == eager, s"lean != eager at maxDist=$d")
+      assert(eager.nonEmpty, "small alphabet should produce close pairs")
+    }
+  }
+
   test("plan: block keys shuffle as int64 hashes") {
     val canon = Seq((1L, "alpha"), (2L, "beta")).toDF("cid", "cname")
     val dirty = Seq((10L, "alpa")).toDF("did", "dname")
