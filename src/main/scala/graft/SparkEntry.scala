@@ -2986,6 +2986,31 @@ object SparkEntry {
       Multimodal.extractAvMeta(withBytes, "doc_id", "payload")
     }),
 
+    // §2#35e CLIP-score filtering (DataComp, arXiv:2304.14108) — THE
+    // image-text curation filter: keep pairs whose two-tower embedding
+    // cosine clears a threshold. The encoders are the multimodal family's
+    // deterministic stub (the q_multimodal_patches discipline — no image
+    // libs in this container): the caption tower reuses the image
+    // vector's EXACT float values, aligned pairs with one component
+    // negated (cos ≈ 1 − 2e²), the planted ~20 % mismatches reversed
+    // (cos ≈ 0 on uniform vectors). The FILTER layer — the sequential
+    // double-fold cosine, thresholding, keep decision — is the real
+    // operator and replays bit-exact (reorder/negation of floats is
+    // exact, the q_knn_brute fold discipline). Scale shape: pure
+    // scan-side projection, zero shuffle, codegen'd FloatDot.
+    "q_clip_filter" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val caption = when(pmod(col("vec_id"), lit(5L)) === 0L,
+          reverse(col("embedding")))
+        .otherwise(concat(slice(col("embedding"), 1, 63),
+          array((-element_at(col("embedding"), 64)).cast("float"))))
+      emb.withColumn("cap_vec", caption)
+        .withColumn("clip_score",
+          graft.functions.Vectors.cosine(col("embedding"), col("cap_vec")))
+        .select(col("vec_id"), col("clip_score"),
+          (col("clip_score") >= 0.5).as("kept"))
+    }),
+
     // §2#35d audio-CODEC container metadata — MediaMeta's remaining
     // families (FLAC STREAMINFO bit fields, ID3v2 + MPEG-1 Layer III MP3
     // with the CBR duration estimate, Ogg first pages carrying Vorbis and
@@ -3947,6 +3972,66 @@ object SparkEntry {
           when(col("n_tokens") > 0,
             (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
             .otherwise(lit(0.0)))),
+
+    // §2#39b the Gopher repetition-filter signal family (Rae et al. 2021,
+    // arXiv:2112.11446 Table A1), token-grain: per doc the top-n-gram
+    // coverage fraction for n=2,3,4 (count(most frequent n-gram)·n ÷
+    // tokens, the Dolma/DataTrove formulation) and the DUPLICATE-5-gram
+    // POSITIONAL coverage fraction — occurrences of any 5-gram appearing
+    // ≥2× in the doc, their [pos, pos+5) intervals merged (the
+    // gaps-islands core at token grain) so overlapping duplicates never
+    // double-count. Scale shape: one explode per n with doc-local keys
+    // (groupBy/window partitions are (doc_id, shingle) — bounded per doc,
+    // no hot corpus-wide key), linear shuffle ≈ 4× corpus tokens.
+    // A quarter of the docs get a deterministically injected repeated
+    // phrase (the q_redact seeding discipline) — the driver corpus's
+    // random text almost never repeats an exact 5-gram, and a signal the
+    // gate never exercises would pin nothing.
+    "q_rep_signals" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4L)) === 0L,
+          concat(col("text"),
+            lit(" lorem ipsum dolor sit amet lorem ipsum dolor sit amet")))
+          .otherwise(col("text")).as("text"))
+      val base = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+          .getField("n_tokens").as("n_tokens"))
+      def topCover(n: Int) =
+        docs.select(col("doc_id"),
+            explode(Text.wordShinglesAll(col("text"), n)).as("sh"))
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg((max(col("c")) * n).as(s"_top$n"))
+      val iw = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
+      val prevMax = max(col("end"))
+        .over(iw.rowsBetween(Window.unboundedPreceding, -1))
+      val cover5 = docs.select(col("doc_id"),
+          posexplode(Text.wordShinglesAll(col("text"), 5)).as(Seq("pos", "sh")))
+        .withColumn("c",
+          count(lit(1)).over(Window.partitionBy(col("doc_id"), col("sh"))))
+        .filter(col("c") >= 2)
+        .select(col("doc_id"), col("pos").cast("long").as("start"),
+          (col("pos") + 5).cast("long").as("end"))
+        .withColumn("new_isl",
+          when(prevMax.isNull || prevMax < col("start"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(iw))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+        .groupBy(col("doc_id")).agg(sum(col("e") - col("s")).as("_cov5"))
+      def frac(c: Column) =
+        when(col("n_tokens") > 0,
+          least(lit(1.0), c.cast("double") / col("n_tokens").cast("double")))
+          .otherwise(lit(0.0))
+      base
+        .join(topCover(2), Seq("doc_id"), "left")
+        .join(topCover(3), Seq("doc_id"), "left")
+        .join(topCover(4), Seq("doc_id"), "left")
+        .join(cover5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          frac(coalesce(col("_top2"), lit(0L))).as("top2_frac"),
+          frac(coalesce(col("_top3"), lit(0L))).as("top3_frac"),
+          frac(coalesce(col("_top4"), lit(0L))).as("top4_frac"),
+          frac(coalesce(col("_cov5"), lit(0L))).as("dup5_cover_frac"))
+    }),
 
     // §2#40 PII-style redaction: digit runs ≥4 scrubbed (synthetic ids
     // injected deterministically so the pass has something to redact)
@@ -7051,6 +7136,66 @@ object SparkEntry {
          |    ELSE 0.0 END AS dup_ratio
          |FROM documents""".stripMargin),
 
+    // Gopher repetition signals: same n-gram strings as the pair family,
+    // top counts per (doc, gram), the 5-gram coverage via islands merge
+    "q_rep_signals" -> (
+      s"""WITH inj AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN text ||
+         |    ' lorem ipsum dolor sit amet lorem ipsum dolor sit amet'
+         |  ELSE text END AS text FROM documents),
+         |toks AS (SELECT doc_id, $TokSql AS tk FROM inj),
+         |base AS (SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens FROM toks),
+         |g2 AS (SELECT doc_id, max(c) * 2 AS top2 FROM (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS sh
+         |    FROM toks) GROUP BY 1, 2) GROUP BY 1),
+         |g3 AS (SELECT doc_id, max(c) * 3 AS top3 FROM (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+         |    FROM toks) GROUP BY 1, 2) GROUP BY 1),
+         |g4 AS (SELECT doc_id, max(c) * 4 AS top4 FROM (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+         |      i -> array_to_string(list_slice(tk, i, i + 3), ' '))) AS sh
+         |    FROM toks) GROUP BY 1, 2) GROUP BY 1),
+         |p5 AS (SELECT doc_id, u.i - 1 AS pos, u.s AS sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+         |    i -> struct_pack(i := i,
+         |      s := array_to_string(list_slice(tk, i, i + 4), ' ')))) AS u
+         |  FROM toks)),
+         |d5 AS (SELECT doc_id, pos AS s_, pos + 5 AS e_ FROM p5
+         |  QUALIFY count(*) OVER (PARTITION BY doc_id, sh) >= 2),
+         |fl AS (SELECT *, CASE WHEN prev_max IS NULL OR prev_max < s_
+         |    THEN 1 ELSE 0 END AS ni
+         |  FROM (SELECT *, max(e_) OVER (PARTITION BY doc_id ORDER BY s_, e_
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |    FROM d5)),
+         |isl AS (SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s_, e_
+         |    ROWS UNBOUNDED PRECEDING) AS g FROM fl),
+         |cov AS (SELECT doc_id, sum(e - s) AS cov5 FROM (
+         |  SELECT doc_id, g, min(s_) AS s, max(e_) AS e FROM isl GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CASE WHEN b.n_tokens > 0 THEN least(1.0,
+         |    cast(coalesce(g2.top2, 0) AS double) / cast(b.n_tokens AS double))
+         |    ELSE 0.0 END AS top2_frac,
+         |  CASE WHEN b.n_tokens > 0 THEN least(1.0,
+         |    cast(coalesce(g3.top3, 0) AS double) / cast(b.n_tokens AS double))
+         |    ELSE 0.0 END AS top3_frac,
+         |  CASE WHEN b.n_tokens > 0 THEN least(1.0,
+         |    cast(coalesce(g4.top4, 0) AS double) / cast(b.n_tokens AS double))
+         |    ELSE 0.0 END AS top4_frac,
+         |  CASE WHEN b.n_tokens > 0 THEN least(1.0,
+         |    cast(coalesce(cov.cov5, 0) AS double) / cast(b.n_tokens AS double))
+         |    ELSE 0.0 END AS dup5_cover_frac
+         |FROM base b
+         |LEFT JOIN g2 ON b.doc_id = g2.doc_id
+         |LEFT JOIN g3 ON b.doc_id = g3.doc_id
+         |LEFT JOIN g4 ON b.doc_id = g4.doc_id
+         |LEFT JOIN cov ON b.doc_id = cov.doc_id""".stripMargin),
+
     // oracle = full-data recompute: the incremental merge must be
     // indistinguishable from aggregating everything from scratch. Duplicate
     // (user_id, ts) rows are tie-broken by event_type on BOTH sides (Spark
@@ -8627,6 +8772,32 @@ object SparkEntry {
 
     // audio-codec twin: expected metadata derived arithmetically from the
     // same parameter draws the Spark side synthesizes container bytes from
+    // CLIP filter: caption tower = exact float reorder/negation of the
+    // image vector, cosine = the q_knn_brute sequential-fold discipline
+    "q_clip_filter" ->
+      """WITH cap AS (
+        |  SELECT vec_id, embedding AS v,
+        |    CASE WHEN vec_id % 5 = 0 THEN list_reverse(embedding)
+        |      ELSE list_append(embedding[1:63], -embedding[64]) END AS c
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(generate_series(1, len(v)),
+        |      i -> cast(v[i] AS double) * cast(c[i] AS double)),
+        |      (acc, x) -> acc + x) AS d,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+        |      i -> cast(v[i] AS double) * cast(v[i] AS double)),
+        |      (acc, x) -> acc + x)) AS nv,
+        |    sqrt(list_reduce(list_transform(generate_series(1, len(c)),
+        |      i -> cast(c[i] AS double) * cast(c[i] AS double)),
+        |      (acc, x) -> acc + x)) AS nc
+        |  FROM cap
+        |)
+        |SELECT vec_id,
+        |  CASE WHEN nv * nc > 0 THEN d / (nv * nc) ELSE 0.0 END AS clip_score,
+        |  (CASE WHEN nv * nc > 0 THEN d / (nv * nc) ELSE 0.0 END) >= 0.5 AS kept
+        |FROM dots""".stripMargin,
+
     "q_media_audio" ->
       """WITH p AS (SELECT doc_id,
         |    doc_id % 6 AS fmt,
