@@ -3996,16 +3996,21 @@ object SparkEntry {
       val base = docs.select(col("doc_id"),
         graft.plans.TextExpressions.tokenStats(col("text"), Nil)
           .getField("n_tokens").as("n_tokens"))
+      // grams shuffle as 8-byte xxhash64 longs, not ~30-byte strings (the
+      // Dedup posting discipline): per-doc counts are key-identity-
+      // invariant, so the oracle's string-grouped counts match exactly
       def topCover(n: Int) =
         docs.select(col("doc_id"),
-            explode(Text.wordShinglesAll(col("text"), n)).as("sh"))
+            explode(transform(Text.wordShinglesAll(col("text"), n),
+              g => xxhash64(g))).as("sh"))
           .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg((max(col("c")) * n).as(s"_top$n"))
       val iw = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
       val prevMax = max(col("end"))
         .over(iw.rowsBetween(Window.unboundedPreceding, -1))
       val cover5 = docs.select(col("doc_id"),
-          posexplode(Text.wordShinglesAll(col("text"), 5)).as(Seq("pos", "sh")))
+          posexplode(transform(Text.wordShinglesAll(col("text"), 5),
+            g => xxhash64(g))).as(Seq("pos", "sh")))
         .withColumn("c",
           count(lit(1)).over(Window.partitionBy(col("doc_id"), col("sh"))))
         .filter(col("c") >= 2)
