@@ -458,20 +458,28 @@ object Profile {
         .select(col("c_custkey").as("dirty_id"),
           when(pmod(u20(concat(lit("fn:"), ck)), lit(3L)) === 0L, n1)
             .otherwise(n2).as("dirty_name"))
-      // optional args(2) = "lean": id-only blocking join (the disk-scale
-      // path — see EntityResolution.matchByEditDistanceLean)
-      val lean = args.drop(2).headOption.contains("lean")
+      // optional args(2): "lean" = distinct-name-grain blocking;
+      // "sliced[:S]" = lean in S bounded-scratch key-space passes
+      val variant = args.drop(2).headOption.getOrElse("eager")
       val t0 = System.nanoTime()
-      val matches =
-        if (lean) EntityResolution.matchByEditDistanceLean(
+      val matches = variant.split(":") match {
+        case Array("lean") => EntityResolution.matchByEditDistanceLean(
           dirty, "dirty_id", "dirty_name",
           canon, "c_custkey", "canon_name", maxDist = 2)
-        else EntityResolution.matchByEditDistance(
+        case Array("sliced", rest @ _*) =>
+          val s = rest.headOption.map(_.toInt).getOrElse(4)
+          EntityResolution.matchByEditDistanceSliced(
+            dirty, "dirty_id", "dirty_name",
+            canon, "c_custkey", "canon_name", maxDist = 2, slices = s,
+            scratchDir = java.nio.file.Files
+              .createTempDirectory("graft_fuzzy_sliced").toString)
+        case _ => EntityResolution.matchByEditDistance(
           dirty, "dirty_id", "dirty_name",
           canon, "c_custkey", "canon_name", maxDist = 2)
+      }
       val m = matches.groupBy().agg(
         count(lit(1)), countDistinct(col("dirty_id"))).head()
-      println(f"[fuzzy] zipf-names variant=${if (lean) "lean" else "eager"} " +
+      println(f"[fuzzy] zipf-names variant=$variant " +
         f"canon=$nCanon matches=${m.getLong(0)} " +
         f"dirty_matched=${m.getLong(1)} " +
         f"density=${m.getLong(0).toDouble / math.max(1L, m.getLong(1))}%.2f " +

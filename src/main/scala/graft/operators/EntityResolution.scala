@@ -153,4 +153,55 @@ object EntityResolution {
       .join(canon.select(col(canonIdCol), col(canonNameCol)), Seq(canonNameCol))
       .select(col(idCol), col(canonIdCol), col("edit_dist"))
   }
+
+  /** [[matchByEditDistanceLean]] in `slices` BOUNDED-SCRATCH passes — the
+    * grace-hash-join answer to the one-box disk bound (SURVEY §6 r14: the
+    * single-pass lean join at 15M names needs ≈150 GB of shuffle scratch;
+    * a box has what it has). The block-key space is hash-partitioned into
+    * `slices`; pass s shuffles ONLY keys with pmod(key, slices) = s — a
+    * 1/slices share of the volume, the explode itself is scan-side and
+    * free — verifies that slice's distinct name pairs, and materializes
+    * the verified pairs (output-sized, tiny) to `scratchDir`. Completeness:
+    * every shared key lands in exactly ONE slice, and one shared key
+    * witnesses the pair, so the union of per-slice verified pairs covers
+    * every ≤ maxDist pair; a pair sharing keys in several slices verifies
+    * in each and the final distinct collapses it. Peak scratch =
+    * single-pass ÷ slices (+ the verified-pair parquet). At cluster scale
+    * set slices = 1 (the shuffle spreads across executors); slices > 1 is
+    * the single-node / few-node mode.
+    */
+  def matchByEditDistanceSliced(dirty: DataFrame, idCol: String, nameCol: String,
+      canon: DataFrame, canonIdCol: String, canonNameCol: String,
+      maxDist: Int = 1, slices: Int = 4, scratchDir: String): DataFrame = {
+    require(slices >= 1, "need at least one slice")
+    val spark = dirty.sparkSession
+    def names(df: DataFrame, name: String, h: String): DataFrame =
+      df.select(col(name)).distinct()
+        .select(col(name), xxhash64(col(name)).as(h))
+    val dn = names(dirty, nameCol, "_ha")
+    val cn = names(canon, canonNameCol, "_hb")
+    def keyed(df: DataFrame, name: String, h: String, s: Int): DataFrame =
+      df.select(col(h),
+          explode(transform(deletionNeighborhood(col(name), maxDist),
+            k => xxhash64(k))).as("_bk"))
+        .filter(pmod(col("_bk"), lit(slices.toLong)) === s.toLong)
+    (0 until slices).foreach { s =>
+      keyed(dn, nameCol, "_ha", s)
+        .join(keyed(cn, canonNameCol, "_hb", s), "_bk")
+        .select(col("_ha"), col("_hb"))
+        .distinct()
+        .join(dn, Seq("_ha"))
+        .join(cn, Seq("_hb"))
+        .withColumn("edit_dist",
+          levenshtein(col(nameCol), col(canonNameCol), maxDist))
+        .where(col("edit_dist") >= 0)
+        .select(col(nameCol), col(canonNameCol), col("edit_dist"))
+        .write.mode("overwrite").parquet(s"$scratchDir/slice=$s")
+    }
+    spark.read.parquet(s"$scratchDir/slice=*")
+      .distinct() // a pair witnessed in several slices verified in each
+      .join(dirty.select(col(idCol), col(nameCol)), Seq(nameCol))
+      .join(canon.select(col(canonIdCol), col(canonNameCol)), Seq(canonNameCol))
+      .select(col(idCol), col(canonIdCol), col("edit_dist"))
+  }
 }

@@ -175,6 +175,29 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
+  test("sliced (bounded-scratch passes) variant is row-identical to the eager form") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdef"
+    def word(): String =
+      (0 until (4 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val canon = (1 to 70).map(i => (i.toLong, word())).distinct.toDF("cid", "cname")
+    val dirty = (1 to 70).map(i => (1000L + i, word())).distinct.toDF("did", "dname")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_er_sliced").toString
+    try {
+      val eager = EntityResolution.matchByEditDistance(
+          dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
+        .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)].collect().sorted.toSeq
+      val sliced = EntityResolution.matchByEditDistanceSliced(
+          dirty, "did", "dname", canon, "cid", "cname", maxDist = 2,
+          slices = 3, scratchDir = scratch)
+        .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(sliced == eager, "slicing the key space must not change the match set")
+      assert(eager.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    }
+  }
+
   test("plan: block keys shuffle as int64 hashes") {
     val canon = Seq((1L, "alpha"), (2L, "beta")).toDF("cid", "cname")
     val dirty = Seq((10L, "alpa")).toDF("did", "dname")
