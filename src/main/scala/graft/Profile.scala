@@ -39,7 +39,9 @@ object Profile {
         "q_ngram_lm", "q_mixture_sample", "q_dedup_canonical",
         "q_embed_quantize", "q_token_packing", "q_decontaminate",
         "q_card_sketch", "q_tfidf_terms", "q_segment_dedup", "q_chunk_overlap",
-        "q_sample_fixedk", "q_quantile_phase", "q_inverted_index").foreach { name =>
+        "q_sample_fixedk", "q_quantile_phase", "q_inverted_index",
+        "q_clip_filter", "q_epoch_shuffle", "q_rep_signals",
+        "q_context_order").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
