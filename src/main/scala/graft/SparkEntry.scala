@@ -4183,6 +4183,39 @@ object SparkEntry {
           col("chunk_offset"), col("chunk_seq"))
     }),
 
+    // §2#42d INCREMENTAL ICP layout — the production mode of
+    // q_context_order (the q_semdedup_incremental discipline): the
+    // quantizer trains ONCE on the base corpus and persists; a new doc
+    // batch (~20 %) is assigned into the EXISTING cells scan-side
+    // (n_batch·2√k folds, zero shuffle) and packed AFTER each cell's
+    // base stream — chunk offsets continue from the cell's base token
+    // total, so already-written context windows never move. Output =
+    // the batch increment only. Oracle replays the base-trained
+    // trajectory and the batch's coarse→sub argmin chain.
+    "q_context_order_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      val k = math.max(8L, (base.count() + 1023L) / 1024L).toInt
+      val model = KMeans.twoLevelModel(base, "vec_id", "embedding", k, iters = 2)
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id").as("vec_id"),
+        graft.plans.TextExpressions.tokenStats(col("text"), Nil)
+          .getField("n_tokens").as("n_tokens"))
+      val baseTotals = KMeans.assignTwoLevel(base, "vec_id", "embedding", model)
+        .join(toks, Seq("vec_id"))
+        .groupBy(col("cell")).agg(sum(col("n_tokens")).as("_base_tok"))
+      val batchAsg = KMeans.assignTwoLevel(batch, "vec_id", "embedding", model)
+        .join(toks, Seq("vec_id"))
+      Packing.packChunksBy(batchAsg, "n_tokens", budgetTokens = 512L,
+          shardCol = col("cell"), orderCols = Seq(col("dist2"), col("vec_id")))
+        .join(baseTotals, Seq("cell"), "left")
+        .withColumn("_off", col("chunk_offset") + coalesce(col("_base_tok"), lit(0L)))
+        .select(col("vec_id"), col("ccell"), col("cell"), col("n_tokens"),
+          col("_off").as("chunk_offset"),
+          expr("_off div 512").as("chunk_seq"))
+    }),
+
     // §2#36b inverted index with capped postings: exact df per token, the
     // 50 smallest doc ids kept through bounded heaps (hot tokens never
     // sort their corpus-sized postings), truncation flagged
@@ -5923,6 +5956,57 @@ object SparkEntry {
          |  cast(cum - n_tokens AS bigint) AS chunk_offset,
          |  cast((cum - n_tokens) // 512 AS bigint) AS chunk_seq
          |FROM c""".stripMargin),
+
+    // incremental ICP: base-trained two-level replay; the batch's
+    // coarse→sub argmin chain is the q_semdedup_incremental pattern,
+    // offsets continue from each cell's base token total
+    "q_context_order_inc" -> (
+      s"""WITH ${kMeans2Ctes(
+             "SELECT greatest(8, (count(*) + 1023) // 1024) FROM embeddings" +
+               " WHERE vec_id % 5 <> 0",
+             "vec_id % 5 <> 0")},
+         |toks AS (SELECT doc_id AS vec_id,
+         |    cast(len($TokSql) AS bigint) AS n_tokens FROM documents),
+         |icb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |  FROM embeddings WHERE vec_id % 5 = 0
+         |), icd AS (
+         |  SELECT e.vec_id, s.cell,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+         |  FROM icb e, w2 s
+         |), ica AS (
+         |  SELECT vec_id, cell AS ccell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM icd)
+         |  WHERE rn = 1
+         |), icsd AS (
+         |  SELECT e.vec_id, ica.ccell, s.cell,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.v) + 1),
+         |        i -> (e.v[i] - s.w[i]) * (e.v[i] - s.w[i]))), (acc, x) -> acc + x) AS d2
+         |  FROM icb e JOIN ica ON e.vec_id = ica.vec_id
+         |  JOIN sw2 s ON s.ccell = ica.ccell
+         |), icsa AS (
+         |  SELECT vec_id, ccell, cell, d2 FROM (SELECT vec_id, ccell, cell, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM icsd)
+         |  WHERE rn = 1
+         |), icbt AS (
+         |  SELECT saf.cell, sum(toks.n_tokens) AS basetok
+         |  FROM saf JOIN toks USING (vec_id) GROUP BY 1
+         |), icj AS (
+         |  SELECT icsa.vec_id, icsa.ccell, icsa.cell, icsa.d2, toks.n_tokens
+         |  FROM icsa JOIN toks USING (vec_id)
+         |), icc AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY cell
+         |    ORDER BY d2, vec_id ROWS UNBOUNDED PRECEDING) AS cum FROM icj
+         |)
+         |SELECT icc.vec_id, icc.ccell, icc.cell, icc.n_tokens,
+         |  cast(icc.cum - icc.n_tokens + coalesce(icbt.basetok, 0) AS bigint)
+         |    AS chunk_offset,
+         |  cast((icc.cum - icc.n_tokens + coalesce(icbt.basetok, 0)) // 512
+         |    AS bigint) AS chunk_seq
+         |FROM icc LEFT JOIN icbt ON icc.cell = icbt.cell""".stripMargin),
 
     "q_inverted_index" -> (
       s"""WITH p AS (SELECT DISTINCT doc_id, token FROM
