@@ -544,7 +544,14 @@ object SparkEntry {
     * inlines CTEs exponentially otherwise (the r11 tokenizer-chain
     * lesson). */
   private lazy val knnGraphOracleSql: String = {
-    val (degree, beam, hops, entries, k, rounds) = (16, 8, 4, 4, 5, 2)
+    val (hops, entries, k, rounds) = (4, 4, 5, 2)
+    // Similarity.degreeFor/beamFor replayed in integer SQL: growth =
+    // 16·2^(decades ≥ 1e5, capped at 4 doublings), then the largest
+    // halving 16·2^j ≤ growth that fits the n·d² ≤ 2³¹ build budget
+    // (halving satisfaction is monotone in d, so max == the Scala loop's
+    // first-fit); beam follows the degree above the base (beamFor)
+    val degree = "(SELECT d FROM degs)"
+    val beam = "(SELECT bm FROM degs)"
     def cos(va: String, na: String, vb: String, nb: String) =
       s"""CASE WHEN $na * $nb > 0 THEN
          |      list_reduce(list_prepend(cast(0.0 AS double),
@@ -564,6 +571,16 @@ object SparkEntry {
          |fbits AS (SELECT coalesce((SELECT min(b)
          |    FROM (SELECT unnest(range(1, 20)) AS b) t, nn
          |    WHERE 96 * (1 << b) >= nn.n), 20) AS fb),
+         |degs AS (SELECT d, CASE WHEN d > 16 THEN d ELSE 8 END AS bm FROM (
+         |  SELECT coalesce((SELECT max(dg // (1 << j))
+         |      FROM (SELECT 16 * (1 << (CASE WHEN n >= 100000 THEN 1 ELSE 0 END
+         |          + CASE WHEN n >= 1000000 THEN 1 ELSE 0 END
+         |          + CASE WHEN n >= 10000000 THEN 1 ELSE 0 END
+         |          + CASE WHEN n >= 100000000 THEN 1 ELSE 0 END)) AS dg, n
+         |        FROM nn) g, (SELECT unnest(range(0, 5)) AS j) js
+         |      WHERE dg // (1 << j) >= 16
+         |        AND n * (dg // (1 << j)) * (dg // (1 << j)) <= 2147483648),
+         |    16) AS d)),
          |${planes("pl", 42L * 83492791L, "(SELECT fb FROM fbits)")},
          |${planes("cpl", 43L * 83492791L, "(SELECT greatest(1, fb // 2) FROM fbits)")},
          |emb AS MATERIALIZED (SELECT vec_id, embedding,
@@ -2655,11 +2672,14 @@ object SparkEntry {
     // Similarity.nswIndex for the written decision against literal
     // HNSW's serial insertion): LSH-seeded kNN graph refined by 2
     // NN-DESCENT rounds (Dong et al. 2011, the published bulk-parallel
-    // construction), degree 16 (HNSW's production M), coarse-bucket
-    // smallest-id hubs as the flattened level hierarchy, query-LOCAL
-    // entry at the probe's own coarse bucket's hubs; 4-hop beam-8
-    // search. Per-probe candidates scored ≤ entries + degree + hops·
-    // beam·2·degree = 1044 — O(1) in corpus size vs IVF's corpus
+    // construction), degree DERIVED from the corpus size (degreeFor —
+    // HNSW's M at 16 below the measured 1e5-row collapse boundary,
+    // doubling per decade above it under the n·degree² build budget;
+    // the oracle replays the same integer rule from its own count(*)),
+    // coarse-bucket smallest-id hubs as the flattened level hierarchy,
+    // query-LOCAL entry at the probe's own coarse bucket's hubs; 4-hop
+    // search at beamFor(degree). Per-probe candidates scored ≤ entries
+    // + degree + hops·beam·2·degree — O(1) in corpus size vs IVF's corpus
     // fraction, at HIGHER measured recall (sf1: 0.50 vs IVF 0.35 on
     // 2.4× more candidates — SURVEY §6). The ENTIRE pipeline — buckets,
     // hubs, descent rounds, every beam hop — is integer/IEEE
@@ -4888,8 +4908,6 @@ object SparkEntry {
           cellUdeg = 250000L, radiusUdeg = 250000L)
         .select(col("id_a"), col("id_b"), col("d2"))),
 
-    // §2#54b z-order (Morton) layout: bit-interleaved cell keys + the
-    // range-bucket assignment a layout write would partition by — the
     // §2#47d deterministic multi-epoch training-order shuffle — the
     // data-loader layout contract (WebDataset/tf.data shard-shuffle
     // discipline as a query): every (doc, epoch) gets a (shard, pos)
@@ -4897,12 +4915,20 @@ object SparkEntry {
     // whole assignment a pure function of (id, epoch, seed) — resumable
     // from any step and regenerable on any cluster size with zero
     // coordination. Portable md5 draws; one window per (epoch, shard),
-    // no global ordering (operators/Layout.scala; permutation and
-    // epoch-independence properties spec-pinned)
-    "q_epoch_shuffle" -> ((s, dir) =>
-      Layout.epochShuffle(Tables.documents(s, dir).select(col("doc_id")),
-        "doc_id", epochs = 3, shards = 8)),
+    // with the shard count DERIVED from the corpus (Layout.shardsFor —
+    // ceil(n/target), floored at 8) so each window sorts a bounded
+    // ~target-row slice at any corpus size instead of an O(N/8) global-
+    // sort shape; no global ordering (operators/Layout.scala; permutation,
+    // epoch-independence and shard-rule properties spec-pinned). The
+    // oracle derives the identical shard count from its own count(*).
+    "q_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      Layout.epochShuffle(docs, "doc_id", epochs = 3,
+        shards = Layout.shardsFor(docs.count()))
+    }),
 
+    // §2#54b z-order (Morton) layout: bit-interleaved cell keys + the
+    // range-bucket assignment a layout write would partition by — the
     // file-skipping device (Delta/Iceberg ZORDER BY) as pure int64
     // arithmetic, zero shuffle (operators/Layout.scala; the bbox-tightness
     // claim vs a single-column layout is spec-proven)
@@ -6571,16 +6597,20 @@ object SparkEntry {
     },
 
     // epoch shuffle: the same md5 20-bit draw chain as the Spark side,
-    // positions from the identical (key, id)-ordered window
+    // positions from the identical (key, id)-ordered window; the shard
+    // count replays Layout.shardsFor from the oracle's own count(*)
     "q_epoch_shuffle" -> (
-      s"""WITH e AS (SELECT doc_id, unnest(range(0, 3)) AS ep FROM documents),
+      s"""WITH ns AS (SELECT greatest(8, (count(*) + 8191) // 8192) AS sh
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(range(0, 3)) AS ep FROM documents),
          |k AS (SELECT doc_id, ep, ${graft.sources.ZipfCorpus.u20Sql(
              "CAST(doc_id AS varchar) || ':ep:' || CAST(ep AS varchar)")} AS key
-         |  FROM e)
-         |SELECT doc_id, CAST(ep AS bigint) AS epoch, key % 8 AS shard,
-         |  CAST(row_number() OVER (PARTITION BY ep, key % 8
+         |  FROM e),
+         |ks AS (SELECT doc_id, ep, key, key % ns.sh AS shard FROM k, ns)
+         |SELECT doc_id, CAST(ep AS bigint) AS epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY ep, shard
          |    ORDER BY key, doc_id) AS bigint) AS pos
-         |FROM k""".stripMargin),
+         |FROM ks""".stripMargin),
 
     // z-order: the same mask-doubling Morton spread as int64 literals
     "q_zorder" -> {

@@ -148,9 +148,14 @@ object EntityResolution {
         levenshtein(col(nameCol), col(canonNameCol), maxDist))
       .where(col("edit_dist") >= 0)
       .select(col(nameCol), col(canonNameCol), col("edit_dist"))
+    // the join-back projections are distinct'd: the eager form's distinct
+    // collapses exactly-duplicate (id, name) input rows, and row-identity
+    // with it (the spec's contract) requires the id expansion to do the
+    // same — the distinct is id-grain, output-sized, not corpus-sized
     verified
-      .join(dirty.select(col(idCol), col(nameCol)), Seq(nameCol))
-      .join(canon.select(col(canonIdCol), col(canonNameCol)), Seq(canonNameCol))
+      .join(dirty.select(col(idCol), col(nameCol)).distinct(), Seq(nameCol))
+      .join(canon.select(col(canonIdCol), col(canonNameCol)).distinct(),
+        Seq(canonNameCol))
       .select(col(idCol), col(canonIdCol), col("edit_dist"))
   }
 
@@ -175,6 +180,15 @@ object EntityResolution {
       maxDist: Int = 1, slices: Int = 4, scratchDir: String): DataFrame = {
     require(slices >= 1, "need at least one slice")
     val spark = dirty.sparkSession
+    // this pass OWNS scratchDir: stale slice=N directories from a prior
+    // run with a different slice count (or different inputs) would be
+    // silently unioned into the result by the slice=* read below, so the
+    // directory is cleared before the first pass writes
+    locally {
+      val p = new org.apache.hadoop.fs.Path(scratchDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     def names(df: DataFrame, name: String, h: String): DataFrame =
       df.select(col(name)).distinct()
         .select(col(name), xxhash64(col(name)).as(h))
@@ -200,8 +214,11 @@ object EntityResolution {
     }
     spark.read.parquet(s"$scratchDir/slice=*")
       .distinct() // a pair witnessed in several slices verified in each
-      .join(dirty.select(col(idCol), col(nameCol)), Seq(nameCol))
-      .join(canon.select(col(canonIdCol), col(canonNameCol)), Seq(canonNameCol))
+      // distinct'd join-back: row-identity with the eager form on inputs
+      // carrying exactly-duplicate (id, name) rows (same as the lean path)
+      .join(dirty.select(col(idCol), col(nameCol)).distinct(), Seq(nameCol))
+      .join(canon.select(col(canonIdCol), col(canonNameCol)).distinct(),
+        Seq(canonNameCol))
       .select(col(idCol), col(canonIdCol), col("edit_dist"))
   }
 }

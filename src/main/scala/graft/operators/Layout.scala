@@ -68,6 +68,20 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .drop("_z")
 
+  /** Shard count for [[epochShuffle]] derived from the corpus size:
+    * ceil(n / targetPerShard), floored at `minShards`. A pinned shard
+    * count makes each (epoch, shard) window sort an O(N/shards) slice —
+    * a global-sort scale shape; deriving it keeps every window's sort
+    * bounded at ~targetPerShard rows at any corpus size (the ICP k rule,
+    * [[graft.operators.Packing]]). Integer arithmetic only, so an
+    * external SQL engine derives the identical count from its own
+    * count(*).
+    */
+  def shardsFor(n: Long, targetPerShard: Long = 8192L, minShards: Int = 8): Int = {
+    require(targetPerShard > 0 && minShards > 0)
+    math.max(minShards.toLong, (n + targetPerShard - 1) / targetPerShard).toInt
+  }
+
   /** Deterministic multi-epoch training-order shuffle — the data-loader
     * layout contract: every (document, epoch) pair gets a (shard, pos)
     * placement such that reading each shard in pos order replays the

@@ -333,6 +333,45 @@ object Similarity {
   // Graph ANN — the HNSW family, rebuilt data-parallel
   // ------------------------------------------------------------------
 
+  /** Graph degree derived from corpus size — the measured parameter rule
+    * (SURVEY §6 r14 sweep) as CODE instead of scaladoc: recall is flat in
+    * the walk parameters and binding in GRAPH quality, and the measured
+    * quality lever is degree (sf10 uniform: degree 16 → 32 lifted
+    * recall@5 0.100 → 0.225–0.300 where an 8× walk budget moved nothing;
+    * r13 measured the same 2× from 8 → 16 at sf1). So degree DOUBLES per
+    * decade above the 1e5-row class where the collapse was measured —
+    * HNSW's scale-M-with-log-N guidance — capped at 256.
+    *
+    * The growth is gated by `buildBudget`: each NN-descent round scores
+    * ≈ n·degree² candidate pairs (the build's only superlinear knob), and
+    * the rule halves degree until n·degree² fits. The default budget
+    * (2³¹ ≈ 2.1e9 candidate rows/round) is the single-box setting that
+    * keeps the sf100-class build tractable; on a real cluster pass a
+    * budget ∝ executor count to follow the log-N rule further. Floor =
+    * `base`: past the budget the honest uniform-corpus retrieval paths
+    * are brute force or IVF's bounded scan fraction (nswIndex scaladoc).
+    *
+    * Integer arithmetic only — the q_knn_graph oracle derives the
+    * identical degree from its own count(*).
+    */
+  def degreeFor(n: Long, base: Int = 16, buildBudget: Long = 1L << 31): Int = {
+    require(n > 0 && base > 0 && buildBudget > 0)
+    var d = base
+    var decade = 100000L
+    while (decade <= n && d < 256) { d *= 2; decade *= 10 }
+    while (d > base && n * d.toLong * d > buildBudget) d /= 2
+    d
+  }
+
+  /** Beam width derived from the degree: at the base degree the walk is
+    * measured flat in beam (8 suffices at every corpus size swept); at
+    * scaled-up degrees the beam becomes the lever again (sf10 uniform,
+    * degree 32: beam 8 → 32 lifted recall 0.225 → 0.300), so the beam
+    * follows the degree. Search cost stays O(1) per probe:
+    * entries + degree + hops·beam·2·degree. */
+  def beamFor(degree: Int, base: Int = 8): Int =
+    if (degree > 16) degree else base
+
   /** A built graph-ANN index: `near` = the degree-bounded refined kNN
     * adjacency (src, dst, cosine); `longEdges` = node → its coarse-bucket
     * hubs (the flattened HNSW upper layer); `hubs` = (cbk, hub) for
@@ -391,8 +430,11 @@ object Similarity {
     * 0.100 → 0.225–0.300 where no walk budget moved it at all; r13
     * measured the same 2× from degree 8 → 16 at sf1) and `refineRounds`
     * (the raw LSH seed graph saturates at 0.20 regardless of the walk).
-    * So: scale DEGREE with log N — HNSW's M guidance — and keep the walk
-    * budget fixed; build cost grows as N·degree² per NN-descent round
+    * So: scale DEGREE with log N — HNSW's M guidance, implemented as
+    * [[degreeFor]] (doubling per decade above 1e5 rows under an
+    * n·degree² build budget; [[knnGraph]] applies it by default) — and
+    * keep the walk budget fixed up to the beam-follows-degree rule
+    * ([[beamFor]]); build cost grows as N·degree² per NN-descent round
     * (the offline persist-once leg), search stays O(1) per probe. Corpus
     * shape bounds what any parameter buys: on clustered (production)
     * corpora recall holds ~0.83–0.98 across decades at fixed degree 16;
@@ -552,11 +594,14 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Graph ANN end to end: derive the fine bucket width from the corpus
-    * size (ONE scalar count — the same bounded-collect class as the IVF
-    * centroid trainer), build the NSW index, beam-search the probes. At
-    * cluster scale the index persists once and serves every query batch;
-    * localCheckpoint inside the build is the single-session equivalent.
+  /** Graph ANN end to end: derive the fine bucket width AND the graph
+    * degree/beam from the corpus size (ONE scalar count — the same
+    * bounded-collect class as the IVF centroid trainer; [[degreeFor]] /
+    * [[beamFor]] are the measured parameter rule), build the NSW index,
+    * beam-search the probes. Pass `degree`/`beam` > 0 to override the
+    * rule (the sweep/spec path). At cluster scale the index persists once
+    * and serves every query batch; localCheckpoint inside the build is
+    * the single-session equivalent.
     */
   def knnGraph(
       corpus: DataFrame,
@@ -566,18 +611,21 @@ object Similarity {
       probeIdCol: String,
       probeVecCol: String,
       k: Int,
-      degree: Int = 16, // HNSW's production M; measured best recall/candidate
-      beam: Int = 8,
+      degree: Int = 0, // 0 = derive from corpus size (degreeFor)
+      beam: Int = 0, // 0 = derive from the degree (beamFor)
       hops: Int = 4,
       entries: Int = 4,
       refineRounds: Int = 2,
       targetBucket: Long = 96L,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val fineBits = bandBitsFor(math.max(corpus.count(), 1L), targetBucket)
-    val index = nswIndex(corpus, idCol, vecCol, degree, fineBits, refineRounds, dim, seed)
+    val n = math.max(corpus.count(), 1L)
+    val fineBits = bandBitsFor(n, targetBucket)
+    val deg = if (degree > 0) degree else degreeFor(n)
+    val bm = if (beam > 0) beam else math.max(k, beamFor(deg))
+    val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim, seed)
     knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
-      k, beam, hops, entries, dim)
+      k, bm, hops, entries, dim)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.

@@ -161,8 +161,13 @@ class EntityResolutionSpec extends SparkSpec {
     val alphabet = "abcdef"
     def word(): String =
       (0 until (4 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    val canon = (1 to 80).map(i => (i.toLong, word())).distinct.toDF("cid", "cname")
-    val dirty = (1 to 80).map(i => (1000L + i, word())).distinct.toDF("did", "dname")
+    // exactly-duplicate (id, name) rows included on BOTH sides: the eager
+    // form's distinct collapses them, and row-identity requires the lean
+    // id expansion to collapse them too (the r14 advice finding)
+    val canonRows = (1 to 80).map(i => (i.toLong, word())).distinct
+    val dirtyRows = (1 to 80).map(i => (1000L + i, word())).distinct
+    val canon = (canonRows ++ canonRows.take(7)).toDF("cid", "cname")
+    val dirty = (dirtyRows ++ dirtyRows.take(9)).toDF("did", "dname")
     for (d <- Seq(1, 2)) {
       val eager = EntityResolution.matchByEditDistance(
           dirty, "did", "dname", canon, "cid", "cname", maxDist = d)
@@ -180,10 +185,19 @@ class EntityResolutionSpec extends SparkSpec {
     val alphabet = "abcdef"
     def word(): String =
       (0 until (4 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    val canon = (1 to 70).map(i => (i.toLong, word())).distinct.toDF("cid", "cname")
-    val dirty = (1 to 70).map(i => (1000L + i, word())).distinct.toDF("did", "dname")
+    val canonRows = (1 to 70).map(i => (i.toLong, word())).distinct
+    val dirtyRows = (1 to 70).map(i => (1000L + i, word())).distinct
+    val canon = (canonRows ++ canonRows.take(5)).toDF("cid", "cname")
+    val dirty = (dirtyRows ++ dirtyRows.take(5)).toDF("did", "dname")
     val scratch = java.nio.file.Files.createTempDirectory("graft_er_sliced").toString
     try {
+      // stale-scratch guard (the r14 advice finding): pre-seed the scratch
+      // dir with a slice directory a PREVIOUS larger-slice-count run would
+      // have left behind; the pass must clear it, not union it in
+      Seq((999999L, 999999L, 0)).toDF("did", "cid", "edit_dist")
+        .withColumn("dname", lit("stale")).withColumn("cname", lit("stale"))
+        .select($"dname", $"cname", $"edit_dist")
+        .write.parquet(s"$scratch/slice=7")
       val eager = EntityResolution.matchByEditDistance(
           dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
         .select($"did", $"cid", $"edit_dist").as[(Long, Long, Int)].collect().sorted.toSeq

@@ -81,6 +81,26 @@ class KnnGraphSpec extends SparkSpec {
       s"planted near-duplicate must be rank 1, got ${top.map(_.getLong(1)).mkString(",")}")
   }
 
+  test("degreeFor: the measured log-N rule under the n·degree² build budget") {
+    // below the measured 1e5-row collapse boundary: HNSW's production M
+    assert(Similarity.degreeFor(500L) == 16)
+    assert(Similarity.degreeFor(99999L) == 16)
+    // the sf10 measurement: degree 32 recovers recall 0.10 → 0.225-0.30
+    assert(Similarity.degreeFor(100000L) == 32)
+    assert(Similarity.degreeFor(200000L) == 32)
+    // sf100-class: growth says 64, the default 2^31 budget halves it back
+    // (2e6·64² ≈ 8.2e9 > 2^31; 2e6·32² ≈ 2.0e9 fits)
+    assert(Similarity.degreeFor(2000000L) == 32)
+    // a cluster-sized budget follows the log-N rule further
+    assert(Similarity.degreeFor(2000000L, buildBudget = 1L << 34) == 64)
+    // budget floor: degree never drops below base
+    assert(Similarity.degreeFor(100000000L) == 16)
+    // beam follows the degree above the base (measured: at degree 32 the
+    // beam is the lever again, 0.225 → 0.300 from beam 8 → 32)
+    assert(Similarity.beamFor(16) == 8)
+    assert(Similarity.beamFor(32) == 32)
+  }
+
   test("NN-descent rounds do not lose recall vs the raw LSH seed graph") {
     val emb = corpus(800, 6, seed = 23L)
     val probes = emb.filter(col("vec_id") < 8)

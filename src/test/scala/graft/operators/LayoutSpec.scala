@@ -87,6 +87,18 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("shardsFor: shard count tracks the corpus so window sorts stay bounded") {
+    // floor: small corpora keep the minimum shard fan-out
+    assert(Layout.shardsFor(500L) == 8)
+    assert(Layout.shardsFor(8192L * 8) == 8)
+    // above the floor: ceil(n / target) — each (epoch, shard) window sorts
+    // ~target rows at any corpus size (no O(N/shards) global-sort shape)
+    assert(Layout.shardsFor(8192L * 8 + 1) == 9)
+    assert(Layout.shardsFor(500000L) == 62)
+    assert(Layout.shardsFor(5000000L) == 611)
+    intercept[IllegalArgumentException] { Layout.shardsFor(10L, 0L) }
+  }
+
   test("epochShuffle: epochs are independent orders; the assignment is deterministic") {
     val docs = (0L until 300L).toDF("doc_id")
     def order(e: Long) = Layout.epochShuffle(docs, "doc_id", 2, 4)
