@@ -490,6 +490,32 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "bpedocs") {
+      // doc-grain byte tokenization at scale: the single-pass form's
+      // collect_list exchange carries the corpus's whole hex-token volume
+      // (spill-bound at sf100 — §6 r13: 181.9 s, 14.4×/decade); the sliced
+      // form bounds peak shuffle scratch at 1/slices. args: (2) slices
+      // (0 = single-pass), e.g. `Profile /tmp/sf100 bpedocs 4`
+      import graft.operators.Bpe
+      val slices = args.drop(2).headOption.map(_.toInt).getOrElse(0)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainBytes(docs, "text", m = 8)
+      println(f"[bpedocs] train m=8 ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val out =
+        if (slices <= 0) Bpe.docByteTokens(docs, "doc_id", "text", merges)
+        else Bpe.docByteTokensSliced(docs, "doc_id", "text", merges, slices,
+          scratchDir = java.nio.file.Files
+            .createTempDirectory("graft_bpedocs_sliced").toString)
+      val agg = out.agg(count(lit(1)), sum(col("n_tokens"))).head()
+      println(f"[bpedocs] variant=${if (slices <= 0) "single" else s"sliced-$slices"} " +
+        f"docs=${agg.getLong(0)} tokens=${agg.getLong(1)} " +
+        f"wall=${(System.nanoTime() - t1) / 1e9}%.1fs")
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "graphrecall") {
       // Graph-ANN recall vs the exact brute-force top-k on the same two
       // corpora as the `recall` mode (uniform = the adversarial floor,
@@ -500,8 +526,9 @@ object Profile {
       // (candidates scored per probe ≈ entries + degree + hops·beam·
       // 2·degree stays O(1) in N either way).
       import graft.operators.Similarity
-      // optional args: (2) degree override, (3) corpus filter
-      val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(16)
+      // optional args: (2) degree override (0 = the degreeFor rule),
+      // (3) corpus filter
+      val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(0)
       val corpusFilter = args.drop(3).headOption
       def runGraphRecall(corpus: String, emb: org.apache.spark.sql.DataFrame): Unit = {
         if (corpusFilter.exists(_ != corpus)) return
@@ -515,7 +542,7 @@ object Profile {
         val exact = pairs(Similarity.knnBruteForce(
           emb, probes, "vec_id", "embedding", "vec_id", "embedding", k))
         println(f"[graphrecall] $corpus n=$n brute ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        val degree = degreeArg
+        val degree = if (degreeArg > 0) degreeArg else Similarity.degreeFor(n)
         val bits = Similarity.bandBitsFor(n, 96)
         val t1 = System.nanoTime()
         val index = Similarity.nswIndex(emb, "vec_id", "embedding",
@@ -523,7 +550,9 @@ object Profile {
         index.near.count() // force the build before timing searches
         println(f"[graphrecall] $corpus index build ${(System.nanoTime() - t1) / 1e9}%.1fs " +
           s"(degree=$degree fineBits=$bits)")
-        for ((beam, hops) <- Seq((8, 4), (16, 4), (8, 6), (16, 6), (32, 6), (32, 8))) {
+        // (beamFor(degree), 4) first — the rule's own default walk point
+        for ((beam, hops) <- (Seq((Similarity.beamFor(degree), 4),
+            (8, 4), (16, 4), (8, 6), (16, 6), (32, 6), (32, 8))).distinct) {
           val t2 = System.nanoTime()
           val got = pairs(Similarity.knnGraphSearch(index, emb, probes,
             "vec_id", "embedding", "vec_id", "embedding",
