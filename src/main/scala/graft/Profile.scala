@@ -490,6 +490,52 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "streamfloor") {
+      // decompose the ~2.5-3 s fixed cost every q_stream_* gate pays
+      // (r14 verdict #6): writeOrdered harness leg vs the streaming
+      // query's own micro-batch machinery, with per-batch durationMs
+      // from the engine's own progress events. Two consecutive runs in
+      // the SAME session separate one-time session warm-up (codegen,
+      // state-store provider classes) from the per-query floor.
+      import graft.streaming.{FileReplay, StreamBucketAgg}
+      val events = Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"))
+      for (round <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_streamfloor_$round").toString
+        FileReplay.writeOrdered(events, Seq("ts"), 6, dir)
+        val tWrite = (System.nanoTime() - t0) / 1e9
+        val stream = FileReplay.stream(spark, dir, spark.read.parquet(dir).schema)
+        val buckets = StreamBucketAgg.tumbling(
+          stream, Seq("event_type"), "ts", "15 minutes", "0 seconds",
+          Seq(sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")))
+        val t1 = System.nanoTime()
+        val q = buckets.writeStream.format("memory")
+          .queryName(s"streamfloor_$round").outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val tQuery = (System.nanoTime() - t1) / 1e9
+        val prog = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+          .recentProgress
+        q.stop()
+        println(f"[streamfloor] round=$round writeOrdered=$tWrite%.2fs " +
+          f"query=$tQuery%.2fs batches=${prog.length}")
+        prog.foreach { p =>
+          val d = p.durationMs
+          def g(k: String) = Option(d.get(k)).map(_.longValue).getOrElse(-1L)
+          println(s"[streamfloor]   batch=${p.batchId} trigger=${g("triggerExecution")}ms " +
+            s"plan=${g("queryPlanning")}ms addBatch=${g("addBatch")}ms " +
+            s"getBatch=${g("getBatch")}ms wal=${g("walCommit")}ms " +
+            s"offsets=${g("commitOffsets")}ms rows=${p.numInputRows}")
+        }
+        FileReplay.deleteRecursively(new java.io.File(dir))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "bpedocs") {
       // doc-grain byte tokenization at scale: the single-pass form's
       // collect_list exchange carries the corpus's whole hex-token volume

@@ -295,6 +295,23 @@ object KMeans {
     *
     * Model size: coarse k1·D + sub ≈ k·D parameter doubles on the driver —
     * the same bounded-collect discipline as [[lloydModel]].
+    *
+    * SCALING BOUND (the r15 written decision on the Θ(n^1.5) assignment):
+    * with the k = n/1024 contract, n·2√k folds = n^1.5/16 — superlinear.
+    * Fitting wall = a·n + b·n^1.5 to the measured decade (sf10 19.4 s at
+    * n=2e5, sf100 222.1 s at n=2e6; re-pointed r15) gives a ≈ 9.1e-5 s/row,
+    * b ≈ 1.45e-8: the fold term is ~13 % of the sf100 wall and reaches
+    * PARITY with the linear scan term only at n = (a/b)² ≈ 4e7 vectors —
+    * an sf2000-class corpus on one box, and on a cluster the same folds
+    * spread across executors (the term is scan-side, zero shuffle). The
+    * decision: two levels stay; past that break-even the mechanical
+    * extension is a THIRD level (n·3·k^{1/3} folds, decade exponent 4/3
+    * instead of 3/2 — fold-count break-even vs two levels is k ≈ 11, but
+    * each level adds a full trained trajectory to the oracle replay and a
+    * k^{1/3}-ary tree only pays once the fold term dominates), exactly as
+    * this construction nests [[lloydModel]] inside coarse cells. A fixed-k
+    * contract instead would break the bounded-cell-size guarantee
+    * SemDeDup's per-cell pair join relies on (cells grow O(n/k)).
     */
   def twoLevelModel(
       df: DataFrame,
