@@ -543,7 +543,17 @@ object SparkEntry {
     * MATERIALIZED: best_h is referenced three times per hop and DuckDB
     * inlines CTEs exponentially otherwise (the r11 tokenizer-chain
     * lesson). */
-  private lazy val knnGraphOracleSql: String = {
+  private lazy val knnGraphOracleSql: String =
+    knnGraphOracleSqlFor("TRUE", "vec_id < 8")
+
+  /** The same replay with the INDEX side and the PROBE side as separate
+    * predicates over `embeddings` — q_knn_graph passes (TRUE, vec_id < 8)
+    * (probes ⊂ corpus), q_knn_graph_inc (vec_id >= 8, vec_id < 8) (the
+    * incremental twin: batch probes a corpus-only index). Probe coarse
+    * buckets are computed by their own plane chain, which for probes ⊂
+    * corpus is identical to reading them off `base`. Degree/fineBits
+    * derive from the CORPUS count, matching Similarity.knnGraph. */
+  private def knnGraphOracleSqlFor(corpusWhere: String, probeWhere: String): String = {
     val (hops, entries, k, rounds) = (4, 4, 5, 2)
     // Similarity.degreeFor/beamFor replayed in integer SQL: growth =
     // 16·2^(decades ≥ 1e5, capped at 4 doublings), then the largest
@@ -567,7 +577,7 @@ object SparkEntry {
          |  FROM (SELECT unnest(range(0, $bitsExpr)) AS p))""".stripMargin
     val sb = new StringBuilder
     sb.append(
-      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings WHERE $corpusWhere),
          |fbits AS (SELECT coalesce((SELECT min(b)
          |    FROM (SELECT unnest(range(1, 20)) AS b) t, nn
          |    WHERE 96 * (1 << b) >= nn.n), 20) AS fb),
@@ -588,7 +598,7 @@ object SparkEntry {
          |      list_transform(range(1, len(embedding) + 1),
          |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
          |      (acc, x) -> acc + x)) AS nv
-         |  FROM embeddings),
+         |  FROM embeddings WHERE $corpusWhere),
          |fd AS (SELECT e.vec_id, pl.p,
          |    list_reduce(list_prepend(cast(0.0 AS double),
          |      list_transform(range(1, len(e.embedding) + 1),
@@ -643,8 +653,22 @@ object SparkEntry {
          |adjs AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM near$rounds
          |  UNION ALL SELECT id AS src, hub AS dst FROM hp)),
-         |pr AS MATERIALIZED (SELECT vec_id AS probe_id, embedding AS pv, nv AS pn, cbk
-         |  FROM base WHERE vec_id < 8),
+         |pemb AS (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(embedding) + 1),
+         |        i -> cast(embedding[i] AS double) * cast(embedding[i] AS double))),
+         |      (acc, x) -> acc + x)) AS nv
+         |  FROM embeddings WHERE $probeWhere),
+         |pcd AS (SELECT e.vec_id, cpl.p,
+         |    list_reduce(list_prepend(cast(0.0 AS double),
+         |      list_transform(range(1, len(e.embedding) + 1),
+         |        i -> cast(e.embedding[i] AS double) * cpl.w[i])), (acc, x) -> acc + x) AS dp
+         |  FROM pemb e, cpl),
+         |pcc AS (SELECT vec_id, cast(sum(CASE WHEN dp >= 0 THEN 1 << p ELSE 0 END)
+         |    AS bigint) AS cbk FROM pcd GROUP BY 1),
+         |pr AS MATERIALIZED (SELECT e.vec_id AS probe_id, e.embedding AS pv,
+         |    e.nv AS pn, c.cbk
+         |  FROM pemb e JOIN pcc c USING (vec_id)),
          |ent AS (SELECT DISTINCT probe_id, nid FROM (
          |    SELECT p.probe_id, g.nid FROM pr p CROSS JOIN
          |      (SELECT vec_id AS nid FROM emb ORDER BY vec_id LIMIT $entries) g
@@ -2688,6 +2712,22 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnGraph(
         emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
+    // §2#33n INCREMENTAL graph ANN — the missing _inc twin in the ANN
+    // family (q_knn_ivf_inc / q_embed_incremental / q_semdedup_incremental
+    // discipline): the NSW index builds on the CORPUS only (the offline
+    // persist-once leg — near/longEdges/hubs are the persistable
+    // artifact), and a new vector batch pays only its own coarse-bucket
+    // assignment + the O(1)-per-probe beam walk against the stored graph —
+    // no rebuild, no corpus re-scan (index-side exclusion spec-pinned in
+    // KnnGraphSpec). Same end-to-end integer/IEEE determinism, so the
+    // oracle replays the corpus-only build AND the batch walk hash-exact
+    "q_knn_graph_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraph(
+        emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
@@ -8657,6 +8697,10 @@ object SparkEntry {
     // graph-ANN replay: NSW build + unrolled beam search (see
     // knnGraphOracleSql)
     "q_knn_graph" -> knnGraphOracleSql,
+
+    // incremental graph ANN: the same replay with the index built on the
+    // corpus side only and the batch supplying the probes
+    "q_knn_graph_inc" -> knnGraphOracleSqlFor("vec_id >= 8", "vec_id < 8"),
 
     // fast-path banded near-dup replay: 4 bands × bandBits planes, portable
     // QUADRATIC-mod hyperplanes (k = p·64 + d + 7·83492791 = p·64 + d +

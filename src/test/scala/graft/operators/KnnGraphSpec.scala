@@ -81,6 +81,31 @@ class KnnGraphSpec extends SparkSpec {
       s"planted near-duplicate must be rank 1, got ${top.map(_.getLong(1)).mkString(",")}")
   }
 
+  test("incremental probes: a corpus-only index serves a new batch, no rebuild") {
+    val all = corpus(500, 6, seed = 29L)
+    val batch = all.filter(col("vec_id") < 8)
+    val base = all.filter(col("vec_id") >= 8)
+    val idx = Similarity.nswIndex(base, "vec_id", "embedding",
+      degree = 16, fineBits = Similarity.bandBitsFor(492, 96))
+    // the persistable artifact never contains a batch id — index-side
+    // exclusion is what makes the probe pass rebuild-free
+    val batchIds = (0L until 8L).toSet
+    val idxIds = (idx.near.select(col("src")).collect() ++
+      idx.near.select(col("dst")).collect() ++
+      idx.hubs.select(col("hub")).collect()).map(_.getLong(0)).toSet
+    assert(idxIds.intersect(batchIds).isEmpty, "batch ids leaked into the index")
+    // searching the pre-built index == the end-to-end incremental call
+    val viaIndex = Similarity.knnGraphSearch(idx, base, batch,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = 8, hops = 4, entries = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val endToEnd = Similarity.knnGraph(base, batch,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == endToEnd)
+    assert(endToEnd.nonEmpty)
+  }
+
   test("degreeFor: the measured log-N rule under the n·degree² build budget") {
     // below the measured 1e5-row collapse boundary: HNSW's production M
     assert(Similarity.degreeFor(500L) == 16)
