@@ -490,6 +490,63 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "repab") {
+      // interleaved A/B for q_rep_signals' top-n-gram stage: three separate
+      // topCover passes (r14 shape) vs one fused explode with n in the
+      // grouping key (r15 shape) — same output, different shuffle layout
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4L)) === 0L,
+          concat(col("text"),
+            lit(" lorem ipsum dolor sit amet lorem ipsum dolor sit amet")))
+          .otherwise(col("text")).as("text"))
+      def topCover(n: Int) =
+        docs.select(col("doc_id"),
+            explode(transform(Text.wordShinglesAll(col("text"), n),
+              g => xxhash64(g))).as("sh"))
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg((max(col("c")) * n).as(s"_top$n"))
+      val split = docs.select(col("doc_id"))
+        .join(topCover(2), Seq("doc_id"), "left")
+        .join(topCover(3), Seq("doc_id"), "left")
+        .join(topCover(4), Seq("doc_id"), "left")
+      val fused = docs.select(col("doc_id"),
+          explode(flatten(array(Seq(2, 3, 4).map(n =>
+            transform(Text.wordShinglesAll(col("text"), n),
+              g => struct(lit(n).as("n"), xxhash64(g).as("sh")))): _*))).as("g"))
+        .select(col("doc_id"), col("g.n").as("n"), col("g.sh").as("sh"))
+        .groupBy(col("doc_id"), col("n"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("m"))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("n") === 2, col("m") * 2)).as("_top2"),
+          max(when(col("n") === 3, col("m") * 3)).as("_top3"),
+          max(when(col("n") === 4, col("m") * 4)).as("_top4"))
+      // third variant: one scan, no struct — (n, gram) packed into one
+      // long key (shift the hash, n in the low bits; key identity is all
+      // the count needs), n recovered post-agg
+      val fusedLong = docs.select(col("doc_id"),
+          explode(flatten(array(Seq(2, 3, 4).map(n =>
+            transform(Text.wordShinglesAll(col("text"), n),
+              g => shiftleft(xxhash64(g), 2) + lit(n.toLong - 2L))): _*))).as("k"))
+        .groupBy(col("doc_id"), col("k")).agg(count(lit(1)).as("c"))
+        .withColumn("n", pmod(col("k"), lit(4L)) + lit(2L))
+        .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("m"))
+        .groupBy(col("doc_id")).agg(
+          max(when(col("n") === 2, col("m") * 2)).as("_top2"),
+          max(when(col("n") === 3, col("m") * 3)).as("_top3"),
+          max(when(col("n") === 4, col("m") * 4)).as("_top4"))
+      docs.write.format("noop").mode("overwrite").save() // warm the scan
+      (1 to 3).foreach { i =>
+        time(s"split     round $i") {
+          split.write.format("noop").mode("overwrite").save(); 0L }
+        time(s"fused     round $i") {
+          fused.write.format("noop").mode("overwrite").save(); 0L }
+        time(s"fusedlong round $i") {
+          fusedLong.write.format("noop").mode("overwrite").save(); 0L }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "streamfloor") {
       // decompose the ~2.5-3 s fixed cost every q_stream_* gate pays
       // (r14 verdict #6): writeOrdered harness leg vs the streaming

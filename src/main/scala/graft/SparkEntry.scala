@@ -4040,11 +4040,11 @@ object SparkEntry {
     // POSITIONAL coverage fraction — occurrences of any 5-gram appearing
     // ≥2× in the doc, their [pos, pos+5) intervals merged (the
     // gaps-islands core at token grain) so overlapping duplicates never
-    // double-count. Scale shape: the three top-n families share ONE
-    // explode with n in the grouping key (doc-local keys — (doc_id, n,
-    // shingle) partitions bounded per doc, no hot corpus-wide key), plus
-    // the positional 5-gram pass: two doc scans, linear shuffle ≈ 4×
-    // corpus tokens.
+    // double-count. Scale shape: one explode per n with doc-local keys
+    // (groupBy/window partitions are (doc_id, shingle) — bounded per doc,
+    // no hot corpus-wide key), linear shuffle ≈ 4× corpus tokens; the
+    // three subtrees are independent so their map stages schedule
+    // concurrently (fusing them MEASURED 2× slower — see the gate body).
     // A quarter of the docs get a deterministically injected repeated
     // phrase (the q_redact seeding discipline) — the driver corpus's
     // random text almost never repeats an exact 5-gram, and a signal the
@@ -4061,21 +4061,21 @@ object SparkEntry {
       // grams shuffle as 8-byte xxhash64 longs, not ~30-byte strings (the
       // Dedup posting discipline): per-doc counts are key-identity-
       // invariant, so the oracle's string-grouped counts match exactly.
-      // ALL THREE n-gram families ride ONE explode with n in the grouping
-      // key — one token shuffle (~3× corpus tokens) instead of three
-      // separate topCover scans + joins (r14 verdict: the gate was four
-      // doc scans; this folds it to two — tops + cover5)
-      val tops = docs.select(col("doc_id"),
-          explode(flatten(array(Seq(2, 3, 4).map(n =>
-            transform(Text.wordShinglesAll(col("text"), n),
-              g => struct(lit(n).as("n"), xxhash64(g).as("sh")))): _*))).as("g"))
-        .select(col("doc_id"), col("g.n").as("n"), col("g.sh").as("sh"))
-        .groupBy(col("doc_id"), col("n"), col("sh")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("m"))
-        .groupBy(col("doc_id")).agg(
-          max(when(col("n") === 2, col("m") * 2)).as("_top2"),
-          max(when(col("n") === 3, col("m") * 3)).as("_top3"),
-          max(when(col("n") === 4, col("m") * 4)).as("_top4"))
+      // MEASURED DECISION (r15, Profile `repab` interleaved A/B at sf10):
+      // fusing the three families into ONE explode with n in the grouping
+      // key — the r14 verdict's suggestion, tried as both a struct key and
+      // a packed-long key — is 2× SLOWER (split 7.7-13.0 s vs fused
+      // 15.5-23.3 s): the three topCover subtrees are independent, so
+      // their 1/3-size map-side-combined shuffles schedule CONCURRENTLY
+      // inside one job, while the fused form serializes 3× the key
+      // cardinality through one hash-aggregate chain with an extra
+      // aggregation stage. The three-pass form stays.
+      def topCover(n: Int) =
+        docs.select(col("doc_id"),
+            explode(transform(Text.wordShinglesAll(col("text"), n),
+              g => xxhash64(g))).as("sh"))
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg((max(col("c")) * n).as(s"_top$n"))
       val iw = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
       val prevMax = max(col("end"))
         .over(iw.rowsBetween(Window.unboundedPreceding, -1))
@@ -4098,7 +4098,9 @@ object SparkEntry {
           least(lit(1.0), c.cast("double") / col("n_tokens").cast("double")))
           .otherwise(lit(0.0))
       base
-        .join(tops, Seq("doc_id"), "left")
+        .join(topCover(2), Seq("doc_id"), "left")
+        .join(topCover(3), Seq("doc_id"), "left")
+        .join(topCover(4), Seq("doc_id"), "left")
         .join(cover5, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           frac(coalesce(col("_top2"), lit(0L))).as("top2_frac"),
