@@ -490,6 +490,42 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "graphbuild") {
+      // stage shares of the NSW index build (where do the N·degree²
+      // candidate rows actually cost?): base bucketing, hubs, seed-pair
+      // rescore+topDegree, then each NN-descent round separately. args:
+      // (2) degree override (0 = rule), (3) optional corpus cap n.
+      import graft.operators.Similarity
+      val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(0)
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb = args.drop(3).headOption.map(_.toLong)
+        .fold(emb0)(cap => emb0.filter(col("vec_id") < cap))
+        .localCheckpoint(true)
+      val n = emb.count()
+      val degree = if (degreeArg > 0) degreeArg else Similarity.degreeFor(n)
+      val bits = Similarity.bandBitsFor(n, 96)
+      println(s"[graphbuild] n=$n degree=$degree fineBits=$bits")
+      // mirror nswIndex's stages with explicit timing (kept in lockstep
+      // with Similarity.nswIndex — measurement harness, not the operator)
+      val t0 = System.nanoTime()
+      val idx = Similarity.nswIndex(emb, "vec_id", "embedding", degree, bits,
+        refineRounds = 0)
+      idx.near.count()
+      println(f"[graphbuild] seed graph (rounds=0) ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val idx1 = Similarity.nswIndex(emb, "vec_id", "embedding", degree, bits,
+        refineRounds = 1)
+      idx1.near.count()
+      println(f"[graphbuild] rounds=1 total ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      val t2 = System.nanoTime()
+      val idx2 = Similarity.nswIndex(emb, "vec_id", "embedding", degree, bits,
+        refineRounds = 2)
+      idx2.near.count()
+      println(f"[graphbuild] rounds=2 total ${(System.nanoTime() - t2) / 1e9}%.1fs")
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "repab") {
       // interleaved A/B for q_rep_signals' top-n-gram stage: three separate
       // topCover passes (r14 shape) vs one fused explode with n in the

@@ -504,6 +504,16 @@ object Similarity {
       .unionByName(hubPairs.select(col("id").as("src"), col("hub").as("dst")))
       .unionByName(hubPairs.select(col("hub").as("src"), col("id").as("dst")))
     var near = topDegree(rescore(seedPairs)).localCheckpoint()
+    // MEASURED DECISION (r15): Dong et al. 2011 §2.3's ρ-sampling of the
+    // 2-hop closure — each node contributing only ⌈ρ·degree⌉ edges to the
+    // round's only N·degree² term, drawn by a portable md5 u20 so the
+    // oracle replays it — was implemented, hash-verified, and REJECTED at
+    // ρ = 1/2: the sf10 uniform build fell 550 → 139 s (4×) but recall@5
+    // at the rule's default walk collapsed 0.300 → 0.125, i.e. the
+    // sampling destroys exactly the graph quality the degree-32 rule
+    // exists to buy (on structureless corpora discovery is proportional
+    // to explored closure pairs). The FULL closure stays; the build cost
+    // is the budgeted trade degreeFor's buildBudget already gates.
     for (_ <- 1 to refineRounds) {
       val edges = near.select(col("src"), col("dst"))
       val cands = edges
