@@ -4226,6 +4226,26 @@ object SparkEntry {
           min(col("chunk_offset")).as("chunk_start_offset"))
     }),
 
+    // §2#42e doc-ATOMIC bin packing, next-fit-decreasing — the padding-
+    // free layout next to q_token_packing's concat-then-chunk: when
+    // training examples must not cross document boundaries, docs pack
+    // WHOLE into fixed-budget bins (longest-first greedy, new bin when
+    // the running fill cannot take the next doc; an over-budget doc sits
+    // alone in its own bin). One shuffle on a corpus-derived shard key,
+    // the sequential NFD fold runs inside `aggregate` over each bounded
+    // shard's sorted items (a bin break depends on the running fill — not
+    // window-expressible), portable md5 shard draw; the oracle replays
+    // the fold as a per-shard lockstep recursive CTE
+    "q_pack_nosplit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val shards = Layout.shardsFor(docs.count(), targetPerShard = 512L)
+      Packing.packBinsNoSplit(docs, "doc_id", "len", budget = 4096L,
+        shardCol = pmod(graft.sources.ZipfCorpus.u20(
+            concat(lit("pk:"), col("doc_id").cast("string"))),
+          lit(shards.toLong)))
+    }),
+
     // §2#42c In-Context Pretraining layout (Shi et al. 2023,
     // arXiv:2310.10638): lay the corpus out so each training context
     // window holds RELATED documents instead of random ones — the paper's
@@ -6016,6 +6036,34 @@ object SparkEntry {
          |  cast(sum(n_tokens) AS bigint) AS total_tokens,
          |  min(chunk_offset) AS chunk_start_offset
          |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // no-split NFD packing: the sequential per-shard fold replayed as a
+    // lockstep recursive CTE — one recursion step advances EVERY shard by
+    // one rank, so depth = max shard size (bounded by the derived shard
+    // count), and the (fill, bin, pos) chain is the exact greedy
+    "q_pack_nosplit" -> {
+      val shardU20 = graft.sources.ZipfCorpus.u20Sql(
+        "'pk:' || CAST(doc_id AS varchar)")
+      s"""WITH RECURSIVE ns AS (SELECT greatest(8, (count(*) + 511) // 512) AS sh
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    $shardU20 % ns.sh AS shard FROM documents, ns),
+         |r AS (SELECT doc_id, len, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY len DESC, doc_id) AS rn
+         |  FROM d),
+         |walk AS (
+         |  SELECT shard, rn, doc_id, len,
+         |      CAST(0 AS BIGINT) AS bin, len AS fill, CAST(1 AS BIGINT) AS pos
+         |    FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT n.shard, n.rn, n.doc_id, n.len,
+         |      CASE WHEN w.fill + n.len > 4096 THEN w.bin + 1 ELSE w.bin END,
+         |      CASE WHEN w.fill + n.len > 4096 THEN n.len ELSE w.fill + n.len END,
+         |      CASE WHEN w.fill + n.len > 4096 THEN CAST(1 AS BIGINT)
+         |        ELSE w.pos + 1 END
+         |    FROM walk w JOIN r n ON n.shard = w.shard AND n.rn = w.rn + 1)
+         |SELECT shard, doc_id, len, bin, pos, fill AS fill_after FROM walk""".stripMargin
+    },
 
     // ICP layout: the q_semdedup two-level trajectory replay, joined with
     // token counts, then the packChunksBy running sum per fine cell in

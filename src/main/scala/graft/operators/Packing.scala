@@ -73,6 +73,67 @@ object Packing {
       .drop("_cum")
   }
 
+  /** Doc-ATOMIC bin packing, next-fit-decreasing (the padding-free layout
+    * next to [[packChunks]]' concat-then-chunk: when training examples must
+    * not cross document boundaries — no attention-mask surgery — documents
+    * pack WHOLE into fixed-budget bins and the leftover is padding, so the
+    * packer's job is minimizing it; NFD is the classic one-pass greedy:
+    * place items longest-first, open a new bin when the current one cannot
+    * take the next item). A document longer than `budget` lands alone in
+    * its own (overflowing) bin — truncation is the tokenizer's decision,
+    * not the packer's.
+    *
+    * Scale shape: packing is per SHARD (caller-supplied bucketing column;
+    * derive the shard count from the corpus like [[graft.operators.Layout.shardsFor]]
+    * so shard size stays bounded) — one shuffle on the shard key, then the
+    * whole NFD fold runs INSIDE `aggregate` over the shard's sorted item
+    * array: no driver state, no global ordering, no UDF. The fold is
+    * sequential per shard by nature (a bin break depends on the running
+    * fill — not window-expressible), which is exactly why the shard bound
+    * matters; bins are unique within (shard, bin).
+    *
+    * Output: one row per document — (shard, `idCol`, len, bin, pos,
+    * fill_after): bin = the document's bin within its shard, pos = its
+    * 1-based position inside the bin, fill_after = the bin's running fill
+    * after placing it (the LAST row of a bin carries the bin's final fill;
+    * budget − that = the bin's padding).
+    */
+  def packBinsNoSplit(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      shardCol: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // sort_array on (-len, id) = longest first, ties by id — deterministic
+    val item = struct((-col(lenCol).cast("long")).as("nl"),
+      col(idCol).cast("long").as("id"))
+    val emptyOut = slice(array(struct(lit(0L).as("id"), lit(0L).as("len"),
+      lit(0L).as("bin"), lit(0L).as("pos"), lit(0L).as("fill"))), 1, 0)
+    // zero fill = budget + 1 forces the first item to OPEN bin 0
+    val zero = struct(lit(-1L).as("bin"), lit(budget + 1L).as("fill"),
+      lit(0L).as("pos"), emptyOut.as("out"))
+    df.withColumn("shard", shardCol)
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(item)).as("_items"))
+      .withColumn("_st", aggregate(col("_items"), zero, (st, x) => {
+        val len = -x.getField("nl")
+        val newBin = st.getField("fill") + len > lit(budget)
+        val bin = when(newBin, st.getField("bin") + 1L)
+          .otherwise(st.getField("bin"))
+        val fill = when(newBin, len).otherwise(st.getField("fill") + len)
+        val pos = when(newBin, lit(1L)).otherwise(st.getField("pos") + 1L)
+        struct(bin.as("bin"), fill.as("fill"), pos.as("pos"),
+          concat(st.getField("out"), array(struct(
+            x.getField("id").as("id"), len.as("len"), bin.as("bin"),
+            pos.as("pos"), fill.as("fill")))).as("out"))
+      }))
+      .select(col("shard"), explode(col("_st").getField("out")).as("r"))
+      .select(col("shard"), col("r.id").as(idCol), col("r.len").as("len"),
+        col("r.bin").as("bin"), col("r.pos").as("pos"),
+        col("r.fill").as("fill_after"))
+  }
+
   /** Overlapping sliding-window chunking (the RAG/embedding layout, vs
     * [[packChunks]]' concat-then-chunk pretraining layout): each document is
     * cut into chunks of up to `window` tokens starting every `stride` tokens,

@@ -92,6 +92,56 @@ class PackingSpec extends SparkSpec {
       "same-context docs must be far more similar than random pairs")
   }
 
+  test("packBinsNoSplit: exact NFD greedy per shard, docs atomic, oversize isolated") {
+    // one shard: lens sorted desc = 9,7,5,4,4,3 with budget 10 →
+    // NFD bins: [9], [7], [5,4], [4,3]
+    val docs = Seq((1L, 4L), (2L, 9L), (3L, 5L), (4L, 7L), (5L, 4L), (6L, 3L))
+      .toDF("doc_id", "len")
+    val out = Packing.packBinsNoSplit(docs, "doc_id", "len",
+        budget = 10L, shardCol = lit(0L))
+      .orderBy($"bin", $"pos")
+      .select($"doc_id", $"bin", $"pos", $"fill_after")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 0L, 1L, 9L), (4L, 1L, 1L, 7L),
+      (3L, 2L, 1L, 5L), (1L, 2L, 2L, 9L), (5L, 3L, 1L, 4L), (6L, 3L, 2L, 7L)))
+    // an over-budget doc sits alone in its own bin; packing continues after
+    val out2 = Packing.packBinsNoSplit(
+        Seq((1L, 25L), (2L, 6L), (3L, 4L)).toDF("doc_id", "len"),
+        "doc_id", "len", budget = 10L, shardCol = lit(0L))
+      .orderBy($"bin", $"pos")
+      .select($"doc_id", $"bin", $"pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out2 == Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("packBinsNoSplit: every doc placed once, fills respect the budget, " +
+      "matches a reference fold on every shard, partitioning-invariant") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 700L).map(i => (i, 1L + rnd.nextInt(900).toLong))
+    val df = docs.toDF("doc_id", "len")
+    val shard = pmod(xxhash64($"doc_id"), lit(5L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packBinsNoSplit(d, "doc_id", "len", budget = 2048L, shardCol = shard)
+        .select($"shard", $"doc_id", $"len", $"bin", $"pos", $"fill_after")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val got = run(df)
+    assert(got.map(_._2).distinct.size == 700, "every doc placed exactly once")
+    assert(got.forall(_._6 <= 2048L), "no bin exceeds the budget (no oversize docs here)")
+    assert(got == run(df.repartition(13)), "partitioning must not change the packing")
+    // reference NFD fold per shard
+    for ((sh, rows) <- got.groupBy(_._1)) {
+      val sorted = rows.map(r => (r._3, r._2)).sortBy { case (l, id) => (-l, id) }
+      var bin = -1L; var fill = 2049L
+      val ref = sorted.map { case (l, id) =>
+        if (fill + l > 2048L) { bin += 1; fill = l } else fill += l
+        id -> ((bin, fill))
+      }.toMap
+      rows.foreach { r =>
+        val (id, b, fa) = (r._2, r._4, r._6)
+        assert(ref(id) == (b, fa), s"shard $sh doc $id: got ($b,$fa), ref ${ref(id)}")
+      }
+    }
+  }
+
   test("chunkSliding covers every token once per stride with overlap") {
     // 10 tokens, window 8, stride 4 → starts 0, 4 (start 8's chunk would end
     // at the same token as start 4's, so it is subsumed and dropped)
