@@ -41,7 +41,7 @@ object Profile {
         "q_card_sketch", "q_tfidf_terms", "q_segment_dedup", "q_chunk_overlap",
         "q_sample_fixedk", "q_quantile_phase", "q_inverted_index",
         "q_clip_filter", "q_epoch_shuffle", "q_rep_signals",
-        "q_context_order").foreach { name =>
+        "q_context_order", "q_pack_nosplit", "q_knn_graph_inc").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val exchanges = plan.linesIterator.count(_.contains("Exchange"))
