@@ -447,6 +447,15 @@ object SparkEntry {
     " don't CAN'T  x\ty z ٣Ⅻ² 𐐷 !!!'s" +
       " don'thing 'll''d e.g　+7  "
 
+  /** Decomposed suffix appended to every third q_text_normalize doc — one
+    * instance of each NFC case class: combining acute (e+U+0301 -> e-acute),
+    * combining ring (A+U+030A -> A-ring), the U+212B ANGSTROM SIGN singleton
+    * (-> U+00C5), a combining-class reorder (d + dot-below + dot-above),
+    * plus a tab, a double space and trailing spaces for the whitespace
+    * collapse/trim leg. Shared verbatim by the gate and its oracle. */
+  private val TextNormSuffix =
+    " Cafe\u0301 A\u030Angstrom x\u212B d\u0323\u0307\tmid  end  "
+
   private def gpt2PretokCtes(rel: String): String =
     s"""gchars AS (SELECT doc_id, u.i AS i, u.ch FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
@@ -2232,6 +2241,36 @@ object SparkEntry {
           col("doc_id"), nChars, nTok.as("n_tokens"), punct.as("punct_cnt"),
           stop.as("stopword_cnt"),
           round(Text.qualityScoreFrom(nTok, punct, stop, nChars), 6).as("quality"))
+    }),
+
+    // §2#26c Unicode NFC normalization + whitespace canonicalization —
+    // the curation normalizer every web pipeline runs BEFORE tokenizing
+    // (CCNet-style), so composed and decomposed spellings of the same
+    // text dedup/count identically: NFC via the native NfcNormalize
+    // kernel (JDK reference UAX #15 implementation, isNormalized
+    // fast path returns the input untouched on the already-normalized
+    // common case), then [ \t\r\n]+ runs collapse to one space and the
+    // result trims. A third of the docs get a deterministically injected
+    // decomposed suffix (combining acute/ring, the U+212B singleton, a
+    // tab and a double space — the q_redact seeding discipline) so
+    // composition, singleton replacement, reordering, collapse and trim
+    // are all exercised; DuckDB's nfc_normalize implements the same
+    // standard algorithm, so text bytes hash-match end to end
+    "q_text_normalize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          concat(col("text"), lit(TextNormSuffix))).otherwise(col("text")).as("t"))
+      docs
+        .select(col("doc_id"), col("t"),
+          graft.plans.TextExpressions.nfcNormalize(col("t")).as("_nfc"))
+        .select(col("doc_id"),
+          trim(regexp_replace(col("_nfc"), "[ \t\r\n]+", " ")).as("text_norm"),
+          (length(col("t")) - length(col("_nfc"))).cast("long").as("n_composed"),
+          col("t"))
+        .select(col("doc_id"), col("text_norm"),
+          length(col("text_norm")).cast("long").as("norm_len"),
+          col("n_composed"),
+          (col("text_norm") =!= col("t")).as("changed"))
     }),
 
     // §2#27 language-ID heuristic via the native single-pass LangHits
@@ -8444,6 +8483,24 @@ object SparkEntry {
          |    CASE WHEN n_tokens > 0 THEN cast(stopword_cnt AS double) / n_tokens ELSE 0.0 END * 0.3,
          |    6) AS quality
          |FROM x""".stripMargin),
+
+    // NFC normalization + whitespace canonicalization: DuckDB's
+    // nfc_normalize is the same UAX #15 algorithm as the JDK kernel; the
+    // injected decomposed suffix is the shared TextNormSuffix constant
+    "q_text_normalize" -> (
+      s"""WITH inj AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$TextNormSuffix'
+         |      ELSE text END AS t
+         |  FROM documents),
+         |n AS (SELECT doc_id, t, nfc_normalize(t) AS nfc FROM inj),
+         |c AS (SELECT doc_id, t,
+         |    trim(regexp_replace(nfc, '[ \t\r\n]+', ' ', 'g')) AS text_norm,
+         |    CAST(length(t) - length(nfc) AS BIGINT) AS n_composed
+         |  FROM n)
+         |SELECT doc_id, text_norm,
+         |  CAST(length(text_norm) AS BIGINT) AS norm_len,
+         |  n_composed, text_norm <> t AS changed
+         |FROM c""".stripMargin),
 
     // full DuckDB replay of the HTML pipeline: same page construction,
     // same non-content strip, same block split, same link extraction and

@@ -22,6 +22,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * whitespace = Java regex `\s` = [ \t\n\x0B\f\r]; punctuation = ASCII
   * `[!-/:-@[-`{-~]`; stopwords compared after ASCII lowercasing.
   */
+/** Unicode NFC canonical composition (the curation normalizer's core —
+  * CCNet/most web pipelines normalize before tokenizing so that composed
+  * and decomposed spellings of the same text dedup/count identically).
+  * Delegates to the JDK's reference implementation
+  * (`java.text.Normalizer`, Unicode UAX #15) with an `isNormalized` fast
+  * path that returns the INPUT UTF8String unchanged — on real corpora
+  * almost every row is already NFC, so the common case allocates nothing.
+  * DuckDB's `nfc_normalize` implements the same standard algorithm, which
+  * is what lets the q_text_normalize gate hash-match end to end
+  * (cross-checked on composition, singleton-replacement (U+212B → Å) and
+  * combining-class-reordering cases).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string input, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextKernels.nfcNormalize($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenStats(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
 
@@ -562,6 +596,13 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  def nfcNormalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def tokenStats(input: UTF8String, stopSet: java.util.HashSet[String]): InternalRow = {
     val s = input.toString
     var nTokens = 0L
@@ -816,6 +857,10 @@ object TextKernels {
 object TextExpressions {
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     Bridge.column(TokenStats(Bridge.expression(text), stopwords))
+
+  /** Column API for [[NfcNormalize]] — Unicode NFC canonical composition. */
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
 
   def langHits(text: Column, langs: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangHits(Bridge.expression(text), langs))

@@ -28,6 +28,27 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NfcNormalize: composition, singleton, reorder; already-NFC passes through") {
+    val cases = Seq(
+      "Cafe\u0301" -> "Caf\u00e9", // combining acute composes
+      "A\u030Angstrom" -> "\u00c5ngstrom", // combining ring composes
+      "x\u212B" -> "x\u00c5", // ANGSTROM SIGN singleton replacement
+      "d\u0307\u0323" -> "\u1e0d\u0307", // reorder: below-dot first, then compose
+      "plain ascii" -> "plain ascii",
+      "" -> "")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextExpressions.nfcNormalize($"t")).as[String].collect().toSeq
+    assert(got == cases.map(_._2), "kernel must match Unicode NFC")
+    // reference cross-check: java.text.Normalizer is the contract
+    cases.foreach { case (in, out) =>
+      assert(java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC) == out)
+    }
+    // null-safe
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(TextExpressions.nfcNormalize($"t")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("TokenStats is null-safe") {
     val out = Seq(Option.empty[String], Some("a b")).toDF("text")
       .select(TextExpressions.tokenStats($"text", Nil).as("st"))
