@@ -5176,6 +5176,41 @@ object SparkEntry {
     // statistic family; the double column hashes through decimal(18,2)
     // (raw double→string is not engine-portable)
     // (operators/TableStats.scala)
+    // §2#57b distribution-drift detection between two corpus snapshots —
+    // the training-data monitoring op (PSI / two-sample chi-square
+    // family): the event stream splits at its time midpoint into
+    // base/new snapshots, both bucket on (event_type, value bucket), and
+    // each bucket gets the Pearson two-sample chi-square contribution as
+    // an exact-integer-products-then-one-double-divide quantized long
+    // (operators/Drift.scala — chosen over PSI's Σ(p−q)ln(p/q) because
+    // it needs no transcendental, so the oracle replays it bit-exact).
+    // Drift is INJECTED into the new half deterministically (a user slice
+    // relabeled to a new event type + another slice's values scaled
+    // 1.5×) — the no-drift corpus would pin nothing. Scale shape: two
+    // map-side-combined scans to bounded bucket tables, bucket-sized
+    // full-outer join, one-row total broadcasts; nothing corpus-sized
+    // shuffles. vbucket width 32 = a power of two, so the double divide
+    // is exact in both engines
+    "q_dist_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val rng = ev.agg(min(col("us")).as("_lo"), max(col("us")).as("_hi"))
+      val flagged = ev.crossJoin(broadcast(rng))
+        .withColumn("is_new", col("us") * 2 >= col("_lo") + col("_hi"))
+        .withColumn("etype",
+          when(col("is_new") && pmod(col("user_id"), lit(5L)) === 0L,
+            lit("drifted")).otherwise(col("event_type")))
+        .withColumn("v",
+          when(col("is_new") && pmod(col("user_id"), lit(7L)) === 0L,
+            col("value") * lit(1.5)).otherwise(col("value")))
+        .withColumn("vbucket",
+          least(lit(15L), floor(col("v") / lit(32.0)).cast("long")))
+      Drift.driftTable(
+        flagged.filter(!col("is_new")).select(col("etype"), col("vbucket")),
+        flagged.filter(col("is_new")).select(col("etype"), col("vbucket")),
+        Seq("etype", "vbucket"))
+    }),
+
     "q_table_stats" -> ((s, dir) => {
       import TableStats.ProfiledCol
       val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
@@ -6862,6 +6897,41 @@ object SparkEntry {
 
     // table profile: melt via UNION ALL, exact scalar stats, ndv via the
     // same register replay + exact-integer estimator as q_agg_merge
+    // drift table: same midpoint split, same injections, same integer
+    // products → one double square/divide → floor·2^20 quantization
+    "q_dist_drift" -> (
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
+         |  FROM events),
+         |rng AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+         |f AS (SELECT
+         |    CASE WHEN us * 2 >= lo + hi AND user_id % 5 = 0 THEN 'drifted'
+         |      ELSE event_type END AS etype,
+         |    least(15, CAST(floor(
+         |      (CASE WHEN us * 2 >= lo + hi AND user_id % 7 = 0
+         |        THEN value * 1.5 ELSE value END) / 32.0) AS BIGINT)) AS vbucket,
+         |    us * 2 >= lo + hi AS is_new
+         |  FROM ev, rng),
+         |b AS (SELECT etype, vbucket, count(*) AS n_base FROM f
+         |  WHERE NOT is_new GROUP BY 1, 2),
+         |n AS (SELECT etype, vbucket, count(*) AS n_new FROM f
+         |  WHERE is_new GROUP BY 1, 2),
+         |tt AS (SELECT count(*) FILTER (WHERE NOT is_new) AS tb,
+         |    count(*) FILTER (WHERE is_new) AS tn FROM f),
+         |j AS (SELECT coalesce(b.etype, n.etype) AS etype,
+         |    coalesce(b.vbucket, n.vbucket) AS vbucket,
+         |    coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new
+         |  FROM b FULL OUTER JOIN n ON b.etype = n.etype AND b.vbucket = n.vbucket)
+         |SELECT etype, vbucket, n_base, n_new,
+         |  CASE WHEN tb = 0 OR tn = 0 THEN 0 ELSE CAST(floor(
+         |    (CAST(n_base AS DOUBLE) * CAST(tn AS DOUBLE)
+         |      - CAST(n_new AS DOUBLE) * CAST(tb AS DOUBLE)) *
+         |    (CAST(n_base AS DOUBLE) * CAST(tn AS DOUBLE)
+         |      - CAST(n_new AS DOUBLE) * CAST(tb AS DOUBLE)) /
+         |    ((CAST(n_base AS DOUBLE) + CAST(n_new AS DOUBLE))
+         |      * CAST(tb AS DOUBLE) * CAST(tn AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |  END AS chi2_q20
+         |FROM j, tt""".stripMargin),
+
     "q_table_stats" -> {
       s"""WITH melted AS (
          |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS sval,
