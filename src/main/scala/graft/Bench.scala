@@ -39,8 +39,8 @@ object Bench {
     val queryOrder = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
-    val passes = (1 to 3).map { _ =>
-      queryOrder.map { case (name, fn) =>
+    def runPass(keys: Set[String]): Map[String, Double] =
+      queryOrder.filter { case (name, _) => keys(name) }.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val elapsed =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -50,9 +50,18 @@ object Bench {
             -1.0 }
         name -> elapsed
       }.toMap
-    }
+    val allKeys = queryOrder.map(_._1).toSet
+    val passes3 = (1 to 3).map(_ => runPass(allKeys))
+    // the q_stream_* rows are the board's noise floor (each is Spark's
+    // per-trigger machinery over ≥5-9 asserted micro-batches — the r15
+    // streamfloor adjudication) and their median-of-3 has flip-flopped the
+    // round-over-round geomean ±5% three rounds running with no structural
+    // change underneath; batch rows are stable at 3. Two extra passes →
+    // median-of-5 on exactly those keys.
+    val streamKeys = allKeys.filter(_.startsWith("q_stream_"))
+    val passes = passes3 ++ (1 to 2).map(_ => runPass(streamKeys))
     val results = queryOrder.map { case (name, _) =>
-      val ok = passes.map(_(name)).filter(_ >= 0).sorted
+      val ok = passes.flatMap(_.get(name)).filter(_ >= 0).sorted
       // median of the successful runs; any failure leaves the query
       // reported only if at least two of three passes succeeded. Lower
       // middle on an even count: with 2 survivors, ok(size/2) would report

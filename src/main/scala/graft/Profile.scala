@@ -492,9 +492,11 @@ object Profile {
 
     if (args.length > 1 && args(1) == "graphbuild") {
       // stage shares of the NSW index build (where do the N·degree²
-      // candidate rows actually cost?): base bucketing, hubs, seed-pair
-      // rescore+topDegree, then each NN-descent round separately. args:
-      // (2) degree override (0 = rule), (3) optional corpus cap n.
+      // candidate rows actually cost?): three CUMULATIVE full rebuilds at
+      // refineRounds = 0, 1, 2 — each leg re-pays (and re-times) the seed
+      // stages, so a round's own cost is the difference between adjacent
+      // legs. args: (2) degree override (0 = rule), (3) optional corpus
+      // cap n.
       import graft.operators.Similarity
       val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(0)
       val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")

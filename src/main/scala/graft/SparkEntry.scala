@@ -568,7 +568,8 @@ object SparkEntry {
     // 16·2^(decades ≥ 1e5, capped at 4 doublings), then the largest
     // halving 16·2^j ≤ growth that fits the n·d² ≤ 2³¹ build budget
     // (halving satisfaction is monotone in d, so max == the Scala loop's
-    // first-fit); beam follows the degree above the base (beamFor)
+    // first-fit); beam follows the degree above the base (beamFor),
+    // clamped to ≥ k exactly as knnGraph's math.max(k, beamFor(deg))
     val degree = "(SELECT d FROM degs)"
     val beam = "(SELECT bm FROM degs)"
     def cos(va: String, na: String, vb: String, nb: String) =
@@ -590,7 +591,7 @@ object SparkEntry {
          |fbits AS (SELECT coalesce((SELECT min(b)
          |    FROM (SELECT unnest(range(1, 20)) AS b) t, nn
          |    WHERE 96 * (1 << b) >= nn.n), 20) AS fb),
-         |degs AS (SELECT d, CASE WHEN d > 16 THEN d ELSE 8 END AS bm FROM (
+         |degs AS (SELECT d, greatest($k, CASE WHEN d > 16 THEN d ELSE 8 END) AS bm FROM (
          |  SELECT coalesce((SELECT max(dg // (1 << j))
          |      FROM (SELECT 16 * (1 << (CASE WHEN n >= 100000 THEN 1 ELSE 0 END
          |          + CASE WHEN n >= 1000000 THEN 1 ELSE 0 END
@@ -2446,6 +2447,25 @@ object SparkEntry {
         numHashes = 32, threshold = 0.5)
     }),
 
+    // §2#25d INCREMENTAL exact dedup — the missing `_inc` twin in the exact
+    // family (minhash/embed/semdedup/ivf/graph all have one; q_stream_dedup
+    // is the streaming sibling): the new batch (doc_id ≡ 0 mod 5, ~20 %)
+    // probes a persisted corpus fingerprint index by equi-join on the
+    // q_fingerprint key — the corpus is never re-grouped, only the batch's
+    // fingerprints shuffle. Every batch doc gets a decision (dup_corpus /
+    // dup_batch / new) plus its canonical keep_id; 'new' rows ARE the
+    // append-only index delta. DedupSpec pins index-side batch exclusion
+    // (a batch-only fingerprint can never report dup_corpus), merged-index
+    // ≡ full-corpus fingerprint coverage, and the no-re-group plan shape.
+    "q_dedup_exact_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      Dedup.exactAgainst(
+        Dedup.fingerprintIndex(corpus, "doc_id", "text"),
+        batch, "doc_id", "text")
+    }),
+
     // §2#30b MinHash+LSH with a PORTABLE hash family: the exact pipeline of
     // q_minhash_lsh (signature mins → band buckets → bucket join → estimated
     // Jaccard) but with md5-derived 64-bit hashes that DuckDB can replicate
@@ -2746,7 +2766,20 @@ object SparkEntry {
     // fraction, at HIGHER measured recall (sf1: 0.50 vs IVF 0.35 on
     // 2.4× more candidates — SURVEY §6). The ENTIRE pipeline — buckets,
     // hubs, descent rounds, every beam hop — is integer/IEEE
-    // deterministic and replays hash-exact in the oracle
+    // deterministic and replays hash-exact in the oracle.
+    //
+    // ADJUDICATION (r16, the "board pays the NSW build twice" question):
+    // this gate and q_knn_graph_inc CANNOT share one index — the indexes
+    // are different artifacts by the semantics each gate exists to prove.
+    // Here the graph is built over the FULL corpus including the probe
+    // vectors (self-retrieval — the dedup/curation mode, where every
+    // probe's own neighborhood must exist in the graph); the _inc gate's
+    // index EXCLUDES the batch (the serving mode, spec-pinned exclusion).
+    // Deriving either output from the other's index would silently
+    // unprove one of those two contracts. The residual duplicate cost is
+    // the shared seed stages only, and the r16 Dong §2.2 new/old-flag
+    // descent cut each build's refine leg (old×old closure pairs skipped,
+    // bit-identical output), so gate independence is kept.
     "q_knn_graph" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnGraph(
@@ -6922,13 +6955,14 @@ object SparkEntry {
          |    coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new
          |  FROM b FULL OUTER JOIN n ON b.etype = n.etype AND b.vbucket = n.vbucket)
          |SELECT etype, vbucket, n_base, n_new,
-         |  CASE WHEN tb = 0 OR tn = 0 THEN 0 ELSE CAST(floor(
+         |  CASE WHEN tb = 0 OR tn = 0 THEN 0 ELSE CAST(floor(least(
          |    (CAST(n_base AS DOUBLE) * CAST(tn AS DOUBLE)
          |      - CAST(n_new AS DOUBLE) * CAST(tb AS DOUBLE)) *
          |    (CAST(n_base AS DOUBLE) * CAST(tn AS DOUBLE)
          |      - CAST(n_new AS DOUBLE) * CAST(tb AS DOUBLE)) /
          |    ((CAST(n_base AS DOUBLE) + CAST(n_new AS DOUBLE))
-         |      * CAST(tb AS DOUBLE) * CAST(tn AS DOUBLE)) * 1048576.0) AS BIGINT)
+         |      * CAST(tb AS DOUBLE) * CAST(tn AS DOUBLE)) * 1048576.0,
+         |    4611686018427387904.0)) AS BIGINT)
          |  END AS chi2_q20
          |FROM j, tt""".stripMargin),
 
@@ -8758,6 +8792,27 @@ object SparkEntry {
 
     // incremental batch-vs-corpus finisher over the same banding replay
     "q_dedup_incremental" -> minhashAgainstReplaySql(ShinglePostingSql),
+
+    // incremental EXACT dedup: the q_fingerprint key, corpus index as a
+    // grouped CTE, batch decisions via left join + per-fingerprint window
+    "q_dedup_exact_inc" ->
+      """WITH fpall AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |idx AS (SELECT fingerprint, min(doc_id) AS corpus_keep
+        |  FROM fpall WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |b AS (SELECT doc_id, fingerprint,
+        |    min(doc_id) OVER (PARTITION BY fingerprint) AS batch_keep
+        |  FROM fpall WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, b.fingerprint,
+        |  CASE WHEN idx.corpus_keep IS NOT NULL THEN 'dup_corpus'
+        |       WHEN b.batch_keep < b.doc_id THEN 'dup_batch'
+        |       ELSE 'new' END AS status,
+        |  coalesce(idx.corpus_keep,
+        |    CASE WHEN b.batch_keep < b.doc_id THEN b.batch_keep
+        |         ELSE b.doc_id END) AS keep_id
+        |FROM b LEFT JOIN idx USING (fingerprint)""".stripMargin,
 
     // the same full replay over the generated open-vocabulary corpus
     "q_minhash_lsh_zipf" -> minhashLshReplaySql(

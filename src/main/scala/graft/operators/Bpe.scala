@@ -309,12 +309,9 @@ object Bpe {
     require(slices >= 1, "need at least one slice")
     val spark = docs.sparkSession
     // this pass owns scratchDir (the matchByEditDistanceSliced guard):
-    // stale slice=N dirs from a prior run would union into the result
-    locally {
-      val p = new org.apache.hadoop.fs.Path(scratchDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // stale slice=N dirs from a prior run would union into the result;
+    // refuses to clear a directory holding anything but slices
+    Scratch.claimSliceDir(spark, scratchDir)
     (0 until slices).foreach { s =>
       docByteTokens(
           docs.filter(pmod(xxhash64(col(idCol)), lit(slices.toLong)) === s.toLong),

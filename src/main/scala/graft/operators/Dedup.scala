@@ -47,6 +47,58 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Persistable EXACT-dedup index: one row per distinct NORMALIZED
+    * fingerprint ([[graft.functions.Text.fingerprint]] — the q_fingerprint
+    * key: lowercase, punctuation stripped, whitespace collapsed, md5) with
+    * the canonical kept id and the duplicate count. This is what a corpus
+    * materializes once so that every new ingest batch deduplicates by
+    * PROBING it instead of re-scanning the corpus — the batch counterpart
+    * of the streaming ingest-dedup state store. At production scale write
+    * it bucketed by `fingerprint`, so each batch's probe join co-locates.
+    */
+  def fingerprintIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Incremental exact dedup: classify each `batch` document against a
+    * persisted corpus [[fingerprintIndex]] — the production mode at corpus
+    * scale (the corpus is NEVER re-grouped; only the batch's fingerprints
+    * shuffle, and they probe the index by equi-join).
+    *
+    * Output, one row per batch document:
+    *   - `status` = 'dup_corpus' (fingerprint already in the index — keep_id
+    *     is the corpus canonical), 'dup_batch' (first seen inside this batch
+    *     by a smaller id — keep_id is that batch keeper), or 'new' (keep_id
+    *     = the doc itself: it becomes the index entry the merged index
+    *     carries forward).
+    *
+    * Corpus keepers are stable by construction — an existing fingerprint
+    * keeps its canonical id no matter what the batch contains (the contract
+    * that makes the index APPEND-only: merging = index ∪ the batch's 'new'
+    * rows, no rewrites).
+    */
+  def exactAgainst(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint"))
+    val fp = batch.select(col(idCol),
+        Text.fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("_batch_keep", min(col(idCol)).over(w))
+    fp.join(index.select(col("fingerprint"), col("keep_id").as("_corpus_keep")),
+        Seq("fingerprint"), "left")
+      .select(
+        col(idCol),
+        col("fingerprint"),
+        when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
+          .when(col("_batch_keep") < col(idCol), lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("_corpus_keep"),
+          when(col("_batch_keep") < col(idCol), col("_batch_keep"))
+            .otherwise(col(idCol))).as("keep_id"))
+  }
+
   /** N-gram Jaccard near-duplicate pairs.
     *
     * doc → distinct word `n`-shingles → explode → inverted index join on the

@@ -59,10 +59,18 @@ object Drift {
     def d(c: Column) = c.cast("double")
     val num = d(col("n_base")) * d(col("_tn")) - d(col("n_new")) * d(col("_tb"))
     val den = (d(col("n_base")) + d(col("n_new"))) * d(col("_tb")) * d(col("_tn"))
+    // saturation bound: chi2 ≤ pooled count, so chi2·2²⁰ can exceed int64
+    // at multi-trillion-row snapshots (~8.8e12 pooled rows) — where Spark's
+    // floor(double)→long wraps and DuckDB's CAST errors, the two engines
+    // diverging instead of failing loudly. Clamp BOTH sides at 2⁶² (exactly
+    // double-representable, unlike Long.MaxValue): a saturated bucket still
+    // reads as "maximal drift", and the replay stays hash-exact.
+    val sat = lit(4.611686018427387904e18) // 2^62
     joined
       .withColumn("chi2_q20",
         when(col("_tb") === 0L || col("_tn") === 0L, lit(0L))
-          .otherwise(floor(num * num / den * lit(1048576.0)).cast("long")))
+          .otherwise(floor(least(num * num / den * lit(1048576.0), sat))
+            .cast("long")))
       .select(kc ++ Seq(col("n_base"), col("n_new"), col("chi2_q20")): _*)
   }
 }

@@ -183,12 +183,9 @@ object EntityResolution {
     // this pass OWNS scratchDir: stale slice=N directories from a prior
     // run with a different slice count (or different inputs) would be
     // silently unioned into the result by the slice=* read below, so the
-    // directory is cleared before the first pass writes
-    locally {
-      val p = new org.apache.hadoop.fs.Path(scratchDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // directory is cleared before the first pass writes — but only if it
+    // holds nothing except slices (Scratch.claimSliceDir)
+    Scratch.claimSliceDir(spark, scratchDir)
     def names(df: DataFrame, name: String, h: String): DataFrame =
       df.select(col(name)).distinct()
         .select(col(name), xxhash64(col(name)).as(h))

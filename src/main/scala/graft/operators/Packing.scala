@@ -105,6 +105,18 @@ object Packing {
       budget: Long,
       shardCol: Column): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // the fold struct casts the id to long: a non-numeric id column would
+    // yield null ids for EVERY row (silent identity collapse), so the
+    // integral requirement is enforced up front instead
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packBinsNoSplit needs an integral id column; $idCol is $other " +
+          "(map your id to a long — e.g. xxhash64 — before packing)")
+    }
     // sort_array on (-len, id) = longest first, ties by id — deterministic
     val item = struct((-col(lenCol).cast("long")).as("nl"),
       col(idCol).cast("long").as("id"))

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared guard for the sliced-pass scratch directories
+  * ([[Bpe.docByteTokensSliced]], [[EntityResolution.matchByEditDistanceSliced]]).
+  */
+private[operators] object Scratch {
+
+  /** Claim `scratchDir` for a sliced pass: clear any stale `slice=N`
+    * children (they would silently union into the final `slice=*` read),
+    * but REFUSE to delete a directory holding anything else — a mistaken
+    * path (a data directory handed in as scratch) must fail loudly
+    * instead of being recursively destroyed before the first write.
+    * Absent directories are fine; the slice writers create them.
+    */
+  def claimSliceDir(spark: SparkSession, scratchDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(scratchDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val children = fs.listStatus(p).map(_.getPath.getName)
+      val foreign = children.filterNot(n =>
+        n.startsWith("slice=") || n.startsWith(".") || n.startsWith("_"))
+      require(foreign.isEmpty,
+        s"refusing to clear scratchDir $scratchDir: it holds non-slice " +
+          s"entries ${foreign.take(3).mkString(", ")} — pass a directory " +
+          "dedicated to this sliced pass")
+      fs.delete(p, true)
+    }
+  }
+}

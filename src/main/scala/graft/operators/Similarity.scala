@@ -503,7 +503,6 @@ object Similarity {
     val seedPairs = finePairs
       .unionByName(hubPairs.select(col("id").as("src"), col("hub").as("dst")))
       .unionByName(hubPairs.select(col("hub").as("src"), col("id").as("dst")))
-    var near = topDegree(rescore(seedPairs)).localCheckpoint()
     // MEASURED DECISION (r15): Dong et al. 2011 §2.3's ρ-sampling of the
     // 2-hop closure — each node contributing only ⌈ρ·degree⌉ edges to the
     // round's only N·degree² term, drawn by a portable md5 u20 so the
@@ -514,20 +513,47 @@ object Similarity {
     // exists to buy (on structureless corpora discovery is proportional
     // to explored closure pairs). The FULL closure stays; the build cost
     // is the budgeted trade degreeFor's buildBudget already gates.
+    //
+    // What DOES hold recall while cutting the closure is Dong 2011 §2.2's
+    // NEW/OLD flags (r16): a candidate pair whose generating edges were
+    // BOTH already present in the previous round's graph was already in
+    // that round's candidate set — it either survives in `near` (its
+    // cosine rides along below, no rescore) or was rejected below the
+    // per-src top-degree bar, and the bar is monotone non-decreasing in
+    // (cosine desc, dst asc) order because every round ranks a SUPERSET
+    // of the edges it kept last round. So skipping old×old pairs yields
+    // the BIT-IDENTICAL final graph (not merely equal recall) while
+    // scoring only the closure fringe that changed: the oracle's full-
+    // closure replay stays hash-exact by construction, and the flags
+    // themselves are deterministic (presence in the prior round's graph).
+    var near = topDegree(rescore(seedPairs))
+      .withColumn("_new", lit(true)).localCheckpoint()
     for (_ <- 1 to refineRounds) {
-      val edges = near.select(col("src"), col("dst"))
-      val cands = edges
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .unionByName(edges.join(
-            edges.select(col("src").as("dst"), col("dst").as("d2")), Seq("dst"))
-          .select(col("src"), col("d2").as("dst"))
-          .filter(col("src") =!= col("dst")))
-        .unionByName(near.select(col("src"), col("dst"))) // keep current
+      val edges = near.select(col("src"), col("dst"), col("_new"))
+      // 2-hop src→mid→dst: rescore only if either hop edge is new
+      val twoHop = edges.toDF("src", "dst", "_n1")
+        .join(edges.toDF("dst", "d2", "_n2"), Seq("dst"))
+        .filter(col("_n1") || col("_n2"))
+        .select(col("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      // reversed edges: an old edge's reverse was a candidate last round
+      val cands = edges.filter(col("_new"))
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .unionByName(twoHop)
         .distinct()
-      near = topDegree(rescore(cands)).localCheckpoint()
+      // current edges keep their known cosines — only the fringe rescored;
+      // dup (src,dst) pairs carry equal cosines, topDegree's max() folds them
+      val ranked = topDegree(
+        rescore(cands).unionByName(near.select("src", "dst", "cosine")))
+      near = ranked
+        .join(near.select(col("src"), col("dst"), lit(true).as("_kept")),
+          Seq("src", "dst"), "left")
+        .withColumn("_new", col("_kept").isNull)
+        .select(col("src"), col("dst"), col("cosine"), col("_new"))
+        .localCheckpoint()
     }
     val longEdges = hubPairs.select(col("id").as("src"), col("hub").as("dst"))
-    NswIndex(near, longEdges, hubs, coarse)
+    NswIndex(near.select("src", "dst", "cosine"), longEdges, hubs, coarse)
   }
 
   /** Beam search over an [[nswIndex]]: each probe ENTERS at its own

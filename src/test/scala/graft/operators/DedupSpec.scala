@@ -260,6 +260,51 @@ class DedupSpec extends SparkSpec {
     assert(viaSentinel == viaExplicit)
   }
 
+  test("exactAgainst: decisions, batch keepers, and index-side batch exclusion") {
+    // corpus: 1=A, 3=C; batch: 5=A (corpus dup), 10=B, 20=B (intra-batch
+    // dup of 10), 30=D (genuinely new). B exists ONLY in the batch — the
+    // exclusion case: it must never report dup_corpus.
+    val corpus = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
+    val batch = Seq((5L, docA), (10L, docB), (20L, docB), (30L, "brand new content here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val out = Dedup.exactAgainst(idx, batch, "doc_id", "text")
+      .select("doc_id", "status", "keep_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (5L, "dup_corpus", 1L),
+      (10L, "new", 10L),
+      (20L, "dup_batch", 10L),
+      (30L, "new", 30L)))
+    // append-only merge: index ∪ the batch's 'new' rows covers exactly the
+    // full corpus's fingerprint set (the incremental contract)
+    val merged = idx.select("fingerprint").union(
+        Dedup.exactAgainst(idx, batch, "doc_id", "text")
+          .filter($"status" === "new").select("fingerprint"))
+      .as[String].collect().toSet
+    val full = Dedup.fingerprintIndex(corpus.union(batch), "doc_id", "text")
+      .select("fingerprint").as[String].collect().toSet
+    assert(merged == full)
+  }
+
+  test("exactAgainst probes the index by equi-join — no corpus re-group in the plan") {
+    val corpus = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
+    val batch = Seq((5L, docA), (10L, docB)).toDF("doc_id", "text")
+    // the production shape: the index is a PERSISTED table, not a live
+    // grouped view — exactAgainst must touch it only through the join
+    val dir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    Dedup.fingerprintIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = Dedup.exactAgainst(spark.read.parquet(dir), batch, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one aggregate-free probe: no HashAggregate may touch the index side
+    // (the corpus is never re-grouped; the only window is the batch's)
+    assert(!plan.contains("HashAggregate"),
+      s"index side re-aggregated — the corpus-scale contract broke:\n$plan")
+  }
+
   test("segmentDedup marks hot segments via a broadcast join, no seg shuffle join") {
     val ds = (1L to 20L).map(i => (i, s"h1 h2 h3 w${i}a w${i}b w${i}c"))
       .toDF("doc_id", "text")
