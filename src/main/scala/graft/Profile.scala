@@ -528,6 +528,37 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "graphinc") {
+      // q_knn_graph_inc decade rows: the build/probe SPLIT — the index leg
+      // (corpus-only NSW build, the offline persist-once cost) timed apart
+      // from the serving leg (batch coarse assignment + the O(1)-per-probe
+      // beam walk), proving the _inc serving leg is O(batch) while the
+      // index amortizes. Mirrors the gate exactly: corpus = vec_id >= 8,
+      // batch = vec_id < 8, k = 5, rule-derived degree/beam.
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val corpus = emb.filter(col("vec_id") >= 8)
+      val batch = emb.filter(col("vec_id") < 8).localCheckpoint(true)
+      val n = corpus.count()
+      val degree = Similarity.degreeFor(n)
+      val bits = Similarity.bandBitsFor(n, 96)
+      val beam = math.max(5, Similarity.beamFor(degree))
+      val t0 = System.nanoTime()
+      val index = Similarity.nswIndex(corpus, "vec_id", "embedding", degree, bits)
+      index.near.count(); index.longEdges.count(); index.hubs.count()
+      println(f"[graphinc] n=$n degree=$degree fineBits=$bits " +
+        f"index build ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val t1 = System.nanoTime()
+      val rows = Similarity.knnGraphSearch(index, corpus, batch,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, beam = beam, hops = 4, entries = 4).count()
+      println(f"[graphinc] probe leg (8 probes, beam=$beam) " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1fs rows=$rows")
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "repab") {
       // interleaved A/B for q_rep_signals' top-n-gram stage: three separate
       // topCover passes (r14 shape) vs one fused explode with n in the

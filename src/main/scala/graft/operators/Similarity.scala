@@ -473,11 +473,41 @@ object Similarity {
       .withColumn("cb", bucketCode(col("_vec"), coarse))
       .localCheckpoint()
     val vecs = base.select(col("id").as("dst"), col("_vec").as("_p"), col("_n").as("_np"))
+    // The candidate frame is the build's N·degree² term; equi-joining it
+    // against the corpus vector table TWICE per round shuffles it twice.
+    // The vector table itself is tiny next to the candidates
+    // (n·(dim·4+overhead) bytes — 52 MB at n=200k, ~600 MB at n=2M), so
+    // BROADCAST it and the rescore becomes map-side (measured r16,
+    // same-host interleaved A/B at sf10 n=200k degree=32: uniform build
+    // 637 → 235 s with recall identical at every walk point; clustered
+    // 131 → 142 s — the broadcast/flag bookkeeping costs ~8 % where the
+    // closure was already cheap, and buys 2.7× where the budget binds).
+    // Above the 1 GiB bound the equi-join shape returns (the >16M-vector
+    // regime, where an id-bucketed layout co-locates the join at cluster
+    // scale).
+    val nBase = base.count()
+    val bcastVecs = nBase * (dim * 4L + 48L) <= (1L << 30)
+    def side(df: DataFrame): DataFrame = if (bcastVecs) broadcast(df) else df
+    // Closure dedup (measured r16 A/B, sf10 n=200k degree=32, same host):
+    // the pre-rescore distinct is one shuffle of 16-byte id pairs that
+    // caps the map-side rescore at distinct pairs. Skipping it and letting
+    // topDegree's partial max fold the dups was TRIED: uniform build
+    // 235 → 120-130 s (dups are rare there, the distinct shuffle is pure
+    // overhead) but clustered 142 → 175-242 s across runs (closure dup
+    // factor ~degree: neighbors share neighbors inside a tight cluster)
+    // WITH one OOM at the default 8 GiB heap (the un-deduped frame lifts
+    // hash-agg pressure ~degree-fold on clustered shapes). A fine-bucket
+    // skew switch was also tried and REJECTED: bandBitsFor caps bucket
+    // width by construction, so bucket skew under-reads the graph-level
+    // dup factor and picked the wrong branch on the clustered corpus.
+    // The distinct stays: clustered is the production shape, memory
+    // head-room is part of the contract, and the uniform (budget-binding)
+    // wall is still 2.7× under the same-host r15 code with it paid.
     def rescore(pairs: DataFrame): DataFrame =
       pairs
-        .join(base.select(col("id").as("src"), col("_vec").as("_v"), col("_n").as("_nv")),
-          Seq("src"))
-        .join(vecs, Seq("dst"))
+        .join(side(base.select(col("id").as("src"), col("_vec").as("_v"),
+          col("_n").as("_nv"))), Seq("src"))
+        .join(side(vecs), Seq("dst"))
         .withColumn("cosine", pairCosine)
         .select(col("src"), col("dst"), col("cosine"))
     def topDegree(scored: DataFrame): DataFrame = {
@@ -528,7 +558,7 @@ object Similarity {
     // themselves are deterministic (presence in the prior round's graph).
     var near = topDegree(rescore(seedPairs))
       .withColumn("_new", lit(true)).localCheckpoint()
-    for (_ <- 1 to refineRounds) {
+    for (round <- 1 to refineRounds) {
       val edges = near.select(col("src"), col("dst"), col("_new"))
       // 2-hop src→mid→dst: rescore only if either hop edge is new
       val twoHop = edges.toDF("src", "dst", "_n1")
@@ -536,7 +566,8 @@ object Similarity {
         .filter(col("_n1") || col("_n2"))
         .select(col("src"), col("d2").as("dst"))
         .filter(col("src") =!= col("dst"))
-      // reversed edges: an old edge's reverse was a candidate last round
+      // reversed edges: an old edge's reverse was a candidate last round;
+      // the distinct is the closure dedup adjudicated above
       val cands = edges.filter(col("_new"))
         .select(col("dst").as("src"), col("src").as("dst"))
         .unionByName(twoHop)
@@ -545,11 +576,15 @@ object Similarity {
       // dup (src,dst) pairs carry equal cosines, topDegree's max() folds them
       val ranked = topDegree(
         rescore(cands).unionByName(near.select("src", "dst", "cosine")))
-      near = ranked
-        .join(near.select(col("src"), col("dst"), lit(true).as("_kept")),
-          Seq("src", "dst"), "left")
-        .withColumn("_new", col("_kept").isNull)
-        .select(col("src"), col("dst"), col("cosine"), col("_new"))
+      // the marking join exists only to feed the NEXT round's flag filter
+      // — on the final round the flags are dead, so skip it
+      near =
+        (if (round == refineRounds) ranked.withColumn("_new", lit(false))
+         else ranked
+           .join(near.select(col("src"), col("dst"), lit(true).as("_kept")),
+             Seq("src", "dst"), "left")
+           .withColumn("_new", col("_kept").isNull)
+           .select(col("src"), col("dst"), col("cosine"), col("_new")))
         .localCheckpoint()
     }
     val longEdges = hubPairs.select(col("id").as("src"), col("hub").as("dst"))
