@@ -12,9 +12,20 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // decade-scale harness runs (sf100-class frames: the 2e9-row NSW
+    // closure) need more shuffle partitions than the gate default (= cpus)
+    // or a single distinct/groupBy task holds 64M+ rows and OOMs — exactly
+    // the spill sizing a cluster deployment would tune; AQE coalesces the
+    // excess away on small runs, so the override is safe at every SF
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
+      // decade-scale runs chain multi-10-GB shuffle generations across
+      // jobs (the NSW closure rounds); the default 30 min periodic GC
+      // lets dead generations pile up on one box's disk — collect them
+      // promptly so peak scratch ≈ one round's live generations
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
