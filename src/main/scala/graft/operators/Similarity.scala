@@ -673,6 +673,15 @@ object Similarity {
     * rule (the sweep/spec path). At cluster scale the index persists once
     * and serves every query batch; localCheckpoint inside the build is
     * the single-session equivalent.
+    *
+    * `buildBudget` is the [[degreeFor]] n·degree² gate — the knob a
+    * cluster deployment raises ∝ executor count. The sf100 sweep
+    * (n=2M, SURVEY §6 r16) is WHY it must be reachable here: at the
+    * single-box default the budget caps degree at 32 and uniform
+    * recall@5 sits at 0.100 with the walk budget measured FLAT (beam
+    * 8→32 all 0.100 at the decade — same flatness as every smaller SF),
+    * so the only recall lever at that scale is the degree the budget
+    * buys (2³⁴ → degree 64), not any walk parameter this API could tune.
     */
   def knnGraph(
       corpus: DataFrame,
@@ -689,10 +698,11 @@ object Similarity {
       refineRounds: Int = 2,
       targetBucket: Long = 96L,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      buildBudget: Long = 1L << 31): DataFrame = {
     val n = math.max(corpus.count(), 1L)
     val fineBits = bandBitsFor(n, targetBucket)
-    val deg = if (degree > 0) degree else degreeFor(n)
+    val deg = if (degree > 0) degree else degreeFor(n, buildBudget = buildBudget)
     val bm = if (beam > 0) beam else math.max(k, beamFor(deg))
     val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim, seed)
     knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,

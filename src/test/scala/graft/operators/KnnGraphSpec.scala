@@ -104,6 +104,14 @@ class KnnGraphSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(viaIndex == endToEnd)
     assert(endToEnd.nonEmpty)
+    // buildBudget is reachable end-to-end (the cluster-scale degree
+    // path); below the 1e5-row boundary degreeFor's base floor makes any
+    // budget a no-op, so the results must be identical — the wiring pin.
+    val budgeted = Similarity.knnGraph(base, batch,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        buildBudget = 1L << 20)
+      .collect().map(_.toString).sorted.toSeq
+    assert(budgeted == endToEnd)
   }
 
   test("degreeFor: the measured log-N rule under the n·degree² build budget") {
@@ -114,7 +122,11 @@ class KnnGraphSpec extends SparkSpec {
     assert(Similarity.degreeFor(100000L) == 32)
     assert(Similarity.degreeFor(200000L) == 32)
     // sf100-class: growth says 64, the default 2^31 budget halves it back
-    // (2e6·64² ≈ 8.2e9 > 2^31; 2e6·32² ≈ 2.0e9 fits)
+    // (2e6·64² ≈ 8.2e9 > 2^31; 2e6·32² ≈ 2.0e9 fits). MEASURED at the
+    // capped degree (n=2M uniform, §6 r16): recall@5 = 0.100 with the
+    // walk budget FLAT (beam 8/16/32 all 0.100) — the only lever at the
+    // budget cap is the degree a bigger budget buys, hence the knob
+    // below and its knnGraph passthrough.
     assert(Similarity.degreeFor(2000000L) == 32)
     // a cluster-sized budget follows the log-N rule further
     assert(Similarity.degreeFor(2000000L, buildBudget = 1L << 34) == 64)
