@@ -51,21 +51,25 @@ object Bench {
         name -> elapsed
       }.toMap
     val allKeys = queryOrder.map(_._1).toSet
-    val passes3 = (1 to 3).map(_ => runPass(allKeys))
     // the q_stream_* rows are the board's noise floor (each is Spark's
     // per-trigger machinery over ≥5-9 asserted micro-batches — the r15
     // streamfloor adjudication) and their median-of-3 has flip-flopped the
     // round-over-round geomean ±5% three rounds running with no structural
-    // change underneath; batch rows are stable at 3. Two extra passes →
-    // median-of-5 on exactly those keys.
+    // change underneath; batch rows are stable at 3. So: 3 full passes for
+    // batch keys, 5 for stream keys — INTERLEAVED (full, stream, full,
+    // stream, full) so every stream sample runs in the same ambient
+    // environment as the full passes (r16 ran the two stream-only passes
+    // back-to-back at the end, which the r16 advisor flagged: samples 4-5
+    // saw a warmer, batch-free session than samples 1-3).
     val streamKeys = allKeys.filter(_.startsWith("q_stream_"))
-    val passes = passes3 ++ (1 to 2).map(_ => runPass(streamKeys))
+    val passes = Seq(allKeys, streamKeys, allKeys, streamKeys, allKeys)
+      .map(runPass)
     val results = queryOrder.map { case (name, _) =>
       val ok = passes.flatMap(_.get(name)).filter(_ >= 0).sorted
-      // median of the successful runs; any failure leaves the query
-      // reported only if at least two of three passes succeeded. Lower
-      // middle on an even count: with 2 survivors, ok(size/2) would report
-      // the MAX — a phantom regression for any query that drops one pass
+      // median of the successful runs (3 batch / 5 stream samples); a key
+      // is reported only if at least two samples succeeded. Lower middle
+      // on an even count: with 2 survivors, ok(size/2) would report the
+      // MAX — a phantom regression for any query that drops one pass
       name -> (if (ok.size < 2) -1.0 else ok((ok.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -589,10 +589,46 @@ object Profile {
         f"(${nIdx} fingerprints)")
       val t1 = System.nanoTime()
       val decided = Dedup.exactAgainst(index, batch, "doc_id", "text")
+        .localCheckpoint(true)
       val byDecision = decided.groupBy(col("status")).count()
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
       println(f"[dedupinc] batch probe ${(System.nanoTime() - t1) / 1e9}%.1fs " +
         byDecision.mkString("(", " ", ")"))
+      // merged-index ROUND-TRIP (§6 r17): fold the batch's delta into the
+      // persisted index (O(batch) — the index side passes through), then
+      // re-probe a SECOND disjoint batch against the merged index and
+      // against a from-scratch rebuild over corpus ∪ batch. The two must
+      // agree on every (doc_id, status) decision AND on the fingerprint
+      // set — the append-only contract at the decade, not just on the
+      // spec's hand-built tables. (keep_ids can legitimately differ where
+      // a fingerprint lives in both corpus and batch: merged keeps the
+      // corpus canonical — the stability contract — where a rebuild takes
+      // the global min id; statuses are unaffected because they depend
+      // only on the fingerprint SET.)
+      def setHash(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(xxhash64(df.columns.map(col): _*))).head().getLong(0)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(5L)) === 1L)
+      val t2 = System.nanoTime()
+      val merged = Dedup.mergeIndex(index, decided).localCheckpoint(true)
+      println(f"[dedupinc] merge delta ${(System.nanoTime() - t2) / 1e9}%.1fs " +
+        f"(${merged.count()} fingerprints)")
+      val t3 = System.nanoTime()
+      val viaMerged = Dedup.exactAgainst(merged, batch2, "doc_id", "text")
+        .select(col("doc_id"), col("status"))
+      val probe2Hash = setHash(viaMerged)
+      println(f"[dedupinc] batch2 re-probe ${(System.nanoTime() - t3) / 1e9}%.1fs")
+      val t4 = System.nanoTime()
+      val scratch = Dedup.fingerprintIndex(
+        corpus.unionByName(batch), "doc_id", "text").localCheckpoint(true)
+      val viaScratch = Dedup.exactAgainst(scratch, batch2, "doc_id", "text")
+        .select(col("doc_id"), col("status"))
+      val fpOk = setHash(merged.select("fingerprint")) ==
+        setHash(scratch.select("fingerprint"))
+      val probeOk = probe2Hash == setHash(viaScratch)
+      println(f"[dedupinc] from-scratch rebuild+probe " +
+        f"${(System.nanoTime() - t4) / 1e9}%.1fs; " +
+        s"fingerprint-set ${if (fpOk) "MATCH" else "MISMATCH"}, " +
+        s"batch2 decisions ${if (probeOk) "MATCH" else "MISMATCH"}")
       spark.stop()
       return
     }
@@ -737,9 +773,11 @@ object Profile {
       // 2·degree stays O(1) in N either way).
       import graft.operators.Similarity
       // optional args: (2) degree override (0 = the degreeFor rule),
-      // (3) corpus filter
+      // (3) corpus filter, (4) buildSlices (1 = the single-job build;
+      // >1 = the src-sliced disk-bounded build, SURVEY §6 r17)
       val degreeArg = args.drop(2).headOption.map(_.toInt).getOrElse(0)
       val corpusFilter = args.drop(3).headOption
+      val slicesArg = args.drop(4).headOption.map(_.toInt).getOrElse(1)
       def runGraphRecall(corpus: String, emb: org.apache.spark.sql.DataFrame): Unit = {
         if (corpusFilter.exists(_ != corpus)) return
         val n = emb.count()
@@ -756,10 +794,10 @@ object Profile {
         val bits = Similarity.bandBitsFor(n, 96)
         val t1 = System.nanoTime()
         val index = Similarity.nswIndex(emb, "vec_id", "embedding",
-          degree = degree, fineBits = bits)
+          degree = degree, fineBits = bits, buildSlices = slicesArg)
         index.near.count() // force the build before timing searches
         println(f"[graphrecall] $corpus index build ${(System.nanoTime() - t1) / 1e9}%.1fs " +
-          s"(degree=$degree fineBits=$bits)")
+          s"(degree=$degree fineBits=$bits slices=$slicesArg)")
         // (beamFor(degree), 4) first — the rule's own default walk point
         for ((beam, hops) <- (Seq((Similarity.beamFor(degree), 4),
             (8, 4), (16, 4), (8, 6), (16, 6), (32, 6), (32, 8))).distinct) {

@@ -2630,12 +2630,16 @@ object SparkEntry {
     // §2#33b IVF-Flat ANN — k-means cells aren't SQL-replayable, so the
     // gate hash-checks the RECALL ENVELOPE instead of neighbor ids: the
     // IVF top-k, measured against the exact brute-force top-k computed
-    // alongside it, must recall ≥ 20% of true neighbors. The floor sits
-    // above the nprobe/nlist = 12.5% scan-fraction null (what random
-    // cell choice would score on this structureless uniform corpus) and
-    // below the measured mean-recall range [0.30, 0.475] across
-    // sf0.001→sf10 — so the row now driver-verifies that cell routing
-    // beats chance, with n_probes/n_ret pinning non-empty cell search.
+    // alongside it, must recall ≥ 25% of true neighbors. The floor is
+    // 2× the nprobe/nlist = 12.5% scan-fraction null (what random cell
+    // choice would score on this structureless uniform corpus) with real
+    // margin below the measured recall floor — re-measured r17:
+    // 0.300/0.400/0.375 at sf0.001/0.01/0.1 (inc twin 0.350/0.400/0.425),
+    // [0.30, 0.475] across sf0.001→sf10 — so a routing-quality
+    // regression trips the gate instead of sliding inside the old 0.2
+    // slack (the r16 verdict ask; 0.30 exactly would sit ON the sf0.001
+    // measurement — a floor must not equal a measured point), with
+    // n_probes/n_ret pinning non-empty cell search.
     // Exact neighbor lists stay pinned by the det twin q_knn_ivf_det.
     // SCALE RESTRICTION (here and in q_knn_ivf_inc + their oracles): the
     // envelope's n_ret oracle pins exactly k rows per probe, which holds
@@ -2663,7 +2667,7 @@ object SparkEntry {
           lit(5L).as("k"),
           countDistinct(col("probe_id")).as("n_probes"),
           count(lit(1)).as("n_ret"),
-          ((sum(coalesce(col("_hit"), lit(0L))) / count(lit(1))) >= 0.2)
+          ((sum(coalesce(col("_hit"), lit(0L))) / count(lit(1))) >= 0.25)
             .as("recall_ok"))
     }),
 
@@ -2959,9 +2963,11 @@ object SparkEntry {
     // persistable (id, vec, norm, cell) index, each probe batch pays only
     // its own cell assignment + the cell equi-join, never a corpus
     // re-assignment. Gate = the same recall envelope as q_knn_ivf (k-means
-    // training is not SQL-expressible; measured mean recall 0.40–0.60
-    // across sf0.001→sf10 vs the 12.5% scan-fraction null, floor 0.2);
-    // exact neighbor lists stay pinned by the det twin below.
+    // training is not SQL-expressible; re-measured r17: 0.350/0.400/0.425
+    // at sf0.001/0.01/0.1, 0.40–0.60 up to sf10, vs the 12.5%
+    // scan-fraction null — floor raised 0.2 → 0.25 with the q_knn_ivf
+    // rationale above); exact neighbor lists stay pinned by the det twin
+    // below.
     "q_knn_ivf_inc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = emb.filter(col("vec_id") >= 8)
@@ -2979,7 +2985,7 @@ object SparkEntry {
           lit(5L).as("k"),
           countDistinct(col("probe_id")).as("n_probes"),
           count(lit(1)).as("n_ret"),
-          ((sum(coalesce(col("_hit"), lit(0L))) / count(lit(1))) >= 0.2)
+          ((sum(coalesce(col("_hit"), lit(0L))) / count(lit(1))) >= 0.25)
             .as("recall_ok"))
     }),
 

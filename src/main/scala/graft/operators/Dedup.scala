@@ -99,6 +99,28 @@ object Dedup {
             .otherwise(col(idCol))).as("keep_id"))
   }
 
+  /** Append-only merge of a [[fingerprintIndex]] with a probed batch's
+    * [[exactAgainst]] decisions: the index rows pass through UNCHANGED
+    * (canonical keep_ids are stable by contract — a fingerprint already in
+    * the index keeps its corpus canonical no matter what later batches
+    * contain), and the batch contributes one row per fingerprint it
+    * introduced (its 'new' keeper plus that keeper's 'dup_batch'
+    * followers: keep_id = the batch keeper, dup_count = the batch
+    * occurrence count). The groupBy shuffles only the batch — the index
+    * side is a pass-through union, so merging stays O(batch) no matter
+    * how large the persisted index has grown. The merged index covers
+    * exactly [[fingerprintIndex]](corpus ∪ batch)'s fingerprint set
+    * (spec-pinned, with the one documented divergence: a fingerprint
+    * present in BOTH corpus and batch keeps the CORPUS canonical id,
+    * where a from-scratch rebuild would take the global min id — keep_id
+    * stability is the property that makes the index append-only).
+    */
+  def mergeIndex(index: DataFrame, decided: DataFrame): DataFrame =
+    index.unionByName(
+      decided.filter(col("status") =!= "dup_corpus")
+        .groupBy(col("fingerprint"))
+        .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("dup_count")))
+
   /** N-gram Jaccard near-duplicate pairs.
     *
     * doc → distinct word `n`-shingles → explode → inverted index join on the

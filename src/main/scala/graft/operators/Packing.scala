@@ -113,9 +113,14 @@ object Packing {
          | org.apache.spark.sql.types.ShortType
          | org.apache.spark.sql.types.IntegerType
          | org.apache.spark.sql.types.LongType => ()
+      // scale-0 decimals (the BIGINT surrogate-key flavor many warehouses
+      // emit) cast to long exactly, as long as precision fits
+      case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => ()
       case other => throw new IllegalArgumentException(
         s"packBinsNoSplit needs an integral id column; $idCol is $other " +
-          "(map your id to a long — e.g. xxhash64 — before packing)")
+          "(Byte/Short/Int/Long or Decimal(p,0) — Float/Double are " +
+          "rejected by design: their cast truncates and can collide ids; " +
+          "map your id to a long — e.g. xxhash64 — before packing)")
     }
     // sort_array on (-len, id) = longest first, ties by id — deterministic
     val item = struct((-col(lenCol).cast("long")).as("nl"),

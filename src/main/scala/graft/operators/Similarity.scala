@@ -372,6 +372,26 @@ object Similarity {
   def beamFor(degree: Int, base: Int = 8): Int =
     if (degree > 16) degree else base
 
+  /** Vector-table size bound under which the NN-descent rescore
+    * broadcasts the corpus vectors instead of equi-joining them
+    * (nswIndex). Broadcast network cost is bytes × executors — a bound
+    * that ignores cluster width lets a 1000-executor deployment pay
+    * ~600 GB of re-sends for a 600 MB table (the r16 verdict flag). So
+    * the bound caps TOTAL network at 32 GiB and never exceeds the 1 GiB
+    * single-process bound: min(1 GiB, 32 GiB / executors). With no
+    * `spark.executor.instances` set (local mode) executors = 1 and the
+    * bound is the unchanged 1 GiB; at 32 executors it is still 1 GiB; at
+    * 1000 it is ~32 MiB and the equi-join shape (which an id-bucketed
+    * layout co-locates at that scale) returns. Integer arithmetic,
+    * spec-pinned (KnnGraphSpec). */
+  def rescoreBroadcastBound(executors: Int): Long =
+    math.min(1L << 30, (32L << 30) / math.max(1, executors))
+
+  private def executorCountOf(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.executor.instances")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(1)
+
   /** A built graph-ANN index: `near` = the degree-bounded refined kNN
     * adjacency (src, dst, cosine); `longEdges` = node → its coarse-bucket
     * hubs (the flattened HNSW upper layer); `hubs` = (cbk, hub) for
@@ -461,8 +481,10 @@ object Similarity {
       fineBits: Int,
       refineRounds: Int = 2,
       dim: Int = 64,
-      seed: Long = 42L): NswIndex = {
-    require(degree > 0 && fineBits > 0 && refineRounds >= 0)
+      seed: Long = 42L,
+      buildSlices: Int = 1,
+      rescoreBroadcastCap: Long = 0L): NswIndex = {
+    require(degree > 0 && fineBits > 0 && refineRounds >= 0 && buildSlices >= 1)
     val coarseBits = math.max(1, fineBits / 2)
     val fine = hyperplanes(fineBits, dim, seed)
     val coarse = hyperplanes(coarseBits, dim, seed + 1)
@@ -486,7 +508,12 @@ object Similarity {
     // regime, where an id-bucketed layout co-locates the join at cluster
     // scale).
     val nBase = base.count()
-    val bcastVecs = nBase * (dim * 4L + 48L) <= (1L << 30)
+    // the cap scales down with cluster width unless the caller pins it:
+    // broadcast cost is bytes × executors (rescoreBroadcastBound)
+    val bcastCap =
+      if (rescoreBroadcastCap > 0L) rescoreBroadcastCap
+      else rescoreBroadcastBound(executorCountOf(corpus.sparkSession))
+    val bcastVecs = nBase * (dim * 4L + 48L) <= bcastCap
     def side(df: DataFrame): DataFrame = if (bcastVecs) broadcast(df) else df
     // Closure dedup (measured r16 A/B, sf10 n=200k degree=32, same host):
     // the pre-rescore distinct is one shuffle of 16-byte id pairs that
@@ -517,6 +544,33 @@ object Similarity {
         .withColumn("_nr", row_number().over(w))
         .filter(col("_nr") <= degree)
         .select(col("src"), col("dst"), col("cosine"))
+    }
+    // The rescore/rank leg, optionally SLICED by src (`buildSlices` > 1):
+    // the closure's pre-distinct candidate frame is the build's DISK-peak
+    // term — N·degree²·dup rows with dup ~degree on clustered corpora,
+    // which at sf100 n=2M filled a 250 GB box's disk 15 min into the
+    // closure (SURVEY §6 r16, `No space left on device` in the distinct's
+    // HashAggregate spill). Hash-partitioning the src space into S slices
+    // runs S SEQUENTIAL jobs (the per-slice localCheckpoint forces each
+    // before the next plans), so the periodic cleaner reclaims a slice's
+    // dead shuffle generations before the next slice writes its own —
+    // peak scratch ≈ 1/S of the single-job build, the
+    // docByteTokensSliced pattern applied to the graph build. The result
+    // is BIT-IDENTICAL to the unsliced leg: topDegree ranks per src, and
+    // filter / distinct / rescore / carried-cosine rows are all src-local,
+    // so slicing the src space partitions every per-src candidate set
+    // intact (spec-pinned row-identical, KnnGraphSpec).
+    def rankedOf(pairs: DataFrame, carry: Option[DataFrame],
+        dedup: Boolean): DataFrame = {
+      def leg(p: DataFrame, c: Option[DataFrame]) = {
+        val scored = rescore(if (dedup) p.distinct() else p)
+        topDegree(c.fold(scored)(scored.unionByName(_)))
+      }
+      if (buildSlices <= 1) leg(pairs, carry)
+      else (0 until buildSlices).map { s =>
+        val pred = pmod(xxhash64(col("src")), lit(buildSlices)) === lit(s.toLong)
+        leg(pairs.filter(pred), carry.map(_.filter(pred))).localCheckpoint()
+      }.reduce(_ unionByName _)
     }
     val hw = Window.partitionBy(col("cb")).orderBy(col("id"))
     val hubs = base.withColumn("_hr", row_number().over(hw))
@@ -556,7 +610,7 @@ object Similarity {
     // scoring only the closure fringe that changed: the oracle's full-
     // closure replay stays hash-exact by construction, and the flags
     // themselves are deterministic (presence in the prior round's graph).
-    var near = topDegree(rescore(seedPairs))
+    var near = rankedOf(seedPairs, None, dedup = false)
       .withColumn("_new", lit(true)).localCheckpoint()
     for (round <- 1 to refineRounds) {
       val edges = near.select(col("src"), col("dst"), col("_new"))
@@ -567,15 +621,15 @@ object Similarity {
         .select(col("src"), col("d2").as("dst"))
         .filter(col("src") =!= col("dst"))
       // reversed edges: an old edge's reverse was a candidate last round;
-      // the distinct is the closure dedup adjudicated above
+      // the distinct (dedup = true, per slice when sliced) is the closure
+      // dedup adjudicated above
       val cands = edges.filter(col("_new"))
         .select(col("dst").as("src"), col("src").as("dst"))
         .unionByName(twoHop)
-        .distinct()
       // current edges keep their known cosines — only the fringe rescored;
       // dup (src,dst) pairs carry equal cosines, topDegree's max() folds them
-      val ranked = topDegree(
-        rescore(cands).unionByName(near.select("src", "dst", "cosine")))
+      val ranked = rankedOf(cands,
+        Some(near.select("src", "dst", "cosine")), dedup = true)
       // the marking join exists only to feed the NEXT round's flag filter
       // — on the final round the flags are dead, so skip it
       near =
@@ -682,6 +736,13 @@ object Similarity {
     * 8→32 all 0.100 at the decade — same flatness as every smaller SF),
     * so the only recall lever at that scale is the degree the budget
     * buys (2³⁴ → degree 64), not any walk parameter this API could tune.
+    *
+    * `buildSlices` > 1 runs the build's rescore/rank legs as that many
+    * sequential src-sliced jobs — bit-identical output, peak shuffle
+    * scratch ≈ 1/slices (the sf100 clustered disk-bound contingency;
+    * rankedOf in nswIndex). `rescoreBroadcastCap` pins the rescore
+    * broadcast bound; 0 derives it from cluster width
+    * ([[rescoreBroadcastBound]]).
     */
   def knnGraph(
       corpus: DataFrame,
@@ -699,12 +760,15 @@ object Similarity {
       targetBucket: Long = 96L,
       dim: Int = 64,
       seed: Long = 42L,
-      buildBudget: Long = 1L << 31): DataFrame = {
+      buildBudget: Long = 1L << 31,
+      buildSlices: Int = 1,
+      rescoreBroadcastCap: Long = 0L): DataFrame = {
     val n = math.max(corpus.count(), 1L)
     val fineBits = bandBitsFor(n, targetBucket)
     val deg = if (degree > 0) degree else degreeFor(n, buildBudget = buildBudget)
     val bm = if (beam > 0) beam else math.max(k, beamFor(deg))
-    val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim, seed)
+    val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim,
+      seed, buildSlices, rescoreBroadcastCap)
     knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
       k, bm, hops, entries, dim)
   }

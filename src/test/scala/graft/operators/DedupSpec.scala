@@ -287,6 +287,39 @@ class DedupSpec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("mergeIndex: append-only round-trip — a second batch probes the merged " +
+      "index exactly as it would a from-scratch rebuild") {
+    val corpus = Seq((7L, docA), (3L, docC)).toDF("doc_id", "text")
+    val batch = Seq((5L, docA), (10L, docB), (20L, docB)).toDF("doc_id", "text")
+    val batch2 = Seq((2L, docA), (4L, docB), (6L, "zz unseen zz"),
+      (8L, "zz unseen zz")).toDF("doc_id", "text")
+    val idx = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val merged = Dedup.mergeIndex(idx,
+      Dedup.exactAgainst(idx, batch, "doc_id", "text"))
+    val rebuilt = Dedup.fingerprintIndex(
+      corpus.unionByName(batch), "doc_id", "text")
+    // fingerprint coverage is identical
+    assert(merged.select("fingerprint").as[String].collect().toSet ==
+      rebuilt.select("fingerprint").as[String].collect().toSet)
+    // a second batch gets the same per-doc DECISIONS from either index
+    // (statuses depend only on the fingerprint set)
+    def dec(i: org.apache.spark.sql.DataFrame) =
+      Dedup.exactAgainst(i, batch2, "doc_id", "text")
+        .select("doc_id", "status").as[(Long, String)].collect().toSet
+    assert(dec(merged) == dec(rebuilt))
+    val viaMerged = Dedup.exactAgainst(merged, batch2, "doc_id", "text")
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    // keep_id STABILITY, the documented divergence from a rebuild: docA
+    // lives in corpus (id 7) AND batch (id 5) — the merged index keeps the
+    // corpus canonical 7 where a rebuild would re-elect the global min 5
+    assert(viaMerged(2L) == 7L)
+    // a fingerprint the batch introduced keeps the batch keeper (docB → 10)
+    assert(viaMerged(4L) == 10L)
+    // the batch delta row carries the batch occurrence count (docB twice)
+    assert(merged.filter($"keep_id" === 10L).select("dup_count")
+      .as[Long].head() == 2L)
+  }
+
   test("exactAgainst probes the index by equi-join — no corpus re-group in the plan") {
     val corpus = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
     val batch = Seq((5L, docA), (10L, docB)).toDF("doc_id", "text")

@@ -138,6 +138,36 @@ class KnnGraphSpec extends SparkSpec {
     assert(Similarity.beamFor(32) == 32)
   }
 
+  test("sliced build (buildSlices > 1) is row-identical to the single-job build") {
+    // the sf100 disk-bound contingency (§6 r17): hash-partitioning the src
+    // space into S sequential rescore/rank jobs must not change a single
+    // edge — topDegree ranks per src and every per-src candidate set lands
+    // intact in that src's slice
+    val emb = corpus(500, 5, seed = 31L)
+    val bits = Similarity.bandBitsFor(500, 96)
+    def edges(slices: Int): Set[(Long, Long, Double)] =
+      Similarity.nswIndex(emb, "vec_id", "embedding", degree = 8,
+          fineBits = bits, buildSlices = slices)
+        .near.select(col("src"), col("dst"), col("cosine")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(edges(3) == edges(1),
+      "sliced and single-job builds must produce the identical graph")
+  }
+
+  test("rescoreBroadcastBound: scales down with cluster width, capped at 1 GiB") {
+    // broadcast network cost is bytes × executors: the bound caps total
+    // re-send traffic at 32 GiB and never exceeds the single-box 1 GiB
+    assert(Similarity.rescoreBroadcastBound(1) == (1L << 30))
+    assert(Similarity.rescoreBroadcastBound(0) == (1L << 30)) // defensive floor
+    assert(Similarity.rescoreBroadcastBound(32) == (1L << 30))
+    assert(Similarity.rescoreBroadcastBound(64) == (1L << 29))
+    assert(Similarity.rescoreBroadcastBound(1000) == (32L << 30) / 1000)
+    // at 1000 executors a 600 MB vector table (n=2M × 64 floats) exceeds
+    // the ~32 MiB bound — the equi-join shape returns instead of ~600 GB
+    // of broadcast re-sends
+    assert(2000000L * (64 * 4L + 48L) > Similarity.rescoreBroadcastBound(1000))
+  }
+
   test("NN-descent rounds do not lose recall vs the raw LSH seed graph") {
     val emb = corpus(800, 6, seed = 23L)
     val probes = emb.filter(col("vec_id") < 8)

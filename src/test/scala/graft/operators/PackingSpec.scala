@@ -113,6 +113,32 @@ class PackingSpec extends SparkSpec {
     assert(out2 == Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 2L)))
   }
 
+  test("packBinsNoSplit id gate: scale-0 decimals pack like longs; " +
+      "fractional and float ids are rejected") {
+    val docs = Seq((1L, 4L), (2L, 9L), (3L, 5L)).toDF("doc_id", "len")
+    val asLong = Packing.packBinsNoSplit(docs, "doc_id", "len",
+        budget = 10L, shardCol = lit(0L))
+      .select($"doc_id", $"bin", $"pos").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    // a Decimal(20,0) surrogate key (the warehouse BIGINT flavor) casts to
+    // long exactly — same packing, row for row
+    val asDec = Packing.packBinsNoSplit(
+        docs.withColumn("doc_id", $"doc_id".cast("decimal(20,0)")),
+        "doc_id", "len", budget = 10L, shardCol = lit(0L))
+      .select($"doc_id".cast("long"), $"bin", $"pos").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(asDec == asLong)
+    // fractional decimals and floats truncate on cast (can collide ids) —
+    // rejected up front by design
+    for (t <- Seq("decimal(20,2)", "double", "string")) {
+      val e = intercept[IllegalArgumentException] {
+        Packing.packBinsNoSplit(docs.withColumn("doc_id", $"doc_id".cast(t)),
+          "doc_id", "len", budget = 10L, shardCol = lit(0L))
+      }
+      assert(e.getMessage.contains("integral id column"), s"type $t")
+    }
+  }
+
   test("packBinsNoSplit: every doc placed once, fills respect the budget, " +
       "matches a reference fold on every shard, partitioning-invariant") {
     val rnd = new scala.util.Random(31)
