@@ -316,6 +316,28 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "zipfgate") {
+      // decompose the q_*_zipf pair gates: ZipfCorpus generation vs the
+      // shingleSets checkpoint vs each scorer leg (r17 board triage)
+      import graft.operators.Dedup
+      val docs = graft.sources.ZipfCorpus.docs(spark, sfDir)
+      time("zipf corpus noop") {
+        docs.write.format("noop").mode("overwrite").save(); 0L }
+      time("shingleSets (checkpoint)") {
+        Dedup.shingleSets(docs, "doc_id", "text", 3).count() }
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      time("jaccardOn over sets") { Dedup.ngramJaccardOn(sets, 0.8).count() }
+      time("overlapOn over sets") { Dedup.overlapPairsOn(sets, 0.8).count() }
+      time("full q_ngram_jaccard_zipf") {
+        SparkEntry.queries("q_ngram_jaccard_zipf")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L }
+      time("full q_containment_zipf") {
+        SparkEntry.queries("q_containment_zipf")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "reuse") {
       // the multi-scorer amortization question: jaccard + containment over
       // one corpus — default recompute paths (back to back) vs ONE

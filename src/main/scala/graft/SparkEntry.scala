@@ -2336,7 +2336,8 @@ object SparkEntry {
     // single-scorer plan — PairMiningReuseSpec pins it checkpoint-free.)
     "q_ngram_jaccard_zipf" -> ((s, dir) =>
       Dedup.ngramJaccardOn(
-        Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
+        Dedup.shingleSets(
+          graft.sources.ZipfCorpus.docs(s, dir, materializeBase = true),
           "doc_id", "text", 3), 0.8)),
 
     // §2#29d containment/overlap-coefficient pairs |∩|/min(|A|,|B|):
@@ -2352,7 +2353,8 @@ object SparkEntry {
     // checkpointed shingle sets)
     "q_containment_zipf" -> ((s, dir) =>
       Dedup.overlapPairsOn(
-        Dedup.shingleSets(graft.sources.ZipfCorpus.docs(s, dir),
+        Dedup.shingleSets(
+          graft.sources.ZipfCorpus.docs(s, dir, materializeBase = true),
           "doc_id", "text", 3), 0.8)),
 
     // §2#29b dedup DECISION: near-dup pairs → connected components →
@@ -2391,7 +2393,9 @@ object SparkEntry {
     // collapse candidates to ≈ the planted pairs when shingles are rare —
     // the linearity the profile measured, now hash-gated
     "q_minhash_lsh_zipf" -> ((s, dir) =>
-      Dedup.minhashLsh(graft.sources.ZipfCorpus.docs(s, dir), "doc_id", "text",
+      Dedup.minhashLsh(
+        graft.sources.ZipfCorpus.docs(s, dir, materializeBase = true),
+        "doc_id", "text",
         shingleLen = 3, numHashes = 32, bands = 8, threshold = 0.5)),
 
     // §2#30e dedup-quality EVALUATION — the measurement loop every
@@ -4605,7 +4609,7 @@ object SparkEntry {
     // under the corpus-relative threshold and survive
     "q_segment_dedup_zipf" -> ((s, dir) =>
       Dedup.segmentDedup(
-        graft.sources.ZipfCorpus.docs(s, dir),
+        graft.sources.ZipfCorpus.docs(s, dir, materializeBase = true),
         "doc_id", "text", segWords = 4)),
 
     // §2#42b overlapping sliding-window chunking (RAG/embedding layout —
@@ -4729,10 +4733,13 @@ object SparkEntry {
       Bpe.mergeTable(s, Bpe.train(Tables.documents(s, dir), "text", m = 6))),
 
     // §2#36g the trained tokenizer APPLIED: segmentation on the word vocab
-    // (per-word cost, weighted by count), global top-40 subwords
+    // (per-word cost, weighted by count), global top-40 subwords.
+    // ONE checkpointed vocab feeds training AND application (r17: the
+    // corpus scan + vocab groupBy was paid twice)
     "q_bpe_tokenize" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Bpe.subwordCounts(docs, "text", Bpe.train(docs, "text", m = 6), k = 40)
+      val vocab = Bpe.wordVocab(Tables.documents(s, dir), "text")
+        .localCheckpoint(true)
+      Bpe.subwordCountsOnWords(vocab, Bpe.trainOnWords(vocab, m = 6), k = 40)
     }),
 
     // §2#36r the EXACT GPT-2 pre-tokenizer pinned directly at token
@@ -4766,8 +4773,10 @@ object SparkEntry {
     // §2#36l the byte-level tokenizer APPLIED: segmentation on the
     // pre-token vocab, global top-40 subword byte sequences (hex)
     "q_bpe_bytes_tokenize" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Bpe.byteSubwordCounts(docs, "text", Bpe.trainBytes(docs, "text", m = 8), k = 40)
+      val vocab = Bpe.byteVocab(Tables.documents(s, dir), "text")
+        .localCheckpoint(true)
+      Bpe.byteSubwordCountsOnWords(vocab,
+        Bpe.trainBytesOnWords(vocab, m = 8), k = 40)
     }),
 
     // §2#36m doc-grain byte tokenization — what packing consumes at the
@@ -4775,7 +4784,11 @@ object SparkEntry {
     // trick), documents re-assemble into ordered hex-token sequences
     "q_bpe_bytes_doc_ids" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Bpe.docByteTokens(docs, "doc_id", "text", Bpe.trainBytes(docs, "text", m = 8))
+      // the training vocab IS the distinct pre-token set the doc-grain
+      // pass needs — build it once, train on it, segment against it
+      val vocab = Bpe.byteVocab(docs, "text").localCheckpoint(true)
+      Bpe.docByteTokensOnVocab(docs, "doc_id", "text",
+        Bpe.trainBytesOnWords(vocab, m = 8), vocab)
     }),
 
     // §2#36h unigram-LM tokenizer TRAINING (SentencePiece family, Kudo
@@ -4795,9 +4808,10 @@ object SparkEntry {
     // corpus frequencies (the q_bpe_tokenize twin — same output shape,
     // different learned vocabulary)
     "q_unigram_tokenize" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48)
-      Unigram.subwordCounts(docs, "text", art, k = 40)
+      val vocab = Bpe.wordVocab(Tables.documents(s, dir), "text")
+        .localCheckpoint(true)
+      val art = Unigram.trainArtifactOnVocab(vocab, rounds = 2, keepK = 48)
+      Unigram.subwordCountsOnVocab(vocab, art, k = 40)
     }),
 
     // §2#36j doc-grain tokenization under the trained unigram artifact —
@@ -4808,6 +4822,7 @@ object SparkEntry {
     "q_unigram_doc_ids" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val art = Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48)
+        .localCheckpoint(true)
       Unigram.docTokenIds(docs, "doc_id", "text", art)
     }),
 
@@ -4830,10 +4845,11 @@ object SparkEntry {
     // WordPieceEncode — the vocab rides as a reference object, never a
     // join), unmatchable words collapse to one [UNK]; top-40 subwords
     "q_wordpiece_tokenize" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val merges = WordPiece.train(docs, "text", m = 8)
-      WordPiece.subwordCounts(docs, "text",
-        WordPiece.finalVocab(docs, "text", merges), k = 40)
+      val vocab = Bpe.wordVocab(Tables.documents(s, dir), "text")
+        .localCheckpoint(true)
+      val merges = WordPiece.trainOnWords(vocab, m = 8)
+      WordPiece.subwordCountsOnWords(vocab,
+        WordPiece.finalVocabOnWords(vocab, merges), k = 40)
     }),
 
     // §2#36p doc-grain WordPiece tokenization — the packing consumable
@@ -4841,9 +4857,10 @@ object SparkEntry {
     // bounded vocab), documents re-assemble into ordered id sequences
     "q_wordpiece_doc_ids" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = WordPiece.train(docs, "text", m = 8)
+      val vocab = Bpe.wordVocab(docs, "text").localCheckpoint(true)
+      val merges = WordPiece.trainOnWords(vocab, m = 8)
       WordPiece.docTokenIds(docs, "doc_id", "text",
-        WordPiece.finalVocab(docs, "text", merges))
+        WordPiece.finalVocabOnWords(vocab, merges))
     }),
 
     // §2#36q the tokenizer-family COMPARISON row — the "which tokenizer"
@@ -4858,19 +4875,38 @@ object SparkEntry {
       def row(name: String, df: DataFrame) =
         df.select(lit(name).as("tokenizer"), col("n_units"),
           col("n_chars"), col("n_tokens"))
-      row("bpe_char",
-          Bpe.charTokenTotals(docs, "text", Bpe.train(docs, "text", m = 6)))
-        .unionByName(row("bpe_bytes",
-          Bpe.byteTokenTotals(docs, "text",
-            Bpe.trainBytes(docs, "text", m = 8))))
-        .unionByName(row("unigram",
-          Unigram.tokenTotals(docs, "text",
-            Unigram.trainArtifact(docs, "text", rounds = 2, keepK = 48))))
-        .unionByName(row("wordpiece", {
-          val m = WordPiece.train(docs, "text", m = 8)
-          WordPiece.tokenTotals(docs, "text",
-            WordPiece.finalVocab(docs, "text", m))
-        }))
+      // r17: ONE word vocab + ONE pre-token vocab feed all four families
+      // (this gate used to pay 9 corpus scans), and the four trainings —
+      // independent driver-side job loops of small jobs — run from a
+      // thread pool so their jobs backfill the cluster instead of
+      // serializing (guide §2.6). Each training's trajectory, and so the
+      // four output rows, are unchanged.
+      val vocab = Bpe.wordVocab(docs, "text").localCheckpoint(true)
+      val bvocab = Bpe.byteVocab(docs, "text").localCheckpoint(true)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      try {
+        val fChar = Future(Bpe.trainOnWords(vocab, m = 6))
+        val fBytes = Future(Bpe.trainBytesOnWords(bvocab, m = 8))
+        val fUni = Future(
+          Unigram.trainArtifactOnVocab(vocab, rounds = 2, keepK = 48))
+        val fWp = Future(WordPiece.trainOnWords(vocab, m = 8))
+        val charMerges = Await.result(fChar, Duration.Inf)
+        val byteMerges = Await.result(fBytes, Duration.Inf)
+        val uniArtifact = Await.result(fUni, Duration.Inf)
+        val wpMerges = Await.result(fWp, Duration.Inf)
+        row("bpe_char", Bpe.charTokenTotalsOnWords(vocab, charMerges))
+          .unionByName(row("bpe_bytes",
+            Bpe.byteTokenTotalsOnWords(bvocab, byteMerges)))
+          .unionByName(row("unigram",
+            Unigram.tokenTotalsOnVocab(vocab, uniArtifact)))
+          .unionByName(row("wordpiece",
+            WordPiece.tokenTotalsOnWords(vocab,
+              WordPiece.finalVocabOnWords(vocab, wpMerges))))
+      } finally pool.shutdown()
     }),
 
     // §2#46d DSIR importance selection: hashed-unigram target (lang=en)

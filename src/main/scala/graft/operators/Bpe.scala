@@ -78,27 +78,49 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       m: Int): Array[(Int, String, String, Long)] =
-    trainOnVocab(
-      wordVocab(docs, textCol)
-        .select(symStr(col("word")).as("s"), col("cnt")),
-      m)
+    trainOnWords(wordVocab(docs, textCol), m)
+
+  /** [[train]] over a prepared `(word, cnt)` vocab frame — gates that
+    * also apply/score the tokenizer pass ONE (checkpointed) vocab here
+    * and to the apply-side `*OnWords` twins, so the corpus scan +
+    * vocab groupBy is paid once per gate instead of once per call
+    * (guide §2.4: share the exchange). */
+  def trainOnWords(
+      vocab: DataFrame,
+      m: Int): Array[(Int, String, String, Long)] =
+    trainOnVocab(vocab.select(symStr(col("word")).as("s"), col("cnt")), m)
 
   /** The merge loop over any sentinel-delimited (s, cnt) vocab frame —
     * shared by the char-grain [[train]] and byte-grain
     * [[trainBytes]] paths. Each round: one vocab-sized pair
-    * count + a 1-row argmax collect + one literal replace;
-    * `localCheckpoint` pins each round so plans don't nest.
+    * count + a 1-row argmax collect.
+    *
+    * The vocab is materialized ONCE (`localCheckpoint`); each round's
+    * merge is then a CHAINED literal `replace` over that base, so a
+    * round costs exactly one Spark job (the argmax) instead of two —
+    * the per-round eager re-checkpoint this loop used to pay was a full
+    * extra job per merge for a vocab-sized table (guide §1.2: the
+    * sequential-job count IS the wall clock of a driver loop). The
+    * replace chain is re-applied scan-side each round (O(step) cheap
+    * string ops per vocab row); every [[CheckpointEvery]] merges the
+    * chain is folded back into a fresh checkpoint so expression depth
+    * stays bounded for large-m production trainings. Pair statistics,
+    * and therefore the merge trajectory, are bit-identical to the
+    * materialize-every-round form.
     */
+  private val CheckpointEvery = 16
   private def trainOnVocab(
       vocab0: DataFrame,
       m: Int): Array[(Int, String, String, Long)] = {
     require(m > 0, s"need at least one merge, got $m")
-    var vocab = vocab0.localCheckpoint(true)
+    var base = vocab0.localCheckpoint(true)
+    var sym: Column = col("s")
+    var depth = 0
     val merges = Array.newBuilder[(Int, String, String, Long)]
     var step = 1
     var done = false
     while (step <= m && !done) {
-      val best = pairCounts(vocab)
+      val best = pairCounts(base.select(sym.as("s"), col("cnt")))
         .orderBy(col("pcnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
@@ -106,10 +128,13 @@ object Bpe {
       else {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, c))
-        vocab = vocab
-          .withColumn("s",
-            replace(col("s"), lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          .localCheckpoint(true)
+        sym = replace(sym, lit(D + a + D + D + b + D), lit(D + a + b + D))
+        depth += 1
+        if (depth >= CheckpointEvery) {
+          base = base.select(sym.as("s"), col("cnt")).localCheckpoint(true)
+          sym = col("s")
+          depth = 0
+        }
         step += 1
       }
     }
@@ -135,8 +160,14 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       merges: Array[(Int, String, String, Long)],
+      k: Int): DataFrame =
+    subwordCountsOnWords(wordVocab(docs, textCol), merges, k)
+
+  /** [[subwordCounts]] over a prepared `(word, cnt)` vocab frame. */
+  def subwordCountsOnWords(
+      vocab: DataFrame,
+      merges: Array[(Int, String, String, Long)],
       k: Int): DataFrame = {
-    val vocab = wordVocab(docs, textCol)
     val applied = merges.foldLeft(symStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }
@@ -154,8 +185,13 @@ object Bpe {
   def charTokenTotals(
       docs: DataFrame,
       textCol: String,
+      merges: Array[(Int, String, String, Long)]): DataFrame =
+    charTokenTotalsOnWords(wordVocab(docs, textCol), merges)
+
+  /** [[charTokenTotals]] over a prepared `(word, cnt)` vocab frame. */
+  def charTokenTotalsOnWords(
+      vocab: DataFrame,
       merges: Array[(Int, String, String, Long)]): DataFrame = {
-    val vocab = wordVocab(docs, textCol)
     val applied = merges.foldLeft(symStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }
@@ -170,8 +206,13 @@ object Bpe {
   def byteTokenTotals(
       docs: DataFrame,
       textCol: String,
+      merges: Array[(Int, String, String, Long)]): DataFrame =
+    byteTokenTotalsOnWords(byteVocab(docs, textCol), merges)
+
+  /** [[byteTokenTotals]] over a prepared `(word, cnt)` pre-token vocab. */
+  def byteTokenTotalsOnWords(
+      vocab: DataFrame,
       merges: Array[(Int, String, String, Long)]): DataFrame = {
-    val vocab = byteVocab(docs, textCol)
     val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }
@@ -231,10 +272,14 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       m: Int): Array[(Int, String, String, Long)] =
-    trainOnVocab(
-      byteVocab(docs, textCol)
-        .select(byteSymStr(col("word")).as("s"), col("cnt")),
-      m)
+    trainBytesOnWords(byteVocab(docs, textCol), m)
+
+  /** [[trainBytes]] over a prepared `(word, cnt)` pre-token vocab frame
+    * (the [[trainOnWords]] byte-grain twin). */
+  def trainBytesOnWords(
+      vocab: DataFrame,
+      m: Int): Array[(Int, String, String, Long)] =
+    trainOnVocab(vocab.select(byteSymStr(col("word")).as("s"), col("cnt")), m)
 
   /** Apply a byte-grain merge list: per-subword corpus frequencies, the
     * subword as its hex byte sequence (top `k` by count, ties to the
@@ -244,11 +289,18 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       merges: Array[(Int, String, String, Long)],
+      k: Int): DataFrame =
+    byteSubwordCountsOnWords(byteVocab(docs, textCol), merges, k)
+
+  /** [[byteSubwordCounts]] over a prepared `(word, cnt)` pre-token vocab. */
+  def byteSubwordCountsOnWords(
+      vocab: DataFrame,
+      merges: Array[(Int, String, String, Long)],
       k: Int): DataFrame = {
     val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }
-    byteVocab(docs, textCol)
+    vocab
       .select(col("cnt"), explode(symsOf(applied)).as("subword"))
       .groupBy(col("subword"))
       .agg(sum(col("cnt")).as("n_occurrences"))
@@ -268,10 +320,33 @@ object Bpe {
       merges: Array[(Int, String, String, Long)]): DataFrame = {
     val words = docs.select(col(idCol),
       posexplode(pretokens(col(textCol))).as(Seq("wpos", "word")))
+    docByteTokensFromWords(words, idCol, merges,
+      words.select(col("word")).distinct())
+  }
+
+  /** [[docByteTokens]] with the distinct pre-token set supplied — a gate
+    * that already built the `(word, cnt)` pre-token vocab (for training)
+    * passes it here so the doc-grain distinct is not recomputed. */
+  def docByteTokensOnVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Array[(Int, String, String, Long)],
+      vocab: DataFrame): DataFrame =
+    docByteTokensFromWords(
+      docs.select(col(idCol),
+        posexplode(pretokens(col(textCol))).as(Seq("wpos", "word"))),
+      idCol, merges, vocab.select(col("word")))
+
+  private def docByteTokensFromWords(
+      words: DataFrame,
+      idCol: String,
+      merges: Array[(Int, String, String, Long)],
+      wordSet: DataFrame): DataFrame = {
     val applied = merges.foldLeft(byteSymStr(col("word"))) { case (s, (_, a, b, _)) =>
       replace(s, lit(D + a + D + D + b + D), lit(D + a + b + D))
     }
-    val wordToks = words.select(col("word")).distinct()
+    val wordToks = wordSet
       .select(col("word"), symsOf(applied).as("toks"))
     words.join(wordToks, "word")
       .groupBy(col(idCol))

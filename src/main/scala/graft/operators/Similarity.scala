@@ -483,7 +483,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       buildSlices: Int = 1,
-      rescoreBroadcastCap: Long = 0L): NswIndex = {
+      rescoreBroadcastCap: Long = 0L,
+      knownN: Long = 0L): NswIndex = {
     require(degree > 0 && fineBits > 0 && refineRounds >= 0 && buildSlices >= 1)
     val coarseBits = math.max(1, fineBits / 2)
     val fine = hyperplanes(fineBits, dim, seed)
@@ -507,7 +508,9 @@ object Similarity {
     // Above the 1 GiB bound the equi-join shape returns (the >16M-vector
     // regime, where an id-bucketed layout co-locates the join at cluster
     // scale).
-    val nBase = base.count()
+    // callers that already counted the corpus (knnGraph's parameter rule)
+    // pass it through — the count job is skipped, not re-run
+    val nBase = if (knownN > 0L) knownN else base.count()
     // the cap scales down with cluster width unless the caller pins it:
     // broadcast cost is bytes × executors (rescoreBroadcastBound)
     val bcastCap =
@@ -674,8 +677,13 @@ object Similarity {
       entries: Int,
       dim: Int = 64): DataFrame = {
     require(k > 0 && beam >= k && hops >= 0 && entries > 0)
+    // the adjacency union-distinct is consumed once per hop; left lazy the
+    // distinct is a FULL shuffle of near ∪ longEdges re-run every hop
+    // (hops× the work at any scale — near is already checkpointed, so no
+    // lineage risk). Materialize it once; contents are deterministic, so
+    // gate hashes are unaffected (guide §2.4: remove repeated shuffles).
     val adjacency = index.near.select(col("src"), col("dst"))
-      .unionByName(index.longEdges).distinct()
+      .unionByName(index.longEdges).distinct().localCheckpoint()
     val vecs = corpus.select(col(idCol).as("nid"),
       checkedDim(col(vecCol), dim).as("_v"), Vectors.norm(col(vecCol)).as("_nv"))
     val p = broadcast(probes.select(col(probeIdCol).as("probe_id"),
@@ -768,7 +776,7 @@ object Similarity {
     val deg = if (degree > 0) degree else degreeFor(n, buildBudget = buildBudget)
     val bm = if (beam > 0) beam else math.max(k, beamFor(deg))
     val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim,
-      seed, buildSlices, rescoreBroadcastCap)
+      seed, buildSlices, rescoreBroadcastCap, knownN = n)
     knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
       k, bm, hops, entries, dim)
   }

@@ -226,9 +226,23 @@ object Unigram {
       textCol: String,
       rounds: Int = 2,
       keepK: Int = 48,
+      maxLen: Int = MaxPieceLen): DataFrame =
+    trainArtifactOnVocab(
+      Bpe.wordVocab(docs, textCol).localCheckpoint(true),
+      rounds, keepK, maxLen)
+
+  /** [[trainArtifact]] over a prepared `(word, cnt)` vocab frame —
+    * gates that also apply the artifact share ONE checkpointed vocab
+    * across training and application (one corpus scan per gate). The
+    * vocab must already be MATERIALIZED (localCheckpoint) by the caller:
+    * every EM round re-reads it, so a lazy frame would recompute its
+    * corpus scan per round. */
+  def trainArtifactOnVocab(
+      vocab: DataFrame,
+      rounds: Int = 2,
+      keepK: Int = 48,
       maxLen: Int = MaxPieceLen): DataFrame = {
     require(rounds >= 1 && keepK >= 1, s"need rounds/keepK >= 1")
-    val vocab = Bpe.wordVocab(docs, textCol).localCheckpoint(true)
     val seed = seedCounts(vocab, maxLen).localCheckpoint(true)
     val seedSingles = seed.filter(length(col("piece")) === 1).select("piece")
     var pieces = seed
@@ -313,7 +327,14 @@ object Unigram {
       textCol: String,
       artifact: DataFrame,
       maxLen: Int = MaxPieceLen): DataFrame =
-    segmented(Bpe.wordVocab(docs, textCol), artifact, maxLen).agg(
+    tokenTotalsOnVocab(Bpe.wordVocab(docs, textCol), artifact, maxLen)
+
+  /** [[tokenTotals]] over a prepared `(word, cnt)` vocab frame. */
+  def tokenTotalsOnVocab(
+      vocab: DataFrame,
+      artifact: DataFrame,
+      maxLen: Int = MaxPieceLen): DataFrame =
+    segmented(vocab, artifact, maxLen).agg(
       sum(col("cnt")).cast("long").as("n_units"),
       sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
       sum(size(col("pieces")) * col("cnt")).cast("long").as("n_tokens"))
@@ -326,8 +347,15 @@ object Unigram {
       textCol: String,
       artifact: DataFrame,
       k: Int,
+      maxLen: Int = MaxPieceLen): DataFrame =
+    subwordCountsOnVocab(Bpe.wordVocab(docs, textCol), artifact, k, maxLen)
+
+  /** [[subwordCounts]] over a prepared `(word, cnt)` vocab frame. */
+  def subwordCountsOnVocab(
+      vocab: DataFrame,
+      artifact: DataFrame,
+      k: Int,
       maxLen: Int = MaxPieceLen): DataFrame = {
-    val vocab = Bpe.wordVocab(docs, textCol)
     pieceCounts(segmented(vocab, artifact, maxLen))
       .select(col("piece").as("subword"), col("used").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("subword"))

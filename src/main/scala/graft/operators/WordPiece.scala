@@ -73,15 +73,30 @@ object WordPiece {
   def train(
       docs: DataFrame,
       textCol: String,
+      m: Int): Array[(Int, String, String, Long, Long)] =
+    trainOnWords(Bpe.wordVocab(docs, textCol), m)
+
+  /** [[train]] over a prepared `(word, cnt)` vocab frame. The symbol
+    * vocab is materialized ONCE; each round's merge is a CHAINED literal
+    * `replace` over that base (the [[Bpe]] trainOnVocab discipline:
+    * one Spark job per round — the argmax — instead of two; identical
+    * pair/symbol statistics, so the merge trajectory is bit-identical),
+    * with the chain folded into a fresh checkpoint every 16 merges so
+    * expression depth stays bounded for production-sized m. */
+  def trainOnWords(
+      wordVocab: DataFrame,
       m: Int): Array[(Int, String, String, Long, Long)] = {
     require(m > 0, s"need at least one merge, got $m")
-    var vocab = Bpe.wordVocab(docs, textCol)
+    var base = wordVocab
       .select(symStrWp(col("word")).as("s"), col("cnt"))
       .localCheckpoint(true)
+    var sym: org.apache.spark.sql.Column = col("s")
+    var depth = 0
     val merges = Array.newBuilder[(Int, String, String, Long, Long)]
     var step = 1
     var done = false
     while (step <= m && !done) {
+      val vocab = base.select(sym.as("s"), col("cnt"))
       val syms = symCounts(vocab)
       val best = Bpe.pairCounts(vocab)
         .join(syms.select(col("sym").as("a"), col("scnt").as("ca")), "a")
@@ -96,11 +111,14 @@ object WordPiece {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((step, a, b, best(0).getLong(2), best(0).getLong(3)))
-        vocab = vocab
-          .withColumn("s",
-            replace(col("s"), lit(D + a + D + D + b + D),
-              lit(D + mergedSym(a, b) + D)))
-          .localCheckpoint(true)
+        sym = replace(sym, lit(D + a + D + D + b + D),
+          lit(D + mergedSym(a, b) + D))
+        depth += 1
+        if (depth >= 16) {
+          base = base.select(sym.as("s"), col("cnt")).localCheckpoint(true)
+          sym = col("s")
+          depth = 0
+        }
         step += 1
       }
     }
@@ -125,8 +143,14 @@ object WordPiece {
   def finalVocab(
       docs: DataFrame,
       textCol: String,
+      merges: Array[(Int, String, String, Long, Long)]): Array[String] =
+    finalVocabOnWords(Bpe.wordVocab(docs, textCol), merges)
+
+  /** [[finalVocab]] over a prepared `(word, cnt)` vocab frame. */
+  def finalVocabOnWords(
+      wordVocab: DataFrame,
       merges: Array[(Int, String, String, Long, Long)]): Array[String] = {
-    val singles = Bpe.wordVocab(docs, textCol)
+    val singles = wordVocab
       .select(explode(symsOf(symStrWp(col("word")))).as("sym"))
       .distinct()
       .orderBy(col("sym"))
@@ -147,7 +171,14 @@ object WordPiece {
       textCol: String,
       vocab: Array[String],
       k: Int): DataFrame =
-    Bpe.wordVocab(docs, textCol)
+    subwordCountsOnWords(Bpe.wordVocab(docs, textCol), vocab, k)
+
+  /** [[subwordCounts]] over a prepared `(word, cnt)` vocab frame. */
+  def subwordCountsOnWords(
+      wordVocab: DataFrame,
+      vocab: Array[String],
+      k: Int): DataFrame =
+    wordVocab
       .select(col("cnt"),
         explode(graft.plans.TextExpressions.wordPieceEncode(
           col("word"), vocab, Unk)).as("subword"))
@@ -163,7 +194,13 @@ object WordPiece {
       docs: DataFrame,
       textCol: String,
       vocab: Array[String]): DataFrame =
-    Bpe.wordVocab(docs, textCol).agg(
+    tokenTotalsOnWords(Bpe.wordVocab(docs, textCol), vocab)
+
+  /** [[tokenTotals]] over a prepared `(word, cnt)` vocab frame. */
+  def tokenTotalsOnWords(
+      wordVocab: DataFrame,
+      vocab: Array[String]): DataFrame =
+    wordVocab.agg(
       sum(col("cnt")).cast("long").as("n_units"),
       sum(length(col("word")) * col("cnt")).cast("long").as("n_chars"),
       sum(size(graft.plans.TextExpressions.wordPieceEncode(

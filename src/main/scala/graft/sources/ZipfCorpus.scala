@@ -59,18 +59,32 @@ object ZipfCorpus {
   private def seed(salt: String): Column =
     u20(concat(col("doc_id").cast("string"), lit(s":$salt")))
 
-  /** The corpus: (doc_id, text), one row per `documents` row. */
-  def docs(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus: (doc_id, text), one row per `documents` row.
+    *
+    * `materializeBase = true` pins the per-doc generated word arrays with
+    * ONE eager localCheckpoint before the prev-doc self-join: the
+    * generation expressions (per-word md5 draws through interpreted
+    * higher-order `transform` lambdas — the dominant cost, measured
+    * ~2× the scorer legs on the r17 board triage) are otherwise
+    * evaluated TWICE, once per join side. Byte-identical text either
+    * way. Keep the default (lazy) wherever a caller filters the id space
+    * first (q_dedup_eval's constant-size audit block) so pushdown keeps
+    * generation O(block), not O(corpus). */
+  def docs(
+      spark: SparkSession,
+      dir: String,
+      materializeBase: Boolean = false): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val n = lit(10L) + shiftright(seed("len") * lit(91L), 20)
     val seeds = transform(sequence(lit(1L), n), wi =>
       u20(concat(col("doc_id").cast("string"), lit(":"), wi.cast("string"))))
     val zw = transform(seeds, u => concat(lit("w"),
       shiftright(shiftright(u * u * u, 40) * lit(VocabSize), 20).cast("string")))
-    val base = ids.select(
+    val base0 = ids.select(
       col("doc_id"),
       when(seed("boil") < BoilerLt,
         concat(array(BoilerWords.map(lit): _*), zw)).otherwise(zw).as("words"))
+    val base = if (materializeBase) base0.localCheckpoint(true) else base0
     val prev = base.select(
       (col("doc_id") + 1L).as("doc_id"), col("words").as("_prev"))
     val up = seed("plant")
