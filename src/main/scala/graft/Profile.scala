@@ -316,6 +316,25 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "dumpplans") {
+      // write .explain("formatted") for the named queries to a directory:
+      //   runMain graft.Profile <sfDir> dumpplans <outDir> <q1,q2,...> [suffix]
+      // (the r17 plans/ artifact generator — judge-checkable plan claims)
+      val outDir = args(2)
+      val names = args(3).split(",").toSeq
+      val suffix = args.drop(4).headOption.getOrElse("")
+      new java.io.File(outDir).mkdirs()
+      names.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(outDir, s"$name$suffix.txt")
+        java.nio.file.Files.write(p, plan.getBytes("UTF-8"))
+        println(s"[dumpplans] wrote $p (${plan.linesIterator.size} lines)")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "zipfgate") {
       // decompose the q_*_zipf pair gates: ZipfCorpus generation vs the
       // shingleSets checkpoint vs each scorer leg (r17 board triage)
