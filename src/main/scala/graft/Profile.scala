@@ -320,6 +320,12 @@ object Profile {
       // write .explain("formatted") for the named queries to a directory:
       //   runMain graft.Profile <sfDir> dumpplans <outDir> <q1,q2,...> [suffix]
       // (the r17 plans/ artifact generator — judge-checkable plan claims)
+      if (args.length < 4) {
+        System.err.println(
+          "usage: runMain graft.Profile <sfDir> dumpplans <outDir> <q1,q2,...> [suffix]")
+        spark.stop()
+        sys.exit(2)
+      }
       val outDir = args(2)
       val names = args(3).split(",").toSeq
       val suffix = args.drop(4).headOption.getOrElse("")

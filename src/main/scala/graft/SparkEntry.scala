@@ -4894,10 +4894,20 @@ object SparkEntry {
         val fUni = Future(
           Unigram.trainArtifactOnVocab(vocab, rounds = 2, keepK = 48))
         val fWp = Future(WordPiece.trainOnWords(vocab, m = 8))
-        val charMerges = Await.result(fChar, Duration.Inf)
-        val byteMerges = Await.result(fBytes, Duration.Inf)
-        val uniArtifact = Await.result(fUni, Duration.Inf)
-        val wpMerges = Await.result(fWp, Duration.Inf)
+        // one sequenced await with a generous finite bound: the first
+        // failed training propagates immediately (not after every earlier
+        // await drains), and a hung training fails the gate instead of
+        // blocking it forever on a non-daemon pool (r17 advice); the
+        // typed awaits below are instant once the sequence resolves
+        val bound = Duration(1, java.util.concurrent.TimeUnit.HOURS)
+        Await.result(
+          Future.sequence(Seq[Future[Unit]](
+            fChar.map(_ => ()), fBytes.map(_ => ()),
+            fUni.map(_ => ()), fWp.map(_ => ()))), bound)
+        val charMerges = Await.result(fChar, bound)
+        val byteMerges = Await.result(fBytes, bound)
+        val uniArtifact = Await.result(fUni, bound)
+        val wpMerges = Await.result(fWp, bound)
         row("bpe_char", Bpe.charTokenTotalsOnWords(vocab, charMerges))
           .unionByName(row("bpe_bytes",
             Bpe.byteTokenTotalsOnWords(bvocab, byteMerges)))

@@ -108,7 +108,7 @@ object Bpe {
     * and therefore the merge trajectory, are bit-identical to the
     * materialize-every-round form.
     */
-  private val CheckpointEvery = 16
+  private[operators] val CheckpointEvery = 16
   private def trainOnVocab(
       vocab0: DataFrame,
       m: Int): Array[(Int, String, String, Long)] = {

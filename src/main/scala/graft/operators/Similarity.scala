@@ -387,10 +387,43 @@ object Similarity {
   def rescoreBroadcastBound(executors: Int): Long =
     math.min(1L << 30, (32L << 30) / math.max(1, executors))
 
-  private def executorCountOf(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("spark.executor.instances")
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .getOrElse(1)
+  /** Cluster width for [[rescoreBroadcastBound]]. `spark.executor.instances`
+    * alone under-detects dynamic-allocation clusters (they don't set it, so
+    * the width read 1 and the bound stayed 1 GiB — the r17 verdict flag:
+    * bytes × executors re-sends come back exactly on the deployments the
+    * bound exists for). Resolution order, most- to least-authoritative:
+    *   1. `spark.executor.instances` (static allocation: the contract);
+    *   2. `spark.dynamicAllocation.maxExecutors` when dynamic allocation is
+    *      enabled and the ceiling is explicitly set (the width the cluster
+    *      may GROW to mid-job — sizing the bound for fewer would re-open the
+    *      re-send bill the moment it scales up);
+    *   3. the LIVE executor count (`getExecutorMemoryStatus` minus the
+    *      driver's own entry) — covers dynamic allocation with no explicit
+    *      ceiling; never below 1, so local mode keeps the 1 GiB bound.
+    * Spec-pinned (KnnGraphSpec "executorCountOf"). */
+  private def executorCountOf(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    executorCountFrom(
+      key => spark.conf.getOption(key),
+      // getExecutorMemoryStatus includes the driver's own entry; local
+      // mode therefore reads 1 − 1 = 0, floored back to 1 below
+      spark.sparkContext.getExecutorMemoryStatus.size - 1)
+
+  /** [[executorCountOf]]'s resolution rule over an abstract conf reader —
+    * the testable core (core Spark configs cannot be set through
+    * RuntimeConfig in a running local session, so the spec pins this
+    * directly). */
+  private[operators] def executorCountFrom(
+      conf: String => Option[String],
+      live: => Int): Int = {
+    def confInt(key: String): Option[Int] = conf(key)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0)
+    val dynEnabled = conf("spark.dynamicAllocation.enabled").contains("true")
+    confInt("spark.executor.instances")
+      .orElse(if (dynEnabled) confInt("spark.dynamicAllocation.maxExecutors")
+              else None)
+      .getOrElse(math.max(1, live))
+  }
 
   /** A built graph-ANN index: `near` = the degree-bounded refined kNN
     * adjacency (src, dst, cosine); `longEdges` = node → its coarse-bucket
@@ -489,6 +522,10 @@ object Similarity {
     val coarseBits = math.max(1, fineBits / 2)
     val fine = hyperplanes(fineBits, dim, seed)
     val coarse = hyperplanes(coarseBits, dim, seed + 1)
+    // INVARIANT while knownN is plumbed through (knnGraph passes its own
+    // corpus count): this projection must preserve the corpus row count —
+    // no filter may be added here without dropping the knownN shortcut,
+    // or the broadcast-size decision below silently uses a stale count
     val base = corpus.select(col(idCol).as("id"),
         checkedDim(col(vecCol), dim).as("_vec"),
         Vectors.norm(col(vecCol)).as("_n"))
@@ -771,12 +808,16 @@ object Similarity {
       buildBudget: Long = 1L << 31,
       buildSlices: Int = 1,
       rescoreBroadcastCap: Long = 0L): DataFrame = {
-    val n = math.max(corpus.count(), 1L)
+    // rawN feeds nswIndex(knownN): the RAW count, not the max-clamped one
+    // the parameter rules use — an empty corpus must report nBase = 0, not
+    // 1 (and a 0 knownN makes nswIndex recount, which is then free)
+    val rawN = corpus.count()
+    val n = math.max(rawN, 1L)
     val fineBits = bandBitsFor(n, targetBucket)
     val deg = if (degree > 0) degree else degreeFor(n, buildBudget = buildBudget)
     val bm = if (beam > 0) beam else math.max(k, beamFor(deg))
     val index = nswIndex(corpus, idCol, vecCol, deg, fineBits, refineRounds, dim,
-      seed, buildSlices, rescoreBroadcastCap, knownN = n)
+      seed, buildSlices, rescoreBroadcastCap, knownN = rawN)
     knnGraphSearch(index, corpus, probes, idCol, vecCol, probeIdCol, probeVecCol,
       k, bm, hops, entries, dim)
   }

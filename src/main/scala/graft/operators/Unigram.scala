@@ -238,11 +238,18 @@ object Unigram {
     * every EM round re-reads it, so a lazy frame would recompute its
     * corpus scan per round. */
   def trainArtifactOnVocab(
-      vocab: DataFrame,
+      vocab0: DataFrame,
       rounds: Int = 2,
       keepK: Int = 48,
       maxLen: Int = MaxPieceLen): DataFrame = {
     require(rounds >= 1 && keepK >= 1, s"need rounds/keepK >= 1")
+    // enforce the materialization contract instead of documenting it: a
+    // caller passing a lazy frame would silently re-pay its full corpus
+    // scan on every EM round below
+    val vocab = vocab0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => vocab0
+      case _ => vocab0.localCheckpoint(true)
+    }
     val seed = seedCounts(vocab, maxLen).localCheckpoint(true)
     val seedSingles = seed.filter(length(col("piece")) === 1).select("piece")
     var pieces = seed

@@ -81,8 +81,10 @@ object WordPiece {
     * `replace` over that base (the [[Bpe]] trainOnVocab discipline:
     * one Spark job per round — the argmax — instead of two; identical
     * pair/symbol statistics, so the merge trajectory is bit-identical),
-    * with the chain folded into a fresh checkpoint every 16 merges so
-    * expression depth stays bounded for production-sized m. */
+    * with the chain folded into a fresh checkpoint every
+    * [[Bpe.CheckpointEvery]] merges so expression depth stays bounded
+    * for production-sized m (shared constant: the two merge loops must
+    * not drift if the fold interval is retuned). */
   def trainOnWords(
       wordVocab: DataFrame,
       m: Int): Array[(Int, String, String, Long, Long)] = {
@@ -114,7 +116,7 @@ object WordPiece {
         sym = replace(sym, lit(D + a + D + D + b + D),
           lit(D + mergedSym(a, b) + D))
         depth += 1
-        if (depth >= 16) {
+        if (depth >= Bpe.CheckpointEvery) {
           base = base.select(sym.as("s"), col("cnt")).localCheckpoint(true)
           sym = col("s")
           depth = 0

@@ -75,11 +75,13 @@ object ZipfCorpus {
       dir: String,
       materializeBase: Boolean = false): DataFrame = {
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
-    val n = lit(10L) + shiftright(seed("len") * lit(91L), 20)
-    val seeds = transform(sequence(lit(1L), n), wi =>
-      u20(concat(col("doc_id").cast("string"), lit(":"), wi.cast("string"))))
-    val zw = transform(seeds, u => concat(lit("w"),
-      shiftright(shiftright(u * u * u, 40) * lit(VocabSize), 20).cast("string")))
+    // one native codegen kernel per doc replaces the r17-and-earlier
+    // interpreted `transform(sequence(1, n), wi -> u20(...))` chain
+    // (HOFs are CodegenFallback — every word paid an interpreted
+    // cast/concat/md5/conv walk); bit-identical output, pinned by
+    // ZipfWordsSpec against the old formulation and by the untouched
+    // DuckDB CTE replay below
+    val zw = graft.plans.ZipfExpressions.zipfWords(col("doc_id"))
     val base0 = ids.select(
       col("doc_id"),
       when(seed("boil") < BoilerLt,

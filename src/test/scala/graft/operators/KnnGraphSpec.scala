@@ -168,6 +168,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(2000000L * (64 * 4L + 48L) > Similarity.rescoreBroadcastBound(1000))
   }
 
+  test("executorCountFrom: instances, then dynamic-allocation ceiling, then live") {
+    // the r17 verdict flag: dynamic-allocation clusters don't set
+    // spark.executor.instances, so the width read 1 and the re-send bill
+    // came back — the resolution order below is the fix, pinned here
+    def rule(conf: Map[String, String], live: Int = 0): Int =
+      Similarity.executorCountFrom(conf.get, live)
+    // local mode, nothing set: the live path (driver-only status) → 1
+    assert(rule(Map.empty) == 1)
+    // dynamic allocation enabled with an explicit ceiling: the ceiling
+    // (the width the cluster may GROW to mid-job)
+    val dyn = Map("spark.dynamicAllocation.enabled" -> "true",
+      "spark.dynamicAllocation.maxExecutors" -> "100")
+    assert(rule(dyn) == 100)
+    // ceiling unset (unbounded dynamic allocation): falls to live count
+    assert(rule(Map("spark.dynamicAllocation.enabled" -> "true"), live = 37) == 37)
+    // the ceiling is ignored when dynamic allocation is OFF
+    assert(rule(Map("spark.dynamicAllocation.maxExecutors" -> "100")) == 1)
+    // explicit static instances wins over everything
+    assert(rule(dyn + ("spark.executor.instances" -> "7")) == 7)
+    // malformed / non-positive values are ignored, not thrown
+    assert(rule(dyn + ("spark.executor.instances" -> "not-a-number")) == 100)
+    assert(rule(dyn + ("spark.executor.instances" -> "0")) == 100)
+  }
+
   test("NN-descent rounds do not lose recall vs the raw LSH seed graph") {
     val emb = corpus(800, 6, seed = 23L)
     val probes = emb.filter(col("vec_id") < 8)
