@@ -363,6 +363,68 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "fuzzygate") {
+      // decompose q_fuzzy_match2 on the GATE's own data (r18 VERDICT item
+      // 7 triage): inputs vs deletion-neighborhood key construction vs the
+      // block join + thresholded-levenshtein verify — which stage owns the
+      // ~5-6 s board cost?
+      import graft.operators.EntityResolution
+      import graft.sources.ZipfCorpus.u20
+      val canon = Tables.customer(spark, sfDir)
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          concat(col("n_name"), lit("-"), col("c_custkey").cast("string"))
+            .as("canon_name"))
+      val ck = col("c_custkey").cast("string")
+      def del(nameCol: Column, p: Column): Column =
+        concat(nameCol.substr(lit(1), (p - 1L).cast("int")),
+          nameCol.substr((p + 1L).cast("int"), lit(200)))
+      val p1 = lit(1L) + shiftright(
+        u20(concat(lit("f2a:"), ck)) * length(col("canon_name")), 20)
+      val n1 = del(col("canon_name"), p1)
+      val p2 = lit(1L) + shiftright(u20(concat(lit("f2b:"), ck)) * length(n1), 20)
+      val n2 = del(n1, p2)
+      val dirty = canon
+        .where(u20(concat(lit("fz2:"), ck)) < lit(524288L))
+        .select(col("c_custkey").as("dirty_id"),
+          when(pmod(u20(concat(lit("fn:"), ck)), lit(3L)) === 0L, n1)
+            .otherwise(n2).as("dirty_name"))
+      def keyedHof(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
+        df.withColumn("_bk",
+          explode(transform(EntityResolution.deletionNeighborhood(col(name), 2),
+            s => xxhash64(s))))
+      def keyedKernel(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame =
+        df.withColumn("_bk",
+          explode(graft.plans.EntityExpressions.deletionKeyHashes(col(name), 2)))
+      def full(k: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame) =
+        k(dirty, "dirty_name")
+          .join(k(canon, "canon_name"), "_bk")
+          .select(col("dirty_id"), col("dirty_name"),
+            col("c_custkey"), col("canon_name"))
+          .distinct()
+          .withColumn("edit_dist",
+            levenshtein(col("dirty_name"), col("canon_name"), 2))
+          .where(col("edit_dist") >= 0)
+      canon.write.format("noop").mode("overwrite").save() // warm
+      (1 to 3).foreach { i =>
+        time(s"inputs (canon+dirty)   round $i") {
+          canon.write.format("noop").mode("overwrite").save()
+          dirty.write.format("noop").mode("overwrite").save(); 0L }
+        time(s"keys canon HOF         round $i") {
+          keyedHof(canon, "canon_name").write.format("noop").mode("overwrite").save(); 0L }
+        time(s"keys canon KERNEL      round $i") {
+          keyedKernel(canon, "canon_name").write.format("noop").mode("overwrite").save(); 0L }
+        time(s"match HOF keys         round $i") { full(keyedHof).count() }
+        time(s"match KERNEL keys      round $i") { full(keyedKernel).count() }
+        time(s"full q_fuzzy_match2    round $i") {
+          SparkEntry.queries("q_fuzzy_match2")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); 0L }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "reuse") {
       // the multi-scorer amortization question: jaccard + containment over
       // one corpus — default recompute paths (back to back) vs ONE
@@ -778,6 +840,29 @@ object Profile {
             s"offsets=${g("commitOffsets")}ms rows=${p.numInputRows}")
         }
         FileReplay.deleteRecursively(new java.io.File(dir))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "statestore") {
+      // r18 VERDICT item 6: RocksDB vs the default HDFS-backed state store
+      // for the big-state streaming gates, at an SF where state is large
+      // enough to matter (sf1/sf10 — NOT the sf0.1 board, where per-trigger
+      // overhead dominates and state is KBs). The board methodology is
+      // unchanged; this measures the 100 TB deployment decision only.
+      // providerClass is read at stream START, so setting it per-run on the
+      // session conf flips the whole gate's stateful operators.
+      val keys = Seq("q_stream_scd2", "q_stream_cdc", "q_stream_full_join")
+      val providers = Seq(
+        "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      for (round <- 1 to 2; key <- keys; (pname, pclass) <- providers) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+        time(f"$key%-22s $pname%-8s round $round") {
+          SparkEntry.queries(key)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save(); 0L
+        }
       }
       spark.stop()
       return

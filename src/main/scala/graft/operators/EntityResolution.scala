@@ -81,11 +81,16 @@ object EntityResolution {
     // 8 bytes per key with no semantic change — equal strings keep
     // colliding (completeness preserved), and the rare extra hash
     // collision only adds a candidate pair the exact levenshtein verify
-    // discards anyway (blocking never decides, it only proposes)
+    // discards anyway (blocking never decides, it only proposes).
+    // Key GENERATION is the native DeletionKeyHashes kernel: the HOF
+    // formulation (deletionNeighborhood ∘ transform(xxhash64)) is
+    // CodegenFallback and was the measured dominant stage (Profile
+    // `fuzzygate`); the kernel emits the identical hash set inside the
+    // scan's codegen span (EntityResolutionSpec pins set identity)
     def keyed(df: DataFrame, name: String): DataFrame =
       df.withColumn("_bk",
-        explode(transform(deletionNeighborhood(col(name), maxDist),
-          s => xxhash64(s))))
+        explode(graft.plans.EntityExpressions.deletionKeyHashes(
+          col(name), maxDist)))
     keyed(dirty.select(col(idCol), col(nameCol)), nameCol)
       .join(keyed(canon.select(col(canonIdCol), col(canonNameCol)), canonNameCol), "_bk")
       // the distinct collapses shared-key multiplicity; Catalyst then
@@ -135,8 +140,8 @@ object EntityResolution {
     val cn = names(canon, canonNameCol, "_hb")
     def keyed(df: DataFrame, name: String, h: String): DataFrame =
       df.select(col(h),
-        explode(transform(deletionNeighborhood(col(name), maxDist),
-          s => xxhash64(s))).as("_bk"))
+        explode(graft.plans.EntityExpressions.deletionKeyHashes(
+          col(name), maxDist)).as("_bk"))
     val candidates = keyed(dn, nameCol, "_ha")
       .join(keyed(cn, canonNameCol, "_hb"), "_bk")
       .select(col("_ha"), col("_hb"))
@@ -193,8 +198,8 @@ object EntityResolution {
     val cn = names(canon, canonNameCol, "_hb")
     def keyed(df: DataFrame, name: String, h: String, s: Int): DataFrame =
       df.select(col(h),
-          explode(transform(deletionNeighborhood(col(name), maxDist),
-            k => xxhash64(k))).as("_bk"))
+          explode(graft.plans.EntityExpressions.deletionKeyHashes(
+            col(name), maxDist)).as("_bk"))
         .filter(pmod(col("_bk"), lit(slices.toLong)) === s.toLong)
     (0 until slices).foreach { s =>
       keyed(dn, nameCol, "_ha", s)

@@ -212,13 +212,44 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
-  test("plan: block keys shuffle as int64 hashes") {
+  test("plan: block keys shuffle as int64 hashes from the native kernel") {
     val canon = Seq((1L, "alpha"), (2L, "beta")).toDF("cid", "cname")
     val dirty = Seq((10L, "alpa")).toDF("did", "dname")
     val plan = EntityResolution.matchByEditDistance(
         dirty, "did", "dname", canon, "cid", "cname", maxDist = 2)
       .queryExecution.executedPlan.toString
-    // the block-key exchange must carry the xxhash64 int64, not strings
-    assert(plan.contains("xxhash64"), s"block keys must be hashed:\n$plan")
+    // the block-key exchange must carry int64 keys produced by the codegen
+    // kernel, not strings through interpreted HOF lambdas
+    assert(plan.contains("deletion_key_hashes"),
+      s"block keys must come from the native kernel:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"no interpreted HOF lambdas on the key path:\n$plan")
+  }
+
+  test("deletion_key_hashes kernel emits exactly the HOF formulation's hash set") {
+    import graft.plans.EntityExpressions
+    // every regime: empty, single char, repeated chars (string-level dedupe),
+    // the gate's name shape, spaces, multi-byte UTF-8 (two-byte, three-byte,
+    // surrogate-pair emoji — deletion must remove whole codepoints)
+    val names = Seq("", "a", "aa", "aaaa", "abcd", "ALGERIA-1234567",
+      "shared prefix x", "héllo wörld", "日本語のテキスト", "a😀b😀")
+    for (depth <- Seq(1, 2); n <- names) {
+      val df = Seq(Tuple1(n)).toDF("n")
+      val hof = df.select(transform(
+          EntityResolution.deletionNeighborhood($"n", depth), s => xxhash64(s)))
+        .as[Seq[Long]].head()
+      val kernel = df.select(EntityExpressions.deletionKeyHashes($"n", depth))
+        .as[Seq[Long]].head()
+      assert(kernel == kernel.sorted && kernel.distinct == kernel,
+        s"kernel output must be sorted-unique for '$n' depth=$depth")
+      assert(kernel.toSet == hof.toSet,
+        s"kernel != HOF hash set for '$n' depth=$depth: " +
+          s"missing=${(hof.toSet -- kernel.toSet).take(3)} " +
+          s"extra=${(kernel.toSet -- hof.toSet).take(3)}")
+    }
+    // null propagates
+    val nullOut = Seq(Tuple1(Option.empty[String])).toDF("n")
+      .select(EntityExpressions.deletionKeyHashes($"n", 2)).collect()(0)
+    assert(nullOut.isNullAt(0))
   }
 }
